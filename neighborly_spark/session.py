@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the configs below are the ones that also
+matter on a real cluster (AQE, Arrow, sane shuffle partitioning). Cluster
+deployments would add executor sizing externally — nothing here hardcodes
+single-node assumptions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "neighborly-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    - AQE on: runtime coalescing + skew-join handling — at 100 TB the static
+      shuffle-partition count is always wrong for some stage; AQE fixes it.
+    - Arrow on: every pandas-UDF boundary is Arrow-batched.
+    - shuffle.partitions defaults to the core count locally; a cluster job
+      would set it ~2-3x total cores (AQE coalesces the excess).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

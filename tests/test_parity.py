@@ -1,0 +1,68 @@
+"""In-repo replica of the driver's correctness gate: run every registered
+parity query on Spark AND its DuckDB oracle at sf0.01; compare row count,
+column names, and values (order-insensitive)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from neighborly_spark.parity import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize(x) for x in v)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_normalize(r[i]) for i in order) for r in rows)
+
+
+ORACLE_QUERIES = sorted(n for n, pq in REGISTRY.items() if pq.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_parity(spark, ddb, name):
+    pq = REGISTRY[name]
+    sdf = pq.build(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    rel = ddb.sql(pq.oracle)
+    dcols = rel.columns
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    assert _canon(srows, scols) == _canon(drows, dcols), f"{name}: value mismatch"
+
+
+def test_rows_only_queries_run(spark):
+    for name, pq in REGISTRY.items():
+        if pq.oracle is None:
+            df = pq.build(spark, SF_DIR)
+            assert df.count() >= 0, name
