@@ -1,0 +1,225 @@
+"""Text-analysis functions for training-data pipelines.
+
+These extend the reference's surface (it has none of this beyond prefix
+matching inside text search, Search/SearchService.cs:121-127) per the
+driver's north star: language-ID, quality scoring, token counting, document
+fingerprinting — each as a pure Column expression with a DuckDB-SQL twin
+(suffix `_duckdb_sql`) so every operator built on them stays
+oracle-checkable.
+
+Determinism contract: same as functions/distance.py — identical operation
+order, integer arithmetic where possible, round(…, 6) at the surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization -----------------------------------------------------------
+
+_WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), _WS)
+
+
+def tokens_duckdb_sql(t: str) -> str:
+    return f"string_split_regex(trim(lower({t})), '\\s+')"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_duckdb_sql(t: str) -> str:
+    return f"len({tokens_duckdb_sql(t)})"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy count: word-piece segments of letters/digits plus
+    individual punctuation marks (regex split on boundaries). Matches the
+    common ~chars/4 heuristic better than whitespace for code/punct text."""
+    pieces = F.split(F.lower(text), r"[^\p{L}\p{N}]+")
+    words = F.filter(pieces, lambda p: p != "")
+    # each word contributes ceil(len/4) subword units, punctuation 1 each
+    word_units = F.aggregate(
+        words, F.lit(0).cast("long"), lambda s, w: s + F.ceil(F.length(w) / 4.0).cast("long")
+    )
+    punct = F.length(F.regexp_replace(F.lower(text), r"[\p{L}\p{N}\s]", ""))
+    return (word_units + punct).alias("bpe_tokens")
+
+
+def bpe_ish_token_count_duckdb_sql(t: str) -> str:
+    return (
+        f"(list_reduce(list_transform(list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), p -> p <> ''), "
+        f"w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), (s, x) -> s + x) "
+        f"+ len(regexp_replace(lower({t}), '[a-z0-9\\s]', '', 'g')))"
+    )
+
+
+# --- stopwords / language ID ------------------------------------------------
+
+#: Tiny ASCII-only stopword inventories, fixed order = deterministic tie-break.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den", "von", "im"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no", "los", "por"),
+    "fr": ("le", "la", "de", "et", "un", "en", "une", "du", "dans", "est", "pour", "que"),
+}
+LANGS = tuple(STOPWORDS)  # fixed order
+
+
+def _sw_hits(text: Column, words: tuple[str, ...]) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sw_hits_duckdb_sql(t: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens_duckdb_sql(t)}, x -> x IN ({inlist})))"
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = _sw_hits(text, STOPWORDS[lang])
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def stopword_ratio_duckdb_sql(t: str, lang: str = "en") -> str:
+    toks = tokens_duckdb_sql(t)
+    hits = _sw_hits_duckdb_sql(t, STOPWORDS[lang])
+    return f"(CASE WHEN len({toks}) = 0 THEN 0.0 ELSE CAST({hits} AS DOUBLE) / CAST(len({toks}) AS DOUBLE) END)"
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax stopword-hit count over LANGS, ties to
+    the earlier language in the fixed order; 'unknown' when no hits."""
+    scores = [_sw_hits(text, STOPWORDS[lang]) for lang in LANGS]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    expr = F.lit("unknown")
+    # build from last to first so earlier langs win ties
+    for lang, score in reversed(list(zip(LANGS, scores))):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_duckdb_sql(t: str) -> str:
+    scores = {lang: _sw_hits_duckdb_sql(t, STOPWORDS[lang]) for lang in LANGS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    out = "'unknown'"
+    for lang in reversed(LANGS):
+        out = f"(CASE WHEN {scores[lang]} = {best} AND {best} > 0 THEN '{lang}' ELSE {out} END)"
+    return out
+
+
+# --- quality scoring ---------------------------------------------------------
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def punct_ratio_duckdb_sql(t: str) -> str:
+    return (
+        f"(CASE WHEN len({t}) = 0 THEN 0.0 ELSE "
+        f"CAST(len(regexp_replace({t}, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / CAST(len({t}) AS DOUBLE) END)"
+    )
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+
+
+def distinct_token_ratio_duckdb_sql(t: str) -> str:
+    toks = tokens_duckdb_sql(t)
+    return (
+        f"(CASE WHEN len({toks}) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_distinct({toks})) AS DOUBLE) / CAST(len({toks}) AS DOUBLE) END)"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length saturation (40%), lexical
+    diversity (30%), low punctuation noise (15%), stopword naturalness (15%).
+    Deterministic double arithmetic, identical in the DuckDB twin."""
+    length_part = F.least(token_count(text).cast("double") / 100.0, F.lit(1.0)) * 0.4
+    diversity_part = distinct_token_ratio(text) * 0.3
+    punct_part = (F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))) * 0.15
+    natural_part = F.least(stopword_ratio(text, "en") * 2.0, F.lit(1.0)) * 0.15
+    return length_part + diversity_part + punct_part + natural_part
+
+
+def quality_score_duckdb_sql(t: str) -> str:
+    return (
+        f"(least(CAST({token_count_duckdb_sql(t)} AS DOUBLE) / 100.0, 1.0) * 0.4"
+        f" + {distinct_token_ratio_duckdb_sql(t)} * 0.3"
+        f" + (1.0 - least({punct_ratio_duckdb_sql(t)} * 4.0, 1.0)) * 0.15"
+        f" + least({stopword_ratio_duckdb_sql(t)} * 2.0, 1.0) * 0.15)"
+    )
+
+
+# --- fingerprints / hashing ---------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    return F.regexp_replace(F.trim(F.lower(text)), _WS, " ")
+
+
+def normalize_text_duckdb_sql(t: str) -> str:
+    return f"regexp_replace(trim(lower({t})), '\\s+', ' ', 'g')"
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 of the normalized text — the engine's content hash."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint_duckdb_sql(t: str) -> str:
+    return f"md5({normalize_text_duckdb_sql(t)})"
+
+
+def hash32(s: Column) -> Column:
+    """Portable uint32 of a string: first 8 hex chars of md5 (same trick as
+    functions/embedding.py) — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def hash32_duckdb_sql(s: str) -> str:
+    return f"CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+# --- shingles ----------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as a sorted distinct set."""
+    toks = tokens(text)
+    n = F.size(toks)
+    raw = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    # guard: Spark's sequence(1, m) is DESCENDING for m < 1, not empty.
+    # array_sort canonicalizes set order (DuckDB's list_distinct reorders).
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(raw))
+    )
+
+
+def shingles_duckdb_sql(t: str, k: int = 3) -> str:
+    toks = tokens_duckdb_sql(t)
+    return (
+        f"list_sort(list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))))"
+    )

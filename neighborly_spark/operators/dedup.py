@@ -1,0 +1,312 @@
+"""Deduplication operators for training-data pipelines.
+
+Extends the reference's only dedup primitive — element-wise vector equality
+(Neighborly/Vector.cs:419-435) — into the full large-scale family the driver
+asks for: exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup. All are deterministic (md5-derived hashing, see functions.text) so
+each has an exact DuckDB oracle.
+
+Scale design:
+- Exact dedup: hash-groupBy on a 32-char fingerprint — one shuffle of
+  (fingerprint, id), never of full text.
+- N-gram Jaccard: inverted-index self-join on shingles (only docs sharing a
+  shingle are paired) — the classic candidate-generation trick; at 100 TB
+  you'd additionally band with MinHash (below) to cap the candidate set.
+- MinHash LSH: signatures are num_perm*|shingles| cheap hashes computed
+  JVM-side per row (no shuffle), then one shuffle keyed by (band, band_key)
+  whose fan-in IS the candidate pruning.
+- SimHash: one 32-bit code per doc; pairs via band-join on code halves
+  (Hamming<=k with k bits difference must agree on one half) — avoids the
+  quadratic self-join.
+- Cosine near-dup: normalized embeddings + inner-product threshold;
+  brute-force here, LSH (operators.lsh) is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from neighborly_spark.functions import text as T
+from neighborly_spark.functions.distance import cosine
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, T.fingerprint(F.col(text_col)))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of identical (normalized) texts with >1 member.
+    Returns (fingerprint, n_docs, doc_ids sorted)."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each fingerprint group.
+
+    Deterministic survivor choice (min id), unlike dropDuplicates whose
+    survivor is partition-order dependent.
+    """
+    fp = with_fingerprint(df, text_col)
+    w_min = F.min(F.col(id_col)).over(Window.partitionBy("fingerprint"))
+    return fp.withColumn("_keep", w_min).filter(F.col(id_col) == F.col("_keep")).drop("_keep", "fingerprint")
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by k-word-shingle Jaccard >= threshold.
+
+    Plan: per-doc shingle sets -> explode to an inverted index -> self-join
+    on shingle (candidate generation: only co-occurring docs pair up) ->
+    per-pair intersection count -> Jaccard against broadcast set sizes.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="_s")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        pairs.join(F.broadcast(sizes).withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(F.broadcast(sizes).withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+                round_to,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def _minhash_component(sh: Column, i: int) -> Column:
+    """min over shingles of hash_i(shingle); hash_i = uint32 of
+    md5(i || ':' || shingle). Portable across engines."""
+    return F.array_min(
+        F.transform(sh, lambda s: T.hash32(F.concat(F.lit(f"{i}:"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) MinHash signatures over k-shingles."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sig = F.array(*[_minhash_component(F.col("_sh"), i) for i in range(num_perm)])
+    return sh.select(F.col("_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Candidate pairs by banded MinHash LSH, verified by exact shingle
+    Jaccard >= threshold. Output (id_a, id_b, jaccard).
+
+    Banding: num_perm/bands rows per band; band key = the row-slice of the
+    signature. One shuffle keyed by (band_idx, band_key) generates the
+    candidates; exact verification joins shingle sets back only for
+    candidate pairs.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("_id", F.explode(band_arr).alias("bk")).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), on=["band", "key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common").cast("double")
+                / (F.size("_sha") + F.size("_shb") - F.col("_common")).cast("double"),
+                round_to,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens (md5-derived token hashes).
+
+    For bit j: sum over tokens of +1 if bit j of hash32(token) set else -1;
+    simhash bit j = 1 iff the sum > 0. Duplicate tokens naturally weight by
+    frequency (we fold over the token list, not the set).
+    """
+    toks = T.tokens(text)
+    hs = F.transform(toks, lambda t: T.hash32(t))
+
+    def bit_sum(mask: Column) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda s, h: s + F.when(h.bitwiseAND(mask) > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        mask = F.lit(1 << j).cast("long")
+        out = out + F.when(bit_sum(mask) > 0, mask).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_duckdb_sql(t: str) -> str:
+    toks = T.tokens_duckdb_sql(t)
+    h = T.hash32_duckdb_sql("tok")
+    hs = f"list_transform({toks}, tok -> {h})"
+    per_bit = (
+        f"list_transform(range(0, {SIMHASH_BITS}), j -> "
+        f"CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform({hs}, h -> "
+        f"CASE WHEN (h & (1::BIGINT << j)) > 0 THEN 1::BIGINT ELSE -1::BIGINT END)), (s, x) -> s + x) > 0 "
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END)"
+    )
+    return f"list_reduce(list_prepend(0::BIGINT, {per_bit}), (s, x) -> s + x)"
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 32-bit code into (max_hamming+1) chunks;
+    by pigeonhole any pair within max_hamming agrees on >=1 chunk, so an
+    equality join per chunk finds all true pairs without a quadratic join.
+    Output (id_a, id_b, hamming).
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    codes = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_code"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("_code"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1).cast("long"))
+                .alias("key"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    keyed = codes.select("_id", "_code", F.explode(chunks).alias("ck")).select(
+        "_id", "_code", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), on=["chunk", "key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._code").bitwiseXOR(F.col("b._code"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# --- embedding cosine near-dup -------------------------------------------------
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold (brute-force self-join).
+
+    Scale path: operators.lsh.approx_similarity_join (BucketedRandomProjectionLSH
+    on normalized vectors) replaces the quadratic join above ~1M rows.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neighborly_spark.functions import distance as D
+from neighborly_spark.functions import text as T
+from neighborly_spark.functions.embedding import hash_embedding_duckdb_sql
+from neighborly_spark.operators import dedup as DD
 from neighborly_spark.operators import knn as K
+from neighborly_spark.operators import text_search as TS
 
 ROUND = 6
 
@@ -216,3 +220,278 @@ def knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         data, queries, k=3, id_col="vec_id", round_to=ROUND,
     )
     return out.select("query_id", "vec_id", "dist")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (driver north-star extension: lang-ID, quality, tokens,
+# fingerprints) over the documents table
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       {T.token_count_duckdb_sql('text')} AS n_tokens,
+       {T.bpe_ish_token_count_duckdb_sql('text')} AS bpe_tokens,
+       {T.lang_id_duckdb_sql('text')} AS lang_pred,
+       round({T.stopword_ratio_duckdb_sql('text')}, {ROUND}) AS stopword_ratio,
+       round({T.quality_score_duckdb_sql('text')}, {ROUND}) AS quality,
+       {T.fingerprint_duckdb_sql('text')} AS fingerprint
+FROM documents
+""".strip(),
+    tags=["text"],
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: token counts (whitespace + BPE-ish),
+    heuristic language ID, stopword ratio, composite quality score, content
+    fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("bpe_tokens"),
+        T.lang_id(t).alias("lang_pred"),
+        F.round(T.stopword_ratio(t), ROUND).alias("stopword_ratio"),
+        F.round(T.quality_score(t), ROUND).alias("quality"),
+        T.fingerprint(t).alias("fingerprint"),
+    )
+
+
+@register(
+    "lang_distribution",
+    f"""
+SELECT {T.lang_id_duckdb_sql('text')} AS lang_pred, count(*) AS n_docs
+FROM documents GROUP BY 1
+""".strip(),
+    tags=["text", "agg"],
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(T.lang_id(F.col("text")).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "quality_topk",
+    f"""
+SELECT doc_id, round({T.quality_score_duckdb_sql('text')}, {ROUND}) AS quality
+FROM documents ORDER BY quality DESC, doc_id ASC LIMIT 20
+""".strip(),
+    tags=["text"],
+)
+def quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.round(T.quality_score(F.col("text")), ROUND).alias("quality"))
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text k-NN search — Q3 (SearchService.cs:104-131) with the hash embedder
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 16
+_LONG_QUERY = "the fast key order sort table scan merge"  # >=20 chars -> no prefix union
+_SHORT_QUERY = "the fast"  # <20 chars -> prefix union; default threshold 0.8
+
+
+def _doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TS.embed_table(docs, "text", EMBED_DIM).select(
+        F.col("doc_id").alias("id"), F.col("text").alias("original_text"), "embedding"
+    )
+
+
+def _doc_vectors_sql() -> str:
+    emb = hash_embedding_duckdb_sql("text", EMBED_DIM)
+    return f"SELECT doc_id AS id, text AS original_text, {emb} AS embedding FROM documents"
+
+
+@register(
+    "text_knn_long_query",
+    f"""
+WITH v AS ({_doc_vectors_sql()}),
+q AS (SELECT {hash_embedding_duckdb_sql(f"'{_LONG_QUERY}'", EMBED_DIM)} AS qe),
+knn AS (
+  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'q.qe')}, {ROUND}) AS dist
+  FROM v, q ORDER BY dist ASC, v.id ASC LIMIT 5
+)
+SELECT id, original_text, dist FROM knn WHERE dist <= 8.0
+""".strip(),
+    tags=["search", "text"],
+)
+def text_knn_long_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text k-NN, long query (no prefix union), caller-supplied threshold."""
+    v = _doc_vectors(spark, sf_dir)
+    return TS.text_search(v, _LONG_QUERY, k=5, dim=EMBED_DIM, threshold=8.0, round_to=ROUND)
+
+
+@register(
+    "text_knn_short_query_prefix_union",
+    f"""
+WITH v AS ({_doc_vectors_sql()}),
+q AS (SELECT {hash_embedding_duckdb_sql(f"'{_SHORT_QUERY}'", EMBED_DIM)} AS qe),
+knn AS (
+  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'q.qe')}, {ROUND}) AS dist
+  FROM v, q ORDER BY dist ASC, v.id ASC LIMIT 5
+),
+filt AS (SELECT * FROM knn WHERE dist <= 0.8),
+pref AS (
+  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'q.qe')}, {ROUND}) AS dist
+  FROM v, q WHERE lower(v.original_text) LIKE '{_SHORT_QUERY}%' ORDER BY v.id ASC LIMIT 5
+)
+SELECT DISTINCT id, original_text, dist FROM (SELECT * FROM filt UNION ALL SELECT * FROM pref)
+ORDER BY dist ASC, id ASC LIMIT 5
+""".strip(),
+    tags=["search", "text"],
+)
+def text_knn_short_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text k-NN, short query: default threshold (0.8) + case-insensitive
+    prefix-match union (SearchService.cs:121-127)."""
+    v = _doc_vectors(spark, sf_dir)
+    return TS.text_search(v, _SHORT_QUERY, k=5, dim=EMBED_DIM, round_to=ROUND)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (driver north star) over documents / embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT {T.fingerprint_duckdb_sql('text')} AS fingerprint,
+       count(*) AS n_docs,
+       list_sort(list(doc_id)) AS doc_ids
+FROM all_docs GROUP BY 1 HAVING count(*) > 1
+""".strip(),
+    tags=["dedup"],
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups. The test corpus has no duplicates, so we
+    synthesize them (docs 0-49 duplicated under shifted ids) inside the query
+    — this exercises fingerprint grouping with a non-empty answer."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 100000)
+    return DD.exact_duplicate_groups(docs.unionByName(dups))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {T.shingles_duckdb_sql('text', 3)} AS s FROM documents
+  WHERE len({T.shingles_duckdb_sql('text', 3)}) > 0
+),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT p.id_a, p.id_b,
+       round(CAST(p.common AS DOUBLE) / CAST(sa.n + sb.n - p.common AS DOUBLE), {ROUND}) AS jaccard
+FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE round(CAST(p.common AS DOUBLE) / CAST(sa.n + sb.n - p.common AS DOUBLE), {ROUND}) >= 0.3
+""".strip(),
+    tags=["dedup"],
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-shingle Jaccard near-dup pairs >= 0.3 via inverted-index self-join."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND)
+
+
+def _minhash_sig_sql(num_perm: int = 16, k: int = 3) -> str:
+    sh = T.shingles_duckdb_sql("text", k)
+    h = T.hash32_duckdb_sql("(CAST(i AS VARCHAR) || ':' || s)")
+    return (
+        f"list_transform(range(0, {num_perm}), i -> "
+        f"list_min(list_transform({sh}, s -> {h})))"
+    )
+
+
+def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.3, k: int = 3) -> str:
+    rows = num_perm // bands
+    sh = T.shingles_duckdb_sql("text", k)
+    band_selects = []
+    for b in range(bands):
+        keys = ", ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {keys}) AS key FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents WHERE len({sh}) > 0
+),
+sigs AS (SELECT doc_id, {_minhash_sig_sql(num_perm, k).replace(sh, 's')} AS sig FROM sh),
+buckets AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), {ROUND}) AS jaccard
+FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), {ROUND}) >= {threshold}
+""".strip()
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_oracle(), tags=["dedup"])
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms)+LSH(4 bands) candidate pairs, verified by exact
+    shingle Jaccard >= 0.3. Fully deterministic (md5-derived hashes), so the
+    oracle replicates the banding — both engines must agree on the exact
+    candidate set, not just recall."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3, round_to=ROUND)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH codes AS (SELECT doc_id, {DD.simhash_duckdb_sql('text')} AS code FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.code, b.code)) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.code, b.code)) <= 3
+""".strip(),
+    tags=["dedup"],
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3). Spark uses the pigeonhole
+    chunk-join (no quadratic self-join); the oracle brute-forces all pairs —
+    matching results prove the optimization is lossless."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+@register(
+    "dedup_cosine_pairs",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}) >= 0.4
+""".strip(),
+    tags=["dedup"],
+)
+def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by cosine >= 0.4 (brute-force; LSH is the
+    scale path, see operators.lsh)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return DD.cosine_neardup_pairs(emb, threshold=0.4, round_to=ROUND)
