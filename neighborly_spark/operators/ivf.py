@@ -1,0 +1,89 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+Extension beyond the reference (driver north star: "an IVF or LSH-bucketed
+variant as the scale path" for similarity search). Classic IVF-Flat:
+
+- train: KMeans coarse quantizer with nlist centroids (MLlib, seed 42);
+- assign: each vector gets its nearest-centroid cluster id;
+- search: rank clusters by query<->centroid distance, scan only the nprobe
+  closest clusters, exact k-NN within them.
+
+Scale design: the assigned table is written PARTITIONED BY cluster id
+(ivf_write/ivf_read below), so the nprobe filter becomes partition pruning —
+the scan reads nprobe/nlist of the files, no shuffle. The centroid table is
+nlist rows — driver-side math, broadcast into the plan as literals.
+Recall-checked (>= 0.8 vs exact), like all approximate operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators.knn import knn as exact_knn
+
+CLUSTER_COL = "ivf_cluster"
+
+
+class IVFModel:
+    def __init__(self, kmeans_model, nlist: int):
+        self.kmeans_model = kmeans_model
+        self.nlist = nlist
+
+    @property
+    def centroids(self) -> list[list[float]]:
+        return [c.tolist() for c in self.kmeans_model.clusterCenters()]
+
+
+def ivf_train(
+    df: DataFrame, nlist: int = 16, vec_col: str = "embedding", seed: int = 42, max_iter: int = 20
+) -> IVFModel:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col)).alias("_f"))
+    n = df.count()
+    km = KMeans(k=min(nlist, max(2, n)), seed=seed, maxIter=max_iter, featuresCol="_f", predictionCol="_p")
+    return IVFModel(km.fit(feats), nlist)
+
+
+def ivf_assign(df: DataFrame, model: IVFModel, vec_col: str = "embedding") -> DataFrame:
+    """Attach the coarse cluster id (nearest centroid) as a column."""
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("_f", array_to_vector(F.col(vec_col)))
+    out = model.kmeans_model.transform(feats.withColumnRenamed("_f", model.kmeans_model.getOrDefault("featuresCol")))
+    return out.withColumnRenamed(model.kmeans_model.getOrDefault("predictionCol"), CLUSTER_COL).drop(
+        model.kmeans_model.getOrDefault("featuresCol")
+    )
+
+
+def ivf_write(df_assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF layout: parquet partitioned by cluster id, so a
+    cluster filter is partition pruning (zero I/O for unprobed clusters)."""
+    df_assigned.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(path)
+
+
+def ivf_read(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ivf_search(
+    df_assigned: DataFrame,
+    model: IVFModel,
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scan only the nprobe clusters nearest the query, exact k-NN within."""
+    dists = [
+        (ci, math.sqrt(sum((a - b) ** 2 for a, b in zip(query_vec, c))))
+        for ci, c in enumerate(model.centroids)
+    ]
+    probes = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    pruned = df_assigned.filter(F.col(CLUSTER_COL).isin(probes))
+    return exact_knn(pruned, query_vec, k, "euclidean", id_col, vec_col)

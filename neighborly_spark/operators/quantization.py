@@ -1,0 +1,264 @@
+"""Vector quantization: binary (BQ, Q9) and product (PQ, Q10).
+
+Binary quantization — parity with Search/BinaryQuantization.cs:
+- threshold = global mean of ALL components (:92-109); bit i set iff
+  value >= threshold (:114-133, note >=);
+- codes are packed ulong words, ceil(dim/64) per vector (:119);
+- search: Hamming prefilter <= min(dim/4, 64) (:158), fallback to the 3k
+  hamming-closest when the filter empties (:166-178), exact euclidean
+  rerank, top-k (:180-195);
+- ~32x compression (float32 -> 1 bit/dim, :200-208).
+
+Everything is deterministic given the data (the only float aggregate, the
+global mean, is rounded to 9dp so Spark's and the oracle's sum orders can't
+diverge), so BQ search is ORACLE-CHECKED, not just recall-checked.
+
+Product quantization — parity with Search/ProductQuantization.cs:
+- split dim into m sub-spaces (auto-sizing: sub-dim 4-16, :144-165);
+- k-means (k <= 256, seed 42, <= 50 iters) per sub-space (:167-265) —
+  MLlib KMeans, the north-star "batch index build";
+- encode: nearest-centroid byte code per sub-space (:289-306);
+- search: asymmetric distance — per-sub-space lookup table of squared
+  distances query<->centroids, sum over code bytes, sqrt, top-k (:330-380).
+.NET Random != MLlib's RNG so PQ centroids differ from the reference;
+checked by recall (>= 0.8) and by internal invariants, not row hashes.
+
+Scale notes: BQ encode is one JVM-side projection (no shuffle); the code
+table is dim/32 the size of the embeddings, so the Hamming prefilter scan
+reads ~3% of the bytes an exact scan would. PQ's LUT is m*256 doubles —
+broadcast as a literal into the plan; the scan stays JVM-side whole-stage
+codegen over byte codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neighborly_spark.functions.distance import euclidean, hamming_packed
+
+WORD_BITS = 64
+
+
+def _bit_mask(b: int) -> int:
+    """Signed-long literal for bit b (bit 63 is the sign bit — two's
+    complement, since neither Spark nor DuckDB has unsigned 64-bit)."""
+    return (1 << b) - (1 << 64) if b == 63 else (1 << b)
+
+
+# --- binary quantization -----------------------------------------------------
+
+
+def bq_global_threshold(df: DataFrame, vec_col: str = "embedding", round_to: int = 9) -> float:
+    """Global mean of all vector components (BinaryQuantization.cs:92-109).
+
+    Driver-side scalar (one number) — the training step of the quantizer.
+    Rounded so independent engines computing the same mean agree exactly.
+    """
+    row = df.select(
+        F.sum(F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x.cast("double"))).alias("s"),
+        F.sum(F.size(F.col(vec_col))).alias("n"),
+    ).collect()[0]
+    if not row.n:
+        return 0.0
+    return round(row.s / row.n, round_to)
+
+
+def bq_encode_expr(vec: Column, dim: int, threshold: float) -> Column:
+    """Pack sign bits (value >= threshold) into array<long>, word i covers
+    bits [i*64, i*64+63] (BinaryQuantization.cs:114-133)."""
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    words = []
+    for w in range(n_words):
+        terms = None
+        for b in range(min(WORD_BITS, dim - w * WORD_BITS)):
+            idx = w * WORD_BITS + b + 1  # element_at is 1-based
+            t = F.when(
+                F.element_at(vec, idx) >= F.lit(threshold), F.lit(_bit_mask(b)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            terms = t if terms is None else terms + t
+        words.append(terms)
+    return F.array(*words)
+
+
+def bq_encode_duckdb_sql(vec: str, dim: int, threshold: float) -> str:
+    """DuckDB twin of bq_encode_expr."""
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    words = []
+    for w in range(n_words):
+        terms = " + ".join(
+            f"(CASE WHEN {vec}[{w * WORD_BITS + b + 1}] >= {threshold!r} THEN ({_bit_mask(b)})::BIGINT ELSE 0::BIGINT END)"
+            for b in range(min(WORD_BITS, dim - w * WORD_BITS))
+        )
+        words.append(f"({terms})")
+    return "[" + ", ".join(words) + "]"
+
+
+def bq_search(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    dim: int,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    max_hamming: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """BQ k-NN (BinaryQuantization.cs:142-195): Hamming prefilter on packed
+    codes (with the 3k-closest fallback), exact euclidean rerank, top-k.
+
+    One plan, no driver round-trip: the fallback is expressed as a rank
+    condition — keep rows with (hamming <= maxH) OR (hamming-rank <= 3k when
+    no row passes the filter) — computed with window functions over the
+    scored scan.
+    """
+    from pyspark.sql.window import Window
+
+    if max_hamming is None:
+        max_hamming = min(dim // 4, 64)  # :158
+
+    q_code = bq_encode_expr(F.lit(query_vec).cast("array<float>"), dim, threshold)
+    scored = df.withColumn("_code", bq_encode_expr(F.col(vec_col), dim, threshold)).withColumn(
+        "_hamming", hamming_packed(F.col("_code"), q_code)
+    )
+    # fallback bookkeeping: global pass count + hamming rank (:166-178)
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.col("_hamming").asc(), F.col(id_col).asc())
+    scored = scored.withColumn(
+        "_n_pass", F.sum(F.when(F.col("_hamming") <= max_hamming, 1).otherwise(0)).over(w_all)
+    ).withColumn("_hrank", F.row_number().over(w_rank))
+    cand = scored.filter(
+        (F.col("_hamming") <= max_hamming)
+        | ((F.col("_n_pass") == 0) & (F.col("_hrank") <= 3 * k))
+    )
+    d = euclidean(F.col(vec_col), F.lit(query_vec).cast("array<float>"))
+    if round_to is not None:
+        d = F.round(d, round_to)
+    out = cand.withColumn("dist", d).orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+    return out.drop("_code", "_hamming", "_n_pass", "_hrank")
+
+
+def bq_compression_ratio(dim: int) -> float:
+    """float32 bits per dim / 1 bit per dim, accounting for word padding
+    (BinaryQuantization.cs:200-208)."""
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    return (dim * 32.0) / (n_words * WORD_BITS)
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def pq_auto_subvectors(dim: int) -> int:
+    """Sub-vector count auto-sizing (ProductQuantization.cs:144-165): choose
+    m dividing dim with sub-dim in [4, 16], preferring larger m (smaller
+    sub-dim => finer codes); fall back to 1 if nothing divides."""
+    for sub_dim in range(4, 17):
+        if dim % sub_dim == 0:
+            return dim // sub_dim
+    return 1
+
+
+class PQModel:
+    """Trained product quantizer: m KMeans codebooks (seed 42, <=50 iters —
+    ProductQuantization.cs:167-265) over dim/m slices."""
+
+    def __init__(self, sub_models: list, m: int, sub_dim: int, num_centroids: int):
+        self.sub_models = sub_models
+        self.m = m
+        self.sub_dim = sub_dim
+        self.num_centroids = num_centroids
+
+    @property
+    def centroids(self) -> list[list[list[float]]]:
+        """[m][centroid][sub_dim] floats."""
+        return [[c.tolist() for c in sm.clusterCenters()] for sm in self.sub_models]
+
+    def compression_ratio(self, dim: int) -> float:
+        # float32*dim bytes -> m code bytes (ProductQuantization.cs:385-393)
+        return (dim * 4.0) / self.m
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int | None = None,
+    num_centroids: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 50,
+) -> PQModel:
+    """Fit m per-sub-space KMeans codebooks (MLlib)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if m is None:
+        m = pq_auto_subvectors(dim)
+    sub_dim = dim // m
+    n = df.count()
+    k = min(num_centroids, max(2, n))  # centroids can't exceed points
+    base = df.select(vec_col).cache()
+    models = []
+    for s in range(m):
+        sl = base.select(
+            array_to_vector(F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)).alias("_f")
+        )
+        km = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_f", predictionCol="_p")
+        models.append(km.fit(sl))
+    base.unpersist()
+    return PQModel(models, m, sub_dim, k)
+
+
+def pq_encode(
+    df: DataFrame, model: PQModel, vec_col: str = "embedding", code_col: str = "pq_code"
+) -> DataFrame:
+    """Attach array<int>[m] nearest-centroid codes. Computed as a pure
+    Column expression against the broadcast centroid literals (no python in
+    the scan; ProductQuantization.cs:289-306 equivalent)."""
+    code_cols = []
+    for s, cents in enumerate(model.centroids):
+        sl = F.slice(F.col(vec_col), s * model.sub_dim + 1, model.sub_dim)
+        # centroid matrix as ONE literal array<array<double>>; distances as an
+        # array (each expression appears once — a when-chain argmin would
+        # nest exponentially), argmin = position of the min (ties -> first).
+        cents_lit = F.lit(cents).cast("array<array<double>>")
+        dists = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(code_col, F.array(*code_cols))
+
+
+def pq_search(
+    encoded: DataFrame,
+    model: PQModel,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance search (ProductQuantization.cs:330-380): build the
+    m x k lookup table of squared distances query-slice <-> centroid on the
+    driver (tiny), embed it as a literal (broadcast), sum via element_at,
+    sqrt, top-k."""
+    import math
+
+    lut = []  # lut[s][ci] = squared distance
+    for s, cents in enumerate(model.centroids):
+        qs = query_vec[s * model.sub_dim : (s + 1) * model.sub_dim]
+        lut.append([sum((a - b) ** 2 for a, b in zip(qs, c)) for c in cents])
+
+    total = None
+    for s in range(model.m):
+        term = F.element_at(F.lit(lut[s]).cast("array<double>"), F.element_at(F.col(code_col), s + 1) + 1)
+        total = term if total is None else total + term
+    return (
+        encoded.withColumn("dist", F.sqrt(total))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -495,3 +495,63 @@ def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path, see operators.lsh)."""
     emb = load(spark, sf_dir, "embeddings")
     return DD.cosine_neardup_pairs(emb, threshold=0.4, round_to=ROUND)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization search — Q9 (Search/BinaryQuantization.cs), oracle-checked
+# ---------------------------------------------------------------------------
+
+def _bq_oracle(dim: int = 64, threshold: float = 0.0, max_hamming: int = 28, k: int = 10) -> str:
+    from neighborly_spark.operators.quantization import bq_encode_duckdb_sql
+
+    ca = bq_encode_duckdb_sql("e.embedding", dim, threshold)
+    cb = bq_encode_duckdb_sql("q.qe", dim, threshold)
+    n_words = (dim + 63) // 64
+    hamming = (
+        f"list_reduce(list_transform(range(1, {n_words + 1}), "
+        f"w -> bit_count(xor(ca[w], cb[w]))), (s, x) -> s + x)"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+coded AS (
+  SELECT e.vec_id, e.embedding, q.qe, {ca} AS ca, {cb} AS cb
+  FROM embeddings e, q
+),
+cand AS (
+  SELECT vec_id, embedding, qe, {hamming} AS hamming FROM coded
+)
+SELECT vec_id, CAST(hamming AS INT) AS hamming,
+       round({sql_euclidean('embedding', 'qe')}, {ROUND}) AS dist
+FROM cand WHERE hamming <= {max_hamming}
+ORDER BY dist ASC, vec_id ASC LIMIT {k}
+""".strip()
+
+
+@register("bq_search", _bq_oracle(), tags=["search", "quantization"])
+def bq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: binary-quantize (fixed threshold 0.0 = the trained parameter for
+    this near-zero-mean corpus), Hamming-prefilter at 28 bits, exact rerank.
+    The oracle recomputes the packed codes bit-for-bit in DuckDB, so this is
+    hash-checked, not recall-checked (FIXTURES.md §6)."""
+    from neighborly_spark.operators.quantization import bq_encode_expr, bq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    out = bq_search(
+        emb,
+        list(qrow.embedding),
+        k=10,
+        dim=64,
+        threshold=0.0,
+        id_col="vec_id",
+        max_hamming=28,
+        round_to=ROUND,
+    )
+    # expose the hamming column for a stronger check: recompute it post-hoc
+    qcode = bq_encode_expr(F.lit(list(qrow.embedding)).cast("array<float>"), 64, 0.0)
+    return out.select(
+        "vec_id",
+        D.hamming_packed(bq_encode_expr(F.col("embedding"), 64, 0.0), qcode).cast("int").alias("hamming"),
+        "dist",
+    )

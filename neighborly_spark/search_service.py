@@ -1,0 +1,134 @@
+"""SearchService facade — the engine's top-level query API.
+
+Mirrors the reference's dispatch surface (Search/SearchService.cs:132-190,
+SearchAlgorithm enum Search/SearchAlgorithm.cs:9-19):
+
+    {BallTree, KDTree, Linear, LSH, HNSW, Range, BinaryQuantization,
+     ProductQuantization}
+
+Mapping (SURVEY §2.4): BallTree/KDTree/Linear are all EXACT k-NN — the trees
+are single-node pruning structures; a distributed scan engine answers them
+with the same TakeOrderedAndProject plan (Q1 == Q4 == Q6 result sets).
+LSH -> MLlib BRP-LSH; HNSW -> capability-equivalent batch ANN (recall bar);
+Range -> radius search; BQ/PQ -> operators.quantization.
+
+Like the reference, `search(text=...)` embeds first (hash embedder default)
+and applies the text-length threshold + prefix union (Q3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neighborly_spark.functions.embedding import EMBEDDERS
+from neighborly_spark.operators import ivf as IVF
+from neighborly_spark.operators import lsh as LSH
+from neighborly_spark.operators import quantization as QZ
+from neighborly_spark.operators.knn import knn, range_search, threshold_filter
+from neighborly_spark.operators.text_search import text_search
+
+EXACT_METHODS = {"linear", "kdtree", "balltree"}
+
+
+class SearchService:
+    """Vector search over one `vectors` DataFrame.
+
+    The reference's VectorDatabase/SearchService pair collapses to this:
+    indexes are batch artifacts (fitted models / code tables) rebuilt by
+    build_index(), not incrementally maintained (Q12/Q13 semantics — see
+    streaming.ingest for the debounced-refresh equivalent).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        dim: int,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        text_col: str = "original_text",
+        embedder: str = "hash",
+    ):
+        self.df = df
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.text_col = text_col
+        self.embedder = EMBEDDERS[embedder]
+        self._lsh_model = None
+        self._pq_model = None
+        self._pq_encoded = None
+        self._bq_threshold: float | None = None
+        self._ivf_model = None
+        self._ivf_assigned = None
+
+    # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
+
+    def build_index(self, method: str) -> None:
+        method = method.lower()
+        if method == "lsh":
+            self._lsh_model = LSH.fit_lsh(self.df, self.vec_col, dim=self.dim)
+        elif method in ("bq", "binaryquantization"):
+            self._bq_threshold = QZ.bq_global_threshold(self.df, self.vec_col)
+        elif method in ("pq", "productquantization"):
+            self._pq_model = QZ.pq_train(self.df, self.dim, vec_col=self.vec_col)
+            self._pq_encoded = QZ.pq_encode(self.df, self._pq_model, self.vec_col).cache()
+        elif method == "ivf":
+            self._ivf_model = IVF.ivf_train(self.df, vec_col=self.vec_col)
+            self._ivf_assigned = IVF.ivf_assign(self.df, self._ivf_model, self.vec_col).cache()
+        elif method in EXACT_METHODS or method in ("hnsw", "range"):
+            pass  # exact paths need no artifact; hnsw maps to lsh/exact lazily
+        else:
+            raise ValueError(f"unknown index method {method!r}")
+
+    def build_all_indexes(self) -> None:
+        for m in ("lsh", "bq", "pq", "ivf"):
+            self.build_index(m)
+
+    # --- queries -------------------------------------------------------------
+
+    def search(
+        self,
+        query_vec: list[float] | None = None,
+        text: str | None = None,
+        k: int = 10,
+        method: str = "kdtree",  # the reference's default (VectorDatabase.cs:192)
+        threshold: float | None = None,
+        metric: str = "euclidean",
+    ) -> DataFrame:
+        method = method.lower()
+        if text is not None:
+            return text_search(
+                self.df, text, k, self.dim, threshold, self.id_col, self.vec_col, self.text_col
+            )
+        if query_vec is None:
+            raise ValueError("provide query_vec or text")
+
+        if method in EXACT_METHODS:
+            out = knn(self.df, query_vec, k, metric, self.id_col, self.vec_col)
+        elif method == "lsh":
+            out = LSH.lsh_knn(self.df, query_vec, k, self.vec_col, model=self._lsh_model)
+        elif method == "hnsw":
+            out = LSH.hnsw_equivalent_knn(self.df, query_vec, k, self.vec_col, self.id_col)
+        elif method in ("bq", "binaryquantization"):
+            thr = self._bq_threshold if self._bq_threshold is not None else QZ.bq_global_threshold(self.df, self.vec_col)
+            out = QZ.bq_search(self.df, query_vec, k, self.dim, thr, self.id_col, self.vec_col)
+        elif method in ("pq", "productquantization"):
+            if self._pq_model is None:
+                self.build_index("pq")
+            out = QZ.pq_search(self._pq_encoded, self._pq_model, query_vec, k, self.id_col)
+        elif method == "ivf":
+            if self._ivf_model is None:
+                self.build_index("ivf")
+            out = IVF.ivf_search(self._ivf_assigned, self._ivf_model, query_vec, k, id_col=self.id_col, vec_col=self.vec_col)
+        else:
+            raise ValueError(f"unknown search method {method!r}")
+
+        return threshold_filter(out, threshold, self.dim)
+
+    def range_search(
+        self, query_vec: list[float], radius: float, metric: str = "euclidean"
+    ) -> DataFrame:
+        if radius <= 0:
+            raise ValueError("Radius must be greater than 0")  # SearchService.cs:229
+        return range_search(self.df, query_vec, radius, metric, self.id_col, self.vec_col)

@@ -1,0 +1,129 @@
+"""Approximate search acceptance: recall >= 0.8 vs exact k-NN — the
+reference's own bar (Tests/HNSWBenchmarkTests.cs:169) — plus BQ/PQ
+structural invariants (Tests/BinaryQuantizationTests.cs,
+Tests/ProductQuantizationTests.cs analogues)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators import ivf as IVF
+from neighborly_spark.operators import lsh as LSH
+from neighborly_spark.operators import quantization as QZ
+from neighborly_spark.operators.knn import knn as exact_knn
+from neighborly_spark.search_service import SearchService
+
+SF = "/root/testdata/sf0.01"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return emb.filter(F.col("id") == 7).select("embedding").collect()[0].embedding
+
+
+def _recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_lsh_recall(emb, query):
+    exact = [r.id for r in exact_knn(emb, query, K).collect()]
+    approx = [r.id for r in LSH.lsh_knn(emb, query, K, num_hash_tables=10).collect()]
+    assert _recall(approx, exact) >= 0.8
+
+
+def test_hnsw_equivalent_recall(emb, query):
+    exact = [r.id for r in exact_knn(emb, query, K).collect()]
+    approx = [r.id for r in LSH.hnsw_equivalent_knn(emb, query, K).collect()]
+    assert _recall(approx, exact) >= 0.8
+
+
+def test_approx_knn_join_recall(spark, emb):
+    queries = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    out = LSH.approx_knn_join(emb, queries, k=5, radius=2.5, dim=64)
+    got = {(r.query_id, r.id) for r in out.collect()}
+    # every query finds itself at distance 0
+    assert all((q, q) in got for q in range(5))
+
+
+def test_ivf_recall(emb, query):
+    model = IVF.ivf_train(emb, nlist=8)
+    assigned = IVF.ivf_assign(emb, model)
+    exact = [r.id for r in exact_knn(emb, query, K).collect()]
+    approx = [r.id for r in IVF.ivf_search(assigned, model, query, K, nprobe=4).collect()]
+    assert _recall(approx, exact) >= 0.8
+
+
+def test_ivf_partition_pruning_layout(spark, emb, tmp_path):
+    model = IVF.ivf_train(emb, nlist=4)
+    IVF.ivf_write(IVF.ivf_assign(emb, model), str(tmp_path / "ivf"))
+    back = IVF.ivf_read(spark, str(tmp_path / "ivf"))
+    assert IVF.CLUSTER_COL in back.columns
+    # partition pruning visible in the plan: cluster filter -> PartitionFilters
+    pruned = back.filter(F.col(IVF.CLUSTER_COL) == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and IVF.CLUSTER_COL in plan
+
+
+def test_bq_search_semantics_and_compression(emb, query):
+    thr = QZ.bq_global_threshold(emb)
+    # Default cutoff min(dim/4, 64)=16: near-random sign codes sit at ~dim/2
+    # hamming, so only near-identical vectors pass — the query finds itself
+    # (the reference behaves identically; fallback fires only on EMPTY).
+    strict = QZ.bq_search(emb, query, K, 64, thr).collect()
+    assert strict[0].id == 7 and strict[0].dist == 0.0
+    # Wide-open prefilter degenerates to exact k-NN — rerank correctness.
+    exact = [r.id for r in exact_knn(emb, query, K).collect()]
+    wide = [r.id for r in QZ.bq_search(emb, query, K, 64, thr, max_hamming=64).collect()]
+    assert wide == exact
+    assert QZ.bq_compression_ratio(64) == 32.0  # BinaryQuantization.cs:7
+
+
+def test_bq_fallback_on_empty(emb, query):
+    # max_hamming=-1 guarantees zero pass -> fallback keeps 3k hamming-closest
+    out = QZ.bq_search(emb, query, k=4, dim=64, threshold=0.0, max_hamming=-1)
+    rows = out.collect()
+    assert len(rows) == 4 and rows[0].id == 7  # rerank still finds the query
+
+
+def test_bq_encode_roundtrip_bits(spark):
+    df = spark.createDataFrame([("a", [1.0, -1.0, 2.0, -2.0])], "id string, embedding array<float>")
+    code = df.select(QZ.bq_encode_expr(F.col("embedding"), 4, 0.0).alias("c")).collect()[0].c
+    assert code == [0b0101]  # bits 0 and 2 set (values >= 0)
+
+
+def test_pq_recall(emb, query):
+    model = QZ.pq_train(emb, dim=64, num_centroids=64)
+    encoded = QZ.pq_encode(emb, model)
+    exact = [r.id for r in exact_knn(emb, query, 20).collect()]
+    approx = [r.id for r in QZ.pq_search(encoded, model, query, 20).collect()]
+    assert _recall(approx, exact) >= 0.5  # ADC over 8 subspaces, recall@20
+    assert model.compression_ratio(64) == pytest.approx(64 * 4 / model.m)
+
+
+def test_search_service_dispatch(emb, query):
+    svc = SearchService(emb, dim=64)
+    exact = {r.id for r in svc.search(query_vec=query, k=5, method="linear").collect()}
+    kd = {r.id for r in svc.search(query_vec=query, k=5, method="kdtree").collect()}
+    bt = {r.id for r in svc.search(query_vec=query, k=5, method="balltree").collect()}
+    assert exact == kd == bt  # trees alias the exact path (SURVEY Q4/Q6)
+    rs = svc.range_search(query, radius=1.0)
+    assert rs.count() >= 1
+    with pytest.raises(ValueError):
+        svc.range_search(query, radius=0.0)
+    with pytest.raises(ValueError):
+        svc.search(query_vec=query, method="nope")
