@@ -34,6 +34,13 @@ ROUND = 6
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+        # read nanos as long, truncate to micros (exactly what DuckDB returns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer division: ns-epoch longs exceed double's exact range
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -554,4 +561,140 @@ def bq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         D.hamming_packed(bq_encode_expr(F.col("embedding"), 64, 0.0), qcode).cast("int").alias("hamming"),
         "dist",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRUD-as-batch + tag operations (P1-P9) — tags synthesized from labels since
+# the driver's tables carry none
+# ---------------------------------------------------------------------------
+
+@register(
+    "crud_upsert",
+    """
+WITH updates AS (
+  SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id < 10
+),
+base AS (SELECT vec_id, label FROM embeddings)
+SELECT vec_id, label FROM (
+  SELECT b.vec_id, b.label FROM base b LEFT JOIN updates u ON b.vec_id = u.vec_id WHERE u.vec_id IS NULL
+  UNION ALL
+  SELECT vec_id, label FROM updates
+) WHERE vec_id < 20
+""".strip(),
+    tags=["crud"],
+)
+def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: upsert = anti-join + union (VectorDatabase.cs:58-71 as batch)."""
+    from neighborly_spark.operators.crud import upsert
+
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    updates = base.filter(F.col("vec_id") < 10).withColumn("label", F.col("label") + 100)
+    return upsert(base, updates, id_col="vec_id").filter(F.col("vec_id") < 20)
+
+
+@register(
+    "crud_delete_membership",
+    """
+WITH deletes AS (SELECT vec_id FROM embeddings WHERE label = 3)
+SELECT e.vec_id, e.label FROM embeddings e
+LEFT JOIN deletes d ON e.vec_id = d.vec_id
+WHERE d.vec_id IS NULL AND e.vec_id < 50
+""".strip(),
+    tags=["crud"],
+)
+def crud_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P6: remove-by-id via anti-join; membership via semi-join."""
+    from neighborly_spark.operators.crud import remove_by_id
+
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    deletes = base.filter(F.col("label") == 3).select("vec_id")
+    return remove_by_id(base, deletes, id_col="vec_id").filter(F.col("vec_id") < 50)
+
+
+def _with_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a tags column: label%5+1 always, 6 when vec_id%10==0
+    (the FIXTURES.md tag recipe)."""
+    emb = load(spark, sf_dir, "embeddings")
+    tags = F.when(
+        F.col("vec_id") % 10 == 0,
+        F.array((F.col("label") % 5 + 1).cast("smallint"), F.lit(6).cast("smallint")),
+    ).otherwise(F.array((F.col("label") % 5 + 1).cast("smallint")))
+    return emb.select("vec_id", tags.alias("tags"))
+
+
+_TAGS_SQL = """
+SELECT vec_id,
+       CASE WHEN vec_id % 10 = 0
+            THEN [CAST(label % 5 + 1 AS SMALLINT), 6::SMALLINT]
+            ELSE [CAST(label % 5 + 1 AS SMALLINT)] END AS tags
+FROM embeddings
+""".strip()
+
+
+@register(
+    "tag_filter_any_all",
+    f"""
+WITH tagged AS ({_TAGS_SQL})
+SELECT vec_id, tags,
+       list_has_any(tags, [2::SMALLINT, 6::SMALLINT]) AS any_match,
+       list_has_all(tags, [6::SMALLINT]) AS all_match
+FROM tagged
+WHERE list_has_any(tags, [2::SMALLINT, 6::SMALLINT])
+""".strip(),
+    tags=["tags"],
+)
+def tag_filter_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: any-of / all-of tag filtering (tagging_explained.md:58-64)."""
+    tagged = _with_tags(spark, sf_dir)
+    any_arr = F.lit([2, 6]).cast("array<smallint>")
+    all_arr = F.lit([6]).cast("array<smallint>")
+    return tagged.select(
+        "vec_id",
+        "tags",
+        F.arrays_overlap(F.col("tags"), any_arr).alias("any_match"),
+        (F.size(F.array_except(all_arr, F.col("tags"))) == 0).alias("all_match"),
+    ).filter(F.arrays_overlap(F.col("tags"), any_arr))
+
+
+@register(
+    "tag_inverted_map",
+    f"""
+WITH tagged AS ({_TAGS_SQL})
+SELECT CAST(tag_id AS SMALLINT) AS tag_id, list_sort(list(vec_id)) AS vector_ids
+FROM (SELECT vec_id, unnest(tags) AS tag_id FROM tagged)
+GROUP BY tag_id
+""".strip(),
+    tags=["tags"],
+)
+def tag_inverted_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 BuildMap: tag -> sorted vector ids (VectorTags.cs:171-194)."""
+    from neighborly_spark.operators.crud import inverted_tag_map
+
+    return inverted_tag_map(_with_tags(spark, sf_dir), id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming-equivalent batch: tumbling-window event aggregation (SURVEY §2.8 —
+# the batch form of the Structured Streaming ingest; same plan foreachBatch runs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_window",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""".strip(),
+    tags=["streaming", "agg"],
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )

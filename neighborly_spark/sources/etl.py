@@ -1,0 +1,223 @@
+"""ETL sources/sinks — S1-S9 (SURVEY §2.1).
+
+Replicates the reference's EtlFactory formats (Neighborly/ETL/EtlFactory.cs:7-22)
+as DataFrame readers/writers over the `vectors` schema:
+
+- CSV (S1):  semicolon-delimited, header row, array cells comma-joined,
+  columns Id;Values;Tags;OriginalText  (Neighborly/ETL/Csv.cs:15-23,73-87)
+- JSON (S2): records with short keys {I, V, T, O}  (Neighborly/ETL/JSON.cs:33)
+- JSONZ (S3): JSON + gzip  (Neighborly/ETL/JSONZ.cs:5-15)
+- Parquet (S4): native  (Neighborly/ETL/Parquet.cs:12-46)
+- HDF5 (S5): declared-unsupported, raises — matching the reference's stub
+  (Neighborly/ETL/HDF5.cs:18-28)
+- Directory scan (S6): glob `*{ext}` (Neighborly/ETL/EtlBase.cs:33-40) —
+  Spark's path-glob reads subsume it
+- Snapshot save/load (S7/S8): parquet table + JSON manifest + optional saved
+  MLlib models per index (VectorDatabase.cs:642-730, 371-499)
+
+Scale notes: all readers emit the canonical vectors schema with types pushed
+into the scan (ReadSchema pruning); writers are plain distributed writes.
+The attribute columns (priority/user_id/org_id) ride along when present —
+the reference's formats don't carry them (VectorRecord has 4 fields), so
+import fills defaults, mirroring `new Vector(id, values, tags, text)`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CSV_DELIM = ";"
+ARRAY_SEP = ","
+
+FORMATS = ("csv", "json", "jsonz", "parquet", "hdf5")
+
+
+def _attr_defaults(df: DataFrame) -> DataFrame:
+    """Fill the VectorAttributes columns the wire formats don't carry."""
+    out = df
+    if "priority" not in out.columns:
+        out = out.withColumn("priority", F.lit(0).cast("byte"))
+    if "user_id" not in out.columns:
+        out = out.withColumn("user_id", F.lit(0).cast("long"))
+    if "org_id" not in out.columns:
+        out = out.withColumn("org_id", F.lit(0).cast("long"))
+    return out
+
+
+# --- CSV (S1) -----------------------------------------------------------------
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    (
+        df.select(
+            F.col("id").alias("Id"),
+            F.array_join(F.col("embedding"), ARRAY_SEP).alias("Values"),
+            F.array_join(F.col("tags"), ARRAY_SEP).alias("Tags"),
+            F.col("original_text").alias("OriginalText"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("delimiter", CSV_DELIM)
+        .csv(path)
+    )
+
+
+def import_csv(spark: SparkSession, path: str) -> DataFrame:
+    raw = (
+        spark.read.option("header", True)
+        .option("delimiter", CSV_DELIM)
+        .option("ignoreLeadingWhiteSpace", True)  # TrimOptions.Trim (Csv.cs:21)
+        .option("ignoreTrailingWhiteSpace", True)
+        .csv(path)
+    )
+    split_f = lambda c, t: F.transform(  # noqa: E731 — empty cells -> empty array (Csv.cs:78-81)
+        F.filter(F.split(F.coalesce(c, F.lit("")), ARRAY_SEP), lambda s: F.trim(s) != ""),
+        lambda s: F.trim(s).cast(t),
+    )
+    return _attr_defaults(
+        raw.select(
+            F.col("Id").alias("id"),
+            split_f(F.col("Values"), "float").alias("embedding"),
+            split_f(F.col("Tags"), "smallint").alias("tags"),
+            F.coalesce(F.col("OriginalText"), F.lit("")).alias("original_text"),
+        )
+    )
+
+
+# --- JSON / JSONZ (S2/S3) -------------------------------------------------------
+
+_JSON_SCHEMA = "I string, V array<float>, T array<smallint>, O string"
+
+
+def export_json(df: DataFrame, path: str, gzip: bool = False) -> None:
+    w = df.select(
+        F.col("id").alias("I"),
+        F.col("embedding").alias("V"),
+        F.col("tags").alias("T"),
+        F.col("original_text").alias("O"),
+    ).write.mode("overwrite")
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
+def import_json(spark: SparkSession, path: str) -> DataFrame:
+    raw = spark.read.schema(_JSON_SCHEMA).json(path)  # .json.gz decodes transparently
+    return _attr_defaults(
+        raw.select(
+            F.col("I").alias("id"),
+            F.col("V").alias("embedding"),
+            F.coalesce(F.col("T"), F.array().cast("array<smallint>")).alias("tags"),  # T ?? [] (JSON.cs:27)
+            F.coalesce(F.col("O"), F.lit("")).alias("original_text"),
+        )
+    )
+
+
+def export_jsonz(df: DataFrame, path: str) -> None:
+    export_json(df, path, gzip=True)
+
+
+def import_jsonz(spark: SparkSession, path: str) -> DataFrame:
+    return import_json(spark, path)
+
+
+# --- Parquet (S4) ---------------------------------------------------------------
+
+
+def export_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def import_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return _attr_defaults(spark.read.parquet(path))
+
+
+# --- HDF5 (S5): declared, unsupported — parity with the reference stub ---------
+
+
+def export_hdf5(df: DataFrame, path: str) -> None:
+    raise NotImplementedError("HDF5 export is not implemented (parity: Neighborly/ETL/HDF5.cs:18-28)")
+
+
+def import_hdf5(spark: SparkSession, path: str) -> DataFrame:
+    raise NotImplementedError("HDF5 import is not implemented (parity: Neighborly/ETL/HDF5.cs:18-28)")
+
+
+# --- factory (EtlFactory.cs:7-22) ----------------------------------------------
+
+_IMPORTERS = {
+    "csv": import_csv,
+    "json": import_json,
+    "jsonz": import_jsonz,
+    "parquet": import_parquet,
+    "hdf5": import_hdf5,
+}
+_EXPORTERS = {
+    "csv": export_csv,
+    "json": export_json,
+    "jsonz": export_jsonz,
+    "parquet": export_parquet,
+    "hdf5": export_hdf5,
+}
+
+
+def importer(content_type: str):
+    try:
+        return _IMPORTERS[content_type.lower()]
+    except KeyError:
+        raise ValueError(f"unknown content type {content_type!r}; known: {FORMATS}") from None
+
+
+def exporter(content_type: str):
+    try:
+        return _EXPORTERS[content_type.lower()]
+    except KeyError:
+        raise ValueError(f"unknown content type {content_type!r}; known: {FORMATS}") from None
+
+
+# --- snapshot save/load (S7/S8) --------------------------------------------------
+
+
+def save_database(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    models: dict | None = None,
+    version: int = 1,
+) -> None:
+    """Native snapshot (VectorDatabase.cs:642-730 equivalent): vectors table
+    as parquet + saved models per index + a JSON manifest. The reference's
+    atomic rename-swap is Spark's job-commit protocol; the gzip'd record
+    stream is parquet compression."""
+    df.write.mode("overwrite").parquet(f"{path}/vectors")
+    saved = []
+    for name, model in (models or {}).items():
+        model.write().overwrite().save(f"{path}/indexes/{name}")
+        saved.append(name)
+    manifest = {
+        "version": version,
+        "dim": dim,
+        "indexes": saved,
+        "saved_at_unix": int(time.time()),
+    }
+    with open(f"{path}/manifest.json", "w") as f:
+        json.dump(manifest, f)
+
+
+def load_database(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Load a snapshot -> (vectors df, manifest). Index models reload lazily
+    via their class (the manifest lists what exists); a missing/older
+    manifest marks indexes dirty -> caller rebuilds (VectorDatabase.cs:371-439
+    V0 semantics)."""
+    manifest_path = f"{path}/manifest.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    else:
+        manifest = {"version": 0, "indexes": [], "dirty": True}
+    return spark.read.parquet(f"{path}/vectors"), manifest

@@ -1,0 +1,80 @@
+"""CRUD + tag ops — Tests/VectorDatabaseTests.cs:27-230 analogues."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators import crud
+
+
+def test_add_and_count(spark, tiny_vectors):
+    new = spark.createDataFrame(
+        [("v9", [9.0, 9.0, 9.0], [1], "nine")],
+        "id string, embedding array<float>, tags array<smallint>, original_text string",
+    )
+    assert crud.add(tiny_vectors, new).count() == 9
+
+
+def test_upsert_replaces_and_appends(spark, tiny_vectors):
+    updates = spark.createDataFrame(
+        [("v1", [0.5, 0.5, 0.5], [1], "updated"), ("v10", [1.0, 1.0, 1.0], [], "new")],
+        "id string, embedding array<float>, tags array<smallint>, original_text string",
+    )
+    out = crud.upsert(tiny_vectors, updates)
+    assert out.count() == 9
+    assert out.filter(F.col("id") == "v1").collect()[0].original_text == "updated"
+
+
+def test_remove_and_clear(spark, tiny_vectors):
+    assert crud.remove_by_id(tiny_vectors, ["v1", "v2"]).count() == 6
+    ids_df = spark.createDataFrame([("v3",)], "id string")
+    assert crud.remove_by_id(tiny_vectors, ids_df).count() == 7
+    emptied = crud.clear(tiny_vectors)
+    assert emptied.count() == 0 and emptied.schema == tiny_vectors.schema
+
+
+def test_get_find_contains(spark, tiny_vectors):
+    assert crud.get_by_id(tiny_vectors, "v7").collect()[0].original_text == "far away"
+    assert crud.find(tiny_vectors, F.col("original_text").startswith("plain")).count() == 1
+    assert crud.find_all(tiny_vectors, F.size("tags") == 1).count() == 6
+    probe = spark.createDataFrame([("v1",), ("nope",)], "id string")
+    assert {r.id for r in crud.contains(tiny_vectors, probe).collect()} == {"v1"}
+
+
+def test_tag_dim_sequential_short_ids(spark):
+    raw = spark.createDataFrame(
+        [("  Alpha ",), ("beta",), ("ALPHA",), ("gamma",), ("",)], "tag string"
+    )
+    dim = crud.build_tag_dim(raw)
+    rows = {r.tag: r.tag_id for r in dim.collect()}
+    # lowercased, trimmed, deduped, ids sequential from 1 (VectorTags.cs:47-66)
+    assert rows == {"alpha": 1, "beta": 2, "gamma": 3}
+    assert dict(dim.dtypes)["tag_id"] == "smallint"
+
+
+def test_tag_filters(spark, tiny_vectors):
+    # single tag
+    assert {r.id for r in crud.filter_by_tag(tiny_vectors, 1).collect()} == {"v1", "v2"}
+    # all-of
+    assert {r.id for r in crud.filter_by_all_tags(tiny_vectors, [1, 2]).collect()} == {"v2"}
+    # any-of
+    assert {r.id for r in crud.filter_by_any_tag(tiny_vectors, [2, 3]).collect()} == {
+        "v2", "v3", "v5", "v6",
+    }
+
+
+def test_inverted_tag_map(spark, tiny_vectors):
+    inv = {r.tag_id: r.vector_ids for r in crud.inverted_tag_map(tiny_vectors).collect()}
+    assert inv[1] == ["v1", "v2"] and inv[3] == ["v5", "v6"]
+
+
+def test_resolve_tags(spark, tiny_vectors):
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta"), (5, "epsilon")],
+        "tag_id smallint, tag string",
+    )
+    out = crud.resolve_tags(tiny_vectors, dim)
+    names = {r.id: r.tag_names for r in out.collect()}
+    assert names["v2"] == ["alpha", "beta"]
+    assert names["v4"] == []

@@ -1,0 +1,90 @@
+"""ETL round-trip fidelity per format — Tests/ETLTest.cs:14-50 analogue
+(FIXTURES.md §5): export the 3-row set, re-import, field-by-field equality."""
+
+from __future__ import annotations
+
+import pytest
+
+from neighborly_spark.sources import etl
+
+
+@pytest.fixture(scope="module")
+def three_rows(spark):
+    rows = [
+        ("00000000-0000-0000-0000-000000000001", [1.0, 2.0, 3.0], [1], "Original Text 1"),
+        ("00000000-0000-0000-0000-000000000002", [4.0, 5.0, 6.0], [1, 2], "Original Text 2"),
+        ("00000000-0000-0000-0000-000000000003", [7.0, 8.0, 9.0], [], "Original Text 3"),
+    ]
+    return spark.createDataFrame(
+        rows, "id string, embedding array<float>, tags array<smallint>, original_text string"
+    )
+
+
+def _collect(df):
+    return sorted(
+        (r.id, [round(v, 5) for v in r.embedding], list(r.tags), r.original_text)
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "jsonz", "parquet"])
+def test_roundtrip(spark, three_rows, tmp_path, fmt):
+    path = str(tmp_path / f"rt_{fmt}")
+    etl.exporter(fmt)(three_rows, path)
+    back = etl.importer(fmt)(spark, path)
+    assert _collect(back) == _collect(three_rows)
+    # attribute defaults ride along (the wire formats don't carry them)
+    assert {"priority", "user_id", "org_id"} <= set(back.columns)
+
+
+def test_jsonz_actually_gzipped(spark, three_rows, tmp_path):
+    path = tmp_path / "gz"
+    etl.export_jsonz(three_rows, str(path))
+    assert any(p.name.endswith(".json.gz") for p in path.iterdir())
+
+
+def test_hdf5_declared_unsupported(spark, three_rows, tmp_path):
+    # parity: Neighborly/ETL/HDF5.cs:18-28 throws NotImplementedException
+    with pytest.raises(NotImplementedError):
+        etl.export_hdf5(three_rows, str(tmp_path / "h5"))
+    with pytest.raises(NotImplementedError):
+        etl.import_hdf5(spark, str(tmp_path / "h5"))
+
+
+def test_unknown_format_raises():
+    with pytest.raises(ValueError, match="unknown content type"):
+        etl.importer("xml")
+
+
+def test_directory_scan(spark, three_rows, tmp_path):
+    # S6: import every *.csv in a directory — Spark's glob subsumes
+    etl.export_csv(three_rows, str(tmp_path / "d1"))
+    etl.export_csv(three_rows, str(tmp_path / "d2"))
+    back = etl.import_csv(spark, str(tmp_path / "d*"))
+    assert back.count() == 6
+
+
+def test_snapshot_save_load(spark, three_rows, tmp_path):
+    from neighborly_spark.operators.lsh import fit_lsh
+
+    model = fit_lsh(three_rows, dim=3, num_hash_tables=2)
+    path = str(tmp_path / "snap")
+    etl.save_database(three_rows, path, dim=3, models={"lsh": model})
+    back, manifest = etl.load_database(spark, path)
+    assert _collect(back) == _collect(three_rows)
+    assert manifest["version"] == 1 and manifest["dim"] == 3
+    assert manifest["indexes"] == ["lsh"]
+    # the saved model reloads
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+    m2 = BucketedRandomProjectionLSHModel.load(f"{path}/indexes/lsh")
+    assert m2.getNumHashTables() == 2
+
+
+def test_snapshot_load_without_manifest_marks_dirty(spark, three_rows, tmp_path):
+    # V0 semantics: no manifest -> indexes dirty, caller rebuilds
+    path = str(tmp_path / "v0")
+    three_rows.write.parquet(f"{path}/vectors")
+    back, manifest = etl.load_database(spark, path)
+    assert back.count() == 3
+    assert manifest.get("dirty") is True

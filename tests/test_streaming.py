@@ -1,0 +1,122 @@
+"""Streaming ingest + Q13 debounce semantics + multimodal plumbing."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators import multimodal as MM
+from neighborly_spark.streaming.ingest import (
+    DebouncedIndexRefresher,
+    normalize_events_to_vectors,
+    start_ingest,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+@pytest.fixture(scope="module")
+def events_landing(spark, tmp_path_factory):
+    # stage the events table as a streaming landing dir (ts nanos -> micros ts)
+    d = tmp_path_factory.mktemp("landing")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def test_stream_ingest_appends_vectors(spark, events_landing, tmp_path):
+    rebuilds = []
+    refresher = DebouncedIndexRefresher(lambda: rebuilds.append(1), debounce_seconds=0.0)
+    q = start_ingest(
+        spark,
+        events_landing,
+        EVENTS_SCHEMA,
+        str(tmp_path / "vectors"),
+        str(tmp_path / "ckpt"),
+        dim=8,
+        refresher=refresher,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "vectors"))
+    assert out.count() == 1000
+    assert dict(out.dtypes)["embedding"] == "array<float>"
+    assert out.filter(F.size("embedding") != 8).count() == 0
+    # debounce 0 -> the batch triggered a rebuild (Q13 eventual freshness)
+    assert refresher.rebuild_count >= 1
+
+
+def test_debounce_waits_for_quiet_period():
+    rebuilds = []
+    r = DebouncedIndexRefresher(lambda: rebuilds.append(1), debounce_seconds=5.0)
+    t0 = time.monotonic()
+    r.mark_modified(t0)
+    assert r.maybe_rebuild(t0 + 1.0) is False  # still hot (VectorDatabase.cs:517-524)
+    assert r.maybe_rebuild(t0 + 5.1) is True
+    assert rebuilds == [1]
+    assert r.maybe_rebuild(t0 + 99.0) is False  # nothing modified since
+
+
+def test_windowed_event_counts_streaming(spark, events_landing, tmp_path):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_landing)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) s FROM wincounts").collect()[0].s
+    assert got == 1000
+
+
+def test_normalize_events_schema(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(5)
+    v = normalize_events_to_vectors(ev, dim=4)
+    cols = dict(v.dtypes)
+    assert cols["id"] == "string" and cols["embedding"] == "array<float>"
+    assert v.count() == 5
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_multimodal_fake_decode_pipeline(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    assets = MM.make_assets_from_text(docs, "doc_id", "text")
+    assert [(f.name, f.dataType) for f in assets.schema.fields] == [
+        (f.name, f.dataType) for f in MM.ASSET_SCHEMA.fields
+    ]
+    feats = MM.extract_features(assets, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == 8 for r in rows)
+    # deterministic: same input -> same features
+    again = {r.asset_id: r.features for r in MM.extract_features(assets, dim=8, fake=True).collect()}
+    assert all(again[r.asset_id] == r.features for r in rows)
+
+
+def test_multimodal_stub_raises_without_decoder(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(2)
+    assets = MM.make_assets_from_text(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        MM.extract_features(assets, dim=4, fake=False).collect()
+
+
+def test_frame_sample_explodes_by_duration(spark):
+    rows = [("a", "video", b"x", None, None, 3500), ("b", "video", b"y", None, None, 500)]
+    df = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    out = MM.frame_sample(df, every_ms=1000)
+    got = {(r.asset_id, r.frame_ts_ms) for r in out.collect()}
+    assert got == {("a", 0), ("a", 1000), ("a", 2000), ("b", 0)}
