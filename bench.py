@@ -2,9 +2,16 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is forced end-to-end with a noop sink (full computation, no
-driver materialization cost). Two timed runs per query, min taken, to damp
-JIT/cache noise.
+Workload mix (BASELINE.md workload shapes):
+- exact/ANN/BQ vector search over a 150k x 64d synthetic vector table
+  (orders rows hash-embedded — the driver's vector tables cap at 2k rows,
+  too small to measure scan behavior);
+- the dedup family over the 5k-docs corpus;
+- text analytics + windowed event aggregation over the driver's tables;
+- the oracle-checked kNN/join queries at their native size.
+
+Each query is forced end-to-end with a noop sink. Two timed runs per query,
+min taken, to damp JIT/cache noise.
 """
 
 from __future__ import annotations
@@ -14,18 +21,104 @@ import os
 import sys
 import time
 
-from neighborly_spark.parity import REGISTRY
+from pyspark.sql import functions as F
+
+from neighborly_spark.functions.embedding import hash_embedding_fast
+from neighborly_spark.parity import REGISTRY, load
 from neighborly_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Headline queries: representative of each operator family, heaviest first.
-BENCH_QUERIES: list[str] = [
+_STATE: dict = {}
+
+
+def _synth_vectors(spark, sf_dir):
+    """150k (at sf0.1) synthetic vectors: orders hash-embedded at dim 64."""
+    if "vec" not in _STATE:
+        orders = load(spark, sf_dir, "orders")
+        vec = orders.select(
+            F.col("o_orderkey").alias("id"),
+            hash_embedding_fast(
+                F.concat_ws(" ", "o_orderpriority", "o_orderstatus", F.col("o_totalprice").cast("string")), 64
+            ).alias("embedding"),
+        ).cache()
+        vec.count()
+        _STATE["vec"] = vec
+    return _STATE["vec"]
+
+
+QUERY_VEC = [0.1] * 64
+
+
+def bench_knn_150k(spark, sf_dir):
+    from neighborly_spark.operators.knn import knn
+
+    return knn(_synth_vectors(spark, sf_dir), QUERY_VEC, 10)
+
+
+def bench_knn_join_150k(spark, sf_dir):
+    from neighborly_spark.operators.knn import knn_join_vectorized
+
+    vec = _synth_vectors(spark, sf_dir)
+    queries = vec.limit(32).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    return knn_join_vectorized(vec, queries, k=10)
+
+
+def bench_lsh_ann_150k(spark, sf_dir):
+    from neighborly_spark.operators.lsh import lsh_knn
+
+    vec = _synth_vectors(spark, sf_dir)
+    if "lsh_model" not in _STATE:
+        from neighborly_spark.operators.lsh import fit_lsh
+
+        _STATE["lsh_model"] = fit_lsh(vec, dim=64, num_hash_tables=10)
+    return lsh_knn(vec, QUERY_VEC, 10, model=_STATE["lsh_model"])
+
+
+def bench_bq_150k(spark, sf_dir):
+    from neighborly_spark.operators.quantization import bq_search
+
+    return bq_search(_synth_vectors(spark, sf_dir), QUERY_VEC, 10, dim=64, threshold=0.0, max_hamming=28)
+
+
+def bench_dedup_minhash(spark, sf_dir):
+    from neighborly_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def bench_dedup_simhash(spark, sf_dir):
+    from neighborly_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def bench_dedup_jaccard(spark, sf_dir):
+    from neighborly_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.3)
+
+
+BENCH_LOCAL = {
+    "knn_exact_150k": bench_knn_150k,
+    "knn_join_32x150k": bench_knn_join_150k,
+    "lsh_ann_150k": bench_lsh_ann_150k,
+    "bq_search_150k": bench_bq_150k,
+    "dedup_minhash_docs": bench_dedup_minhash,
+    "dedup_simhash_docs": bench_dedup_simhash,
+    "dedup_jaccard_docs": bench_dedup_jaccard,
+}
+
+#: Oracle-checked queries worth timing at their native size.
+BENCH_FROM_REGISTRY = [
     "knn_euclidean",
-    "knn_cosine",
-    "knn_manhattan",
-    "range_search_euclidean",
     "knn_join",
+    "range_search_euclidean",
+    "text_stats",
+    "text_knn_short_query_prefix_union",
+    "events_tumbling_window",
 ]
 
 
@@ -37,15 +130,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
     spark = get_spark(app_name="neighborly-spark-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    # warm the JVM/codegen paths once
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    builders = {n: REGISTRY[n].build for n in BENCH_FROM_REGISTRY if n in REGISTRY}
+    builders.update(BENCH_LOCAL)
 
-    names = [n for n in BENCH_QUERIES if n in REGISTRY]
     timings: dict[str, float] = {}
-    for name in names:
-        build = REGISTRY[name].build
-        _force(build(spark, SF_DIR))  # warm-up run (parquet footer cache, codegen)
+    for name, build in builders.items():
+        _force(build(spark, SF_DIR))  # warm-up (footer cache, codegen, fits)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

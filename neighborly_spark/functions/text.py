@@ -203,18 +203,27 @@ def hash32_duckdb_sql(s: str) -> str:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as a sorted distinct set."""
-    toks = tokens(text)
-    n = F.size(toks)
-    raw = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    # guard: Spark's sequence(1, m) is DESCENDING for m < 1, not empty.
-    # array_sort canonicalizes set order (DuckDB's list_distinct reorders).
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.array_sort(F.array_distinct(raw))
-    )
+    """k-word shingles as a sorted distinct set.
+
+    The token array is LET-BOUND via a one-element transform: referencing
+    `tokens(text)` directly inside the per-shingle lambda would re-run the
+    regex split once per shingle (O(tokens^2) per document — Catalyst does
+    not CSE across lambda bodies); a lambda variable is evaluated once.
+    """
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        raw = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        # guard: Spark's sequence(1, m) is DESCENDING for m < 1, not empty.
+        # array_sort canonicalizes set order (DuckDB's list_distinct reorders).
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.array_sort(F.array_distinct(raw))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
 
 
 def shingles_duckdb_sql(t: str, k: int = 3) -> str:

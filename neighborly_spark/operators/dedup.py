@@ -116,12 +116,16 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def _minhash_component(sh: Column, i: int) -> Column:
-    """min over shingles of hash_i(shingle); hash_i = uint32 of
-    md5(i || ':' || shingle). Portable across engines."""
-    return F.array_min(
-        F.transform(sh, lambda s: T.hash32(F.concat(F.lit(f"{i}:"), s)))
-    )
+TWO32 = 1 << 32
+
+
+def minhash_params(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash constants shared with the DuckDB oracle.
+    A_i odd and < 2^20 so A*h + B stays < 2^53 (no 64-bit overflow in either
+    engine's signed arithmetic); B_i < 2^32."""
+    a = [(((i + 1) * 2654435761) % 1048573) | 1 for i in range(num_perm)]
+    b = [((i + 1) * 40503 + 12345) % TWO32 for i in range(num_perm)]
+    return a, b
 
 
 def minhash_signatures(
@@ -131,12 +135,47 @@ def minhash_signatures(
     k: int = 3,
     num_perm: int = 16,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_perm]) MinHash signatures over k-shingles."""
+    """(id, sig: array<long>[num_perm]) MinHash signatures over k-shingles.
+
+    One md5 per shingle (hash32), then num_perm cheap permutations
+    (A_i*h + B_i mod 2^32) — the classic single-hash MinHash. The whole
+    signature is ONE fold over the hashed-shingle array: the per-permutation
+    running minima live in the fold accumulator, so shingle hashes are
+    evaluated exactly once (a per-permutation array_min would re-evaluate
+    the md5 transform num_perm times — Catalyst doesn't CSE across
+    expressions). A/B ride packed as A*2^32+B in one literal array so the
+    accumulator update is a single zip_with.
+    """
+    a_const, b_const = minhash_params(num_perm)
+    packed = F.lit([a * TWO32 + b for a, b in zip(a_const, b_const)]).cast("array<long>")
+    init = F.array_repeat(F.lit(1 << 53).cast("long"), num_perm)
+
     sh = df.select(
         F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
     ).filter(F.size("_sh") > 0)
-    sig = F.array(*[_minhash_component(F.col("_sh"), i) for i in range(num_perm)])
+    hashed = F.transform(F.col("_sh"), lambda s: T.hash32(s))
+    sig = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            packed,
+            lambda m, ab: F.least(
+                m, F.pmod(F.shiftright(ab, 32) * h + ab.bitwiseAND(F.lit(TWO32 - 1)), F.lit(TWO32))
+            ),
+        ),
+    )
     return sh.select(F.col("_id"), sig.alias("sig"))
+
+
+def minhash_sig_duckdb_sql(shingles_expr: str, num_perm: int = 16) -> str:
+    """DuckDB twin of minhash_signatures' signature expression."""
+    a_const, b_const = minhash_params(num_perm)
+    comps = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> ({a} * {T.hash32_duckdb_sql('s')} + {b}) % {TWO32}))"
+        for a, b in zip(a_const, b_const)
+    )
+    return f"[{comps}]"
 
 
 def minhash_lsh_pairs(
@@ -178,8 +217,15 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    # verification on HASHED shingle sets: long-array intersections are far
+    # cheaper than string-set intersections, and cross-engine exact — the
+    # oracle hashes with the same md5-derived hash32, so even collisions
+    # (which fold two shingles into one set element) reproduce identically.
     sh = df.select(
-        F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.array_distinct(F.transform(T.shingles(F.col(text_col), k), lambda s: T.hash32(s)))
+        ).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
@@ -213,19 +259,21 @@ def simhash(text: Column) -> Column:
     """
     toks = T.tokens(text)
     hs = F.transform(toks, lambda t: T.hash32(t))
-
-    def bit_sum(mask: Column) -> Column:
-        return F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda s, h: s + F.when(h.bitwiseAND(mask) > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
-        )
-
-    out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        mask = F.lit(1 << j).cast("long")
-        out = out + F.when(bit_sum(mask) > 0, mask).otherwise(F.lit(0).cast("long"))
-    return out
+    masks = F.lit([1 << j for j in range(SIMHASH_BITS)]).cast("array<long>")
+    # ONE fold over the hashed tokens with a 32-counter accumulator: per-bit
+    # folds would re-evaluate the md5 transform 32x (no CSE across exprs).
+    bit_sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) > 0, F.lit(1)).otherwise(F.lit(-1))
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(bit_sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
 
 
 def simhash_duckdb_sql(t: str) -> str:

@@ -418,15 +418,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND)
 
 
-def _minhash_sig_sql(num_perm: int = 16, k: int = 3) -> str:
-    sh = T.shingles_duckdb_sql("text", k)
-    h = T.hash32_duckdb_sql("(CAST(i AS VARCHAR) || ':' || s)")
-    return (
-        f"list_transform(range(0, {num_perm}), i -> "
-        f"list_min(list_transform({sh}, s -> {h})))"
-    )
-
-
 def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.3, k: int = 3) -> str:
     rows = num_perm // bands
     sh = T.shingles_duckdb_sql("text", k)
@@ -437,22 +428,24 @@ def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0
             f"SELECT doc_id, {b} AS band, concat_ws(',', {keys}) AS key FROM sigs"
         )
     bands_sql = " UNION ALL ".join(band_selects)
+    hashed = f"list_sort(list_distinct(list_transform(s, sg -> {T.hash32_duckdb_sql('sg')})))"
     return f"""
-WITH sh AS (
+WITH shraw AS (
   SELECT doc_id, {sh} AS s FROM documents WHERE len({sh}) > 0
 ),
-sigs AS (SELECT doc_id, {_minhash_sig_sql(num_perm, k).replace(sh, 's')} AS sig FROM sh),
+sh AS (SELECT doc_id, s, {hashed} AS sh2 FROM shraw),
+sigs AS (SELECT doc_id, {DD.minhash_sig_duckdb_sql('s', num_perm)} AS sig FROM sh),
 buckets AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
-       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), {ROUND}) AS jaccard
+       round(CAST(len(list_intersect(sa.sh2, sb.sh2)) AS DOUBLE)
+             / CAST(len(sa.sh2) + len(sb.sh2) - len(list_intersect(sa.sh2, sb.sh2)) AS DOUBLE), {ROUND}) AS jaccard
 FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
-WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-            / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), {ROUND}) >= {threshold}
+WHERE round(CAST(len(list_intersect(sa.sh2, sb.sh2)) AS DOUBLE)
+            / CAST(len(sa.sh2) + len(sb.sh2) - len(list_intersect(sa.sh2, sb.sh2)) AS DOUBLE), {ROUND}) >= {threshold}
 """.strip()
 
 
