@@ -691,3 +691,223 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional parity surface: quirks, vector ops, compositions
+# ---------------------------------------------------------------------------
+
+@register(
+    "range_search_cosine_quirk",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({sql_cosine('e.embedding', 'q.qe')}, {ROUND}) AS dist
+FROM embeddings e, q
+WHERE round({sql_cosine('e.embedding', 'q.qe')}, {ROUND}) <= -0.25
+ORDER BY dist ASC, e.vec_id ASC
+""".strip(),
+    tags=["search", "quirk"],
+)
+def range_search_cosine_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cosine-as-distance parity quirk (Distance/CosineSimilarityCalculator.cs:8-22
+    consumed by LinearRangeSearch.cs:41-46): 'within radius -0.25' under the
+    cosine calculator keeps rows with similarity <= -0.25 — i.e. the LEAST
+    similar vectors. Intentionally replicated, never 'fixed'."""
+    from neighborly_spark.operators.knn import range_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return range_search(
+        emb.crossJoin(F.broadcast(q)).withColumn("embedding2", F.col("embedding")),
+        F.col("qe"),
+        radius=-0.25,
+        metric="cosine",
+        id_col="vec_id",
+        round_to=ROUND,
+    ).select("vec_id", "dist")
+
+
+@register(
+    "vector_elementwise_ops",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({sql_magnitude('e.embedding')}, {ROUND}) AS magnitude,
+       round(CAST(e.embedding[1] AS DOUBLE), {ROUND}) AS first_component,
+       round(CAST(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1),
+             i -> (e.embedding[i]::DOUBLE + q.qe[i]::DOUBLE))), (s, x) -> s + x) AS DOUBLE), {ROUND}) AS sum_of_add,
+       round(CAST(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1),
+             i -> (e.embedding[i]::DOUBLE - q.qe[i]::DOUBLE))), (s, x) -> s + x) AS DOUBLE), {ROUND}) AS sum_of_sub,
+       round(CAST(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1),
+             i -> (e.embedding[i]::DOUBLE / 2.0))), (s, x) -> s + x) AS DOUBLE), {ROUND}) AS sum_of_half
+FROM embeddings e, q WHERE e.vec_id < 100
+""".strip(),
+    tags=["functions"],
+)
+def vector_elementwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9-D11 (Vector.cs:209-319): element-wise add/subtract/scalar-divide,
+    magnitude, indexer — surfaced as fold-summaries so the oracle can
+    value-check every element through the sums."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = _query_vec(spark, sf_dir)
+    j = emb.crossJoin(F.broadcast(q))
+
+    def foldsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda s, x: s + x.cast("double"))
+
+    return j.select(
+        "vec_id",
+        F.round(D.magnitude(F.col("embedding")), ROUND).alias("magnitude"),
+        F.round(D.v_element(F.col("embedding"), 0).cast("double"), ROUND).alias("first_component"),
+        F.round(foldsum(F.zip_with("embedding", "qe", lambda x, y: x.cast("double") + y.cast("double"))), ROUND).alias("sum_of_add"),
+        F.round(foldsum(F.zip_with("embedding", "qe", lambda x, y: x.cast("double") - y.cast("double"))), ROUND).alias("sum_of_sub"),
+        F.round(foldsum(F.transform("embedding", lambda x: x.cast("double") / 2.0)), ROUND).alias("sum_of_half"),
+    )
+
+
+@register(
+    "knn_with_tag_filter",
+    f"""
+WITH tagged AS ({_TAGS_SQL}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({sql_euclidean('e.embedding', 'q.qe')}, {ROUND}) AS dist
+FROM embeddings e JOIN tagged t ON e.vec_id = t.vec_id, q
+WHERE list_has_any(t.tags, [2::SMALLINT])
+ORDER BY dist ASC, e.vec_id ASC LIMIT 10
+""".strip(),
+    tags=["search", "tags"],
+)
+def knn_with_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: tag-restricted exact kNN (the reference's tag filtering
+    + search, SURVEY P9 x Q1). The tag predicate prunes before distances are
+    computed — filter-then-scan, not scan-then-filter."""
+    emb = load(spark, sf_dir, "embeddings")
+    tagged = _with_tags(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    base = emb.join(tagged, "vec_id").filter(
+        F.arrays_overlap(F.col("tags"), F.lit([2]).cast("array<smallint>"))
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(D.euclidean(F.col("embedding"), F.col("qe")), ROUND).alias("dist")
+    )
+    return scored.orderBy(F.col("dist").asc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "dedup_exact_survivors",
+    f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+fp AS (SELECT doc_id, {T.fingerprint_duckdb_sql('text')} AS f FROM all_docs)
+SELECT doc_id FROM fp QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+""".strip(),
+    tags=["dedup"],
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup's deterministic min-id survivor selection (vs
+    dropDuplicates' partition-order-dependent pick)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 100000)
+    out = DD.exact_dedup(docs.unionByName(dups))
+    return out.select("doc_id")
+
+
+@register(
+    "simhash_codes",
+    f"""
+SELECT doc_id, {DD.simhash_duckdb_sql('text')} AS simhash
+FROM documents WHERE doc_id < 100
+""".strip(),
+    tags=["dedup", "functions"],
+)
+def simhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32-bit SimHash code itself, value-checked bit-for-bit."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", DD.simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "pipeline_quality_dedup_stats",
+    f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         round({T.quality_score_duckdb_sql('text')}, {ROUND}) AS quality,
+         {T.lang_id_duckdb_sql('text')} AS lang_pred,
+         {T.fingerprint_duckdb_sql('text')} AS f
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f))
+SELECT lang_pred, count(*) AS n_docs, round(sum(quality), {ROUND}) AS total_quality
+FROM kept GROUP BY lang_pred
+""".strip(),
+    tags=["pipeline"],
+)
+def pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline slice: quality-filter -> exact
+    dedup -> per-language stats. The shape every curation job takes."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), ROUND).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.fingerprint(F.col("text")).alias("f"),
+    ).filter(F.col("quality") >= 0.5)
+    survivors = scored.withColumn(
+        "_min", F.min("doc_id").over(Window.partitionBy("f"))
+    ).filter(F.col("doc_id") == F.col("_min"))
+    return survivors.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.sum("quality"), ROUND).alias("total_quality")
+    )
+
+
+def _register_rows_only():
+    """Approximate / model-backed operators: no SQL oracle exists (RNG or
+    BLAS fold-order differs), so the driver records rows-only checks; the
+    recall bars live in tests/test_approx_search.py."""
+
+    @register("lsh_ann_knn", None, tags=["search", "approx"])
+    def lsh_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neighborly_spark.operators.lsh import lsh_knn
+
+        emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+        qrow = emb.filter(F.col("id") == 0).select("embedding").collect()[0]
+        return lsh_knn(emb, list(qrow.embedding), 10, num_hash_tables=10).select("id", "dist")
+
+    @register("pq_search_adc", None, tags=["search", "approx"])
+    def pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neighborly_spark.operators.quantization import pq_encode, pq_search, pq_train
+
+        emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+        model = pq_train(emb, dim=64, num_centroids=32)
+        enc = pq_encode(emb, model)
+        qrow = emb.filter(F.col("id") == 0).select("embedding").collect()[0]
+        return pq_search(enc, model, list(qrow.embedding), 10).select("id", "dist")
+
+    @register("ivf_probe_search", None, tags=["search", "approx"])
+    def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neighborly_spark.operators.ivf import ivf_assign, ivf_search, ivf_train
+
+        emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
+        model = ivf_train(emb, nlist=8)
+        assigned = ivf_assign(emb, model)
+        qrow = emb.filter(F.col("id") == 0).select("embedding").collect()[0]
+        return ivf_search(assigned, model, list(qrow.embedding), 10, nprobe=4).select("id", "dist")
+
+    @register("knn_join_blas", None, tags=["search", "join"])
+    def knn_join_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neighborly_spark.operators.knn import knn_join_vectorized
+
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+        )
+        data = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+        return knn_join_vectorized(data, queries, k=3, id_col="vec_id")
+
+
+_register_rows_only()
