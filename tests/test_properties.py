@@ -1,0 +1,95 @@
+"""Property-based invariants (hypothesis) — the reference approximates these
+with parameterized NUnit cases (SURVEY §5); we state them as laws.
+
+Driver-side evaluation through Spark: each property evaluates the SAME
+Column expressions used by the operators, on a one-row DataFrame per
+example batch (batched into a single Spark job per property for speed).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from neighborly_spark.functions import distance as D
+from neighborly_spark.functions.embedding import hash_embedding
+from neighborly_spark.operators.dedup import minhash_params
+
+DIM = 8
+finite = st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32)
+vec = st.lists(finite, min_size=DIM, max_size=DIM)
+
+
+def _eval_pairs(spark, pairs, expr_fn):
+    df = spark.createDataFrame(pairs, "a array<float>, b array<float>")
+    return [r.v for r in df.select(expr_fn(F.col("a"), F.col("b")).alias("v")).collect()]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=8))
+def test_metric_symmetry_and_identity(spark, pairs):
+    for metric in ["euclidean", "manhattan", "chebyshev", "minkowski"]:
+        ab = _eval_pairs(spark, pairs, lambda a, b, m=metric: D.metric_expr(m, a, b))
+        ba = _eval_pairs(spark, [(b, a) for a, b in pairs], lambda a, b, m=metric: D.metric_expr(m, a, b))
+        aa = _eval_pairs(spark, [(a, a) for a, _ in pairs], lambda a, b, m=metric: D.metric_expr(m, a, b))
+        assert all(x == pytest.approx(y, abs=1e-9) for x, y in zip(ab, ba)), metric
+        assert all(x == pytest.approx(0.0, abs=1e-9) for x in aa), metric
+        assert all(x >= 0 for x in ab), metric
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(vec, vec, vec), min_size=1, max_size=5))
+def test_triangle_inequality_euclidean_manhattan(spark, triples):
+    for metric in ["euclidean", "manhattan"]:
+        ac = _eval_pairs(spark, [(a, c) for a, _, c in triples], lambda a, b, m=metric: D.metric_expr(m, a, b))
+        ab = _eval_pairs(spark, [(a, b) for a, b, _ in triples], lambda a, b, m=metric: D.metric_expr(m, a, b))
+        bc = _eval_pairs(spark, [(b, c) for _, b, c in triples], lambda a, b, m=metric: D.metric_expr(m, a, b))
+        for x, y, z in zip(ac, ab, bc):
+            assert x <= y + z + 1e-6, metric
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=5))
+def test_cosine_bounds_and_scale_invariance(spark, pairs):
+    nonzero = [(a, b) for a, b in pairs if any(a) and any(b)]
+    if not nonzero:
+        return
+    vals = _eval_pairs(spark, nonzero, D.cosine)
+    assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in vals)
+    # scale invariance: cosine(2a, b) == cosine(a, b)
+    scaled = _eval_pairs(spark, [([2 * x for x in a], b) for a, b in nonzero], D.cosine)
+    assert all(u == pytest.approx(v, abs=1e-6) for u, v in zip(vals, scaled))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=10, unique=True))
+def test_hash_embedder_deterministic_and_bounded(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select("t", hash_embedding(F.col("t"), 6).alias("e")).collect()
+    again = {r.t: r.e for r in df.select("t", hash_embedding(F.col("t"), 6).alias("e")).collect()}
+    for r in out:
+        assert len(r.e) == 6
+        assert all(-1.0 <= v < 1.0 for v in r.e)
+        assert again[r.t] == r.e  # deterministic
+
+
+def test_minhash_params_invariants():
+    a, b = minhash_params(64)
+    assert len(set(zip(a, b))) == 64  # distinct permutations
+    assert all(x % 2 == 1 for x in a)  # odd multipliers
+    assert all(0 < x < 2**20 for x in a)  # overflow-safe bound
+    assert all(0 <= x < 2**32 for x in b)
+
+
+def test_hamming_metric_axioms(spark):
+    rows = [([0b1010, 0b1], [0b1010, 0b1]), ([0b1111, 0b0], [0b0000, 0b0]), ([5, 9], [3, 12])]
+    df = spark.createDataFrame(rows, "a array<long>, b array<long>")
+    ab = [r.v for r in df.select(D.hamming_packed(F.col("a"), F.col("b")).alias("v")).collect()]
+    ba = [r.v for r in df.select(D.hamming_packed(F.col("b"), F.col("a")).alias("v")).collect()]
+    assert ab == ba
+    assert ab[0] == 0 and ab[1] == 4
+    # popcount identity: d(a,b) == popcount(a xor b) summed
+    assert ab[2] == bin((5 ^ 3)).count("1") + bin(9 ^ 12).count("1")
