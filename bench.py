@@ -47,7 +47,34 @@ def _synth_vectors(spark, sf_dir):
     return _STATE["vec"]
 
 
+def _synth_vectors_600k(spark, sf_dir):
+    """600k vectors (at sf0.1) from lineitem — the linear-scan scaling tier.
+    Repartitioned to the core count: the source parquet is one split, and a
+    single-partition cache would serialize the scan."""
+    if "vec6" not in _STATE:
+        li = load(spark, sf_dir, "lineitem")
+        vec = (
+            li.select(
+                F.concat_ws("-", "l_orderkey", "l_linenumber").alias("id"),
+                hash_embedding_fast(
+                    F.concat_ws(" ", "l_returnflag", "l_linestatus", F.col("l_extendedprice").cast("string")), 64
+                ).alias("embedding"),
+            )
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS") or 32))
+            .cache()
+        )
+        vec.count()
+        _STATE["vec6"] = vec
+    return _STATE["vec6"]
+
+
 QUERY_VEC = [0.1] * 64
+
+
+def bench_knn_600k(spark, sf_dir):
+    from neighborly_spark.operators.knn import knn
+
+    return knn(_synth_vectors_600k(spark, sf_dir), QUERY_VEC, 10)
 
 
 def bench_knn_150k(spark, sf_dir):
@@ -102,6 +129,7 @@ def bench_dedup_jaccard(spark, sf_dir):
 
 
 BENCH_LOCAL = {
+    "knn_exact_600k": bench_knn_600k,
     "knn_exact_150k": bench_knn_150k,
     "knn_join_32x150k": bench_knn_join_150k,
     "lsh_ann_150k": bench_lsh_ann_150k,
