@@ -54,8 +54,11 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 def bpe_ish_token_count_duckdb_sql(t: str) -> str:
     return (
-        f"(list_reduce(list_transform(list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), p -> p <> ''), "
-        f"w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), (s, x) -> s + x) "
+        # list_prepend(0, ...) == the fold's init value: DuckDB's list_reduce
+        # errors on empty lists (all-punctuation text has zero word pieces)
+        f"(list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), p -> p <> ''), "
+        f"w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), (s, x) -> s + x) "
         f"+ len(regexp_replace(lower({t}), '[a-z0-9\\s]', '', 'g')))"
     )
 

@@ -911,3 +911,20 @@ def _register_rows_only():
 
 
 _register_rows_only()
+
+
+@register(
+    "deterministic_ids",
+    f"""
+SELECT doc_id, {__import__('neighborly_spark.functions.ids', fromlist=['x']).deterministic_id_duckdb_sql('text')} AS vec_uuid
+FROM documents WHERE doc_id < 50
+""".strip(),
+    tags=["functions"],
+)
+def deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uuid5-style deterministic id minting (SURVEY §7.3's Guid.NewGuid
+    reproducibility fix): same content -> same canonical UUID in any engine."""
+    from neighborly_spark.functions.ids import deterministic_id
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", deterministic_id(F.col("text")).alias("vec_uuid"))

@@ -1,0 +1,81 @@
+"""Regression guard: every text/embedding/id function must stay value-
+identical to its DuckDB twin — the property the whole oracle gate rests on.
+Exercises edge shapes the documents corpus doesn't (empty-ish strings,
+heavy punctuation, repeated tokens, multi-space)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.functions import text as T
+from neighborly_spark.functions.embedding import hash_embedding, hash_embedding_duckdb_sql
+from neighborly_spark.functions.ids import deterministic_id, deterministic_id_duckdb_sql
+from neighborly_spark.operators.dedup import (
+    minhash_sig_duckdb_sql,
+    simhash,
+    simhash_duckdb_sql,
+)
+
+SAMPLES = [
+    "The quick brown fox, and the lazy dog!",
+    "der hund ist nicht mit der katze",
+    "el perro es un animal que no se va",
+    "  spark   JOIN  merge   sort  ",
+    "x",
+    "one two",
+    "a a a a a a",
+    "!!! ??? ... ;;;",
+    "MiXeD CaSe ToKeNs MiXeD CaSe",
+]
+
+PAIRS = [
+    ("tokens", lambda c: T.tokens(c), lambda t: T.tokens_duckdb_sql(t)),
+    ("token_count", lambda c: T.token_count(c), lambda t: T.token_count_duckdb_sql(t)),
+    ("bpe_count", lambda c: T.bpe_ish_token_count(c), lambda t: T.bpe_ish_token_count_duckdb_sql(t)),
+    ("stopword_ratio", lambda c: F.round(T.stopword_ratio(c), 6), lambda t: f"round({T.stopword_ratio_duckdb_sql(t)}, 6)"),
+    ("lang_id", lambda c: T.lang_id(c), lambda t: T.lang_id_duckdb_sql(t)),
+    ("punct_ratio", lambda c: F.round(T.punct_ratio(c), 6), lambda t: f"round({T.punct_ratio_duckdb_sql(t)}, 6)"),
+    ("distinct_ratio", lambda c: F.round(T.distinct_token_ratio(c), 6), lambda t: f"round({T.distinct_token_ratio_duckdb_sql(t)}, 6)"),
+    ("quality", lambda c: F.round(T.quality_score(c), 6), lambda t: f"round({T.quality_score_duckdb_sql(t)}, 6)"),
+    ("fingerprint", lambda c: T.fingerprint(c), lambda t: T.fingerprint_duckdb_sql(t)),
+    ("hash32", lambda c: T.hash32(c), lambda t: T.hash32_duckdb_sql(t)),
+    ("shingles2", lambda c: T.shingles(c, 2), lambda t: T.shingles_duckdb_sql(t, 2)),
+    ("shingles3", lambda c: T.shingles(c, 3), lambda t: T.shingles_duckdb_sql(t, 3)),
+    ("simhash", lambda c: simhash(c), lambda t: simhash_duckdb_sql(t)),
+    ("embed4", lambda c: hash_embedding(c, 4), lambda t: hash_embedding_duckdb_sql(t, 4)),
+    ("det_id", lambda c: deterministic_id(c), lambda t: deterministic_id_duckdb_sql(t)),
+]
+
+
+def _norm(v):
+    return list(v) if isinstance(v, (list, tuple)) else v
+
+
+@pytest.mark.parametrize("name,sexpr,dsql", PAIRS, ids=[p[0] for p in PAIRS])
+def test_twin_identical(spark, name, sexpr, dsql):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], ["t"])
+    got = [_norm(r.v) for r in df.select(sexpr(F.col("t")).alias("v")).collect()]
+    con = duckdb.connect()
+    vals = "(VALUES " + ",".join("('" + s.replace("'", "''") + "')" for s in SAMPLES) + ") v(t)"
+    want = [_norm(r[0]) for r in con.sql(f"SELECT {dsql('t')} FROM {vals}").fetchall()]
+    assert got == want, name
+
+
+def test_minhash_sig_twin(spark):
+    from neighborly_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], ["doc_id", "text"])
+    got = {r._id: list(r.sig) for r in minhash_signatures(df, num_perm=8).collect()}
+    con = duckdb.connect()
+    vals = "(VALUES " + ",".join(f"({i}, '" + s.replace("'", "''") + "')" for i, s in enumerate(SAMPLES)) + ") v(doc_id, text)"
+    sh = T.shingles_duckdb_sql("text", 3)
+    want = dict(
+        con.sql(
+            f"SELECT doc_id, {minhash_sig_duckdb_sql(sh, 8)} FROM {vals} WHERE len({sh}) > 0"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k], k
