@@ -1,0 +1,84 @@
+"""Cardinality-based k-NN-join strategy planner.
+
+SURVEY §4.2: the reference needs no Catalyst rules; the one planning
+decision worth owning is WHICH k-NN-join formulation to run. This is a plain
+Python planner over the three physical strategies (no Catalyst extension):
+
+| strategy     | when                                   | cost shape |
+|--------------|----------------------------------------|-----------|
+| `exact`      | tiny work (|D|x|Q| small) or exactness | |D|x|Q| interpreted folds, oracle-grade floats |
+| `vectorized` | |Q| collectible, result must be exact  | |D|x|Q| BLAS flops, one scan, tiny shuffle |
+| `lsh`        | |Q| too big to collect/broadcast, or   | bucket join; approximate (recall-gated) |
+|              | |D|x|Q| beyond the flop budget          |            |
+
+Thresholds are deliberately coarse — at these break-evens the strategies
+differ by orders of magnitude, so the exact constants don't matter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+#: |D| x |Q| above which interpreted-fold exact is hopeless (~10^7 folds/s).
+EXACT_WORK_LIMIT = 50_000_000
+#: queries we are willing to collect to the driver / broadcast.
+MAX_COLLECTED_QUERIES = 100_000
+#: |D| x |Q| above which even BLAS should yield to candidate pruning.
+VECTORIZED_WORK_LIMIT = 5_000_000_000_000  # ~5e12 flops/dim unit
+
+
+@dataclass
+class KnnJoinPlan:
+    strategy: str  # 'exact' | 'vectorized' | 'lsh'
+    reason: str
+
+
+def plan_knn_join(
+    data_count: int,
+    query_count: int,
+    dim: int,
+    require_exact_floats: bool = False,
+) -> KnnJoinPlan:
+    work = data_count * query_count
+    if require_exact_floats:
+        return KnnJoinPlan("exact", "caller requires sequential-fold float semantics (oracle parity)")
+    if query_count > MAX_COLLECTED_QUERIES:
+        return KnnJoinPlan("lsh", f"|Q|={query_count} exceeds collect/broadcast budget")
+    if work <= EXACT_WORK_LIMIT and query_count <= 64:
+        return KnnJoinPlan("exact", f"|D|x|Q|={work} small enough for declarative folds")
+    if work * dim <= VECTORIZED_WORK_LIMIT:
+        return KnnJoinPlan("vectorized", f"BLAS matmul over |D|x|Q|={work} at dim {dim}")
+    return KnnJoinPlan("lsh", f"|D|x|Q|x dim={work * dim} beyond exact budget — prune candidates")
+
+
+def knn_join_auto(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    radius_for_lsh: float = 2.5,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    data_count: int | None = None,
+    query_count: int | None = None,
+) -> tuple[DataFrame, KnnJoinPlan]:
+    """Plan and execute; returns (result, plan). Counts may be passed from
+    table stats to avoid the count() jobs."""
+    from neighborly_spark.operators.knn import knn_join, knn_join_vectorized
+    from neighborly_spark.operators.lsh import approx_knn_join
+
+    nd = data_count if data_count is not None else data.count()
+    nq = query_count if query_count is not None else queries.count()
+    plan = plan_knn_join(nd, nq, dim)
+    if plan.strategy == "exact":
+        out = knn_join(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
+    elif plan.strategy == "vectorized":
+        out = knn_join_vectorized(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
+    else:
+        out = approx_knn_join(
+            data, queries, k, radius_for_lsh, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col, dim=dim
+        )
+    return out, plan

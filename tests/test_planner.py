@@ -1,0 +1,38 @@
+"""kNN-join planner: strategy choice + end-to-end execution per strategy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neighborly_spark.plans.knn_planner import KnnJoinPlan, knn_join_auto, plan_knn_join
+
+
+def test_plan_thresholds():
+    assert plan_knn_join(1000, 5, 64).strategy == "exact"
+    assert plan_knn_join(10_000_000, 32, 64).strategy == "vectorized"
+    assert plan_knn_join(1000, 500_000, 64).strategy == "lsh"
+    assert plan_knn_join(10_000_000_000, 50_000, 768).strategy == "lsh"
+    p = plan_knn_join(10_000_000, 32, 64, require_exact_floats=True)
+    assert p.strategy == "exact" and "oracle" in p.reason
+
+
+def test_knn_join_auto_executes_chosen_strategy(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+    )
+    queries = emb.limit(3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    out, plan = knn_join_auto(emb, queries, k=2, dim=64)
+    assert isinstance(plan, KnnJoinPlan) and plan.strategy == "exact"
+    rows = out.collect()
+    assert len(rows) == 6
+    # forced vectorized path agrees on the ids
+    out2, plan2 = knn_join_auto(
+        emb, queries, k=2, dim=64, data_count=10_000_000, query_count=32
+    )
+    assert plan2.strategy == "vectorized"
+    assert {(r.query_id, r.id) for r in out2.collect()} == {
+        (r.query_id, r.id) for r in rows
+    }
