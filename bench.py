@@ -110,6 +110,19 @@ def bench_bq_150k(spark, sf_dir):
     return bq_search(_synth_vectors(spark, sf_dir), QUERY_VEC, 10, dim=64, threshold=0.0, max_hamming=28)
 
 
+def bench_ivf_150k(spark, sf_dir):
+    from neighborly_spark.operators.ivf import ivf_assign, ivf_search, ivf_train
+
+    vec = _synth_vectors(spark, sf_dir)
+    if "ivf" not in _STATE:
+        model = ivf_train(vec, nlist=32)
+        assigned = ivf_assign(vec, model).cache()
+        assigned.count()
+        _STATE["ivf"] = (model, assigned)
+    model, assigned = _STATE["ivf"]
+    return ivf_search(assigned, model, QUERY_VEC, 10, nprobe=4)
+
+
 def bench_dedup_minhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import minhash_lsh_pairs
 
@@ -133,6 +146,7 @@ BENCH_LOCAL = {
     "knn_exact_150k": bench_knn_150k,
     "knn_join_32x150k": bench_knn_join_150k,
     "lsh_ann_150k": bench_lsh_ann_150k,
+    "ivf_probe_150k": bench_ivf_150k,
     "bq_search_150k": bench_bq_150k,
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_simhash_docs": bench_dedup_simhash,

@@ -76,6 +76,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     round_to: int = 6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by k-word-shingle Jaccard >= threshold.
 
@@ -83,34 +84,74 @@ def ngram_jaccard_pairs(
     on shingle (candidate generation: only co-occurring docs pair up) ->
     per-pair intersection count -> Jaccard against broadcast set sizes.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    max_df: drop shingles appearing in more than max_df documents from
+    CANDIDATE GENERATION (the standard stop-shingle prune — a shingle in d
+    docs contributes d^2 candidate pairs, so heavy hitters dominate the
+    join). Jaccard is still computed on the FULL sets, but pairs whose only
+    shared shingles are pruned are missed: with max_df the operator is a
+    documented approximation, the skew-proof contract for web-scale corpora.
+    None (default) = exact.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
     ).filter(F.size("_sh") > 0)
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
-    pairs = (
+    if max_df is not None:
+        freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        inv = inv.join(F.broadcast(freq.filter(F.col("_df") <= max_df).select("_s")), "_s")
+    if max_df is None:
+        # exact path: the inverted index both generates candidates AND counts
+        # intersections in one aggregation
+        pairs = (
+            inv.alias("a")
+            .join(inv.alias("b"), on="_s")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+        out = (
+            pairs.join(F.broadcast(sizes).withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+            .join(F.broadcast(sizes).withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("_common").cast("double")
+                    / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+                    round_to,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out
+
+    # pruned path: the (pruned) index only GENERATES candidates; jaccard is
+    # recomputed on the full shingle sets so surviving pairs score exactly
+    cand = (
         inv.alias("a")
         .join(inv.alias("b"), on="_s")
         .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_common"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
-    out = (
-        pairs.join(F.broadcast(sizes).withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(F.broadcast(sizes).withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("_common").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+                / (F.size("_sha") + F.size("_shb") - F.col("_common")).cast("double"),
                 round_to,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return verified
 
 
 # --- MinHash + LSH -----------------------------------------------------------

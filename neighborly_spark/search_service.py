@@ -127,8 +127,19 @@ class SearchService:
         return threshold_filter(out, threshold, self.dim)
 
     def range_search(
-        self, query_vec: list[float], radius: float, metric: str = "euclidean"
+        self,
+        query_vec: list[float] | None = None,
+        radius: float = 1.0,
+        metric: str = "euclidean",
+        text: str | None = None,
     ) -> DataFrame:
+        """Radius search by vector or by text (the reference embeds the text
+        first — SearchService.cs RangeSearch(text, radius, ...) overload)."""
         if radius <= 0:
             raise ValueError("Radius must be greater than 0")  # SearchService.cs:229
+        if text is not None:
+            q = self.embedder(F.lit(text), self.dim)
+            return range_search(self.df, q, radius, metric, self.id_col, self.vec_col)
+        if query_vec is None:
+            raise ValueError("provide query_vec or text")
         return range_search(self.df, query_vec, radius, metric, self.id_col, self.vec_col)

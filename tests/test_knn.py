@@ -86,3 +86,16 @@ def test_default_threshold_for_text():
     assert K.default_threshold_for_text("hi") == 0.9
     assert K.default_threshold_for_text("hello there") == 0.8
     assert K.default_threshold_for_text("a much longer query string") == 0.5
+
+
+def test_text_range_search_via_service(spark, tiny_vectors):
+    from neighborly_spark.search_service import SearchService
+    from neighborly_spark.functions.embedding import hash_embedding
+    from pyspark.sql import functions as F
+
+    # vectors whose embeddings come from the hash embedder, so text query
+    # "apple pie" lands exactly on v1's embedding -> dist 0 within any radius
+    embedded = tiny_vectors.withColumn("embedding", hash_embedding(F.col("original_text"), 4))
+    svc = SearchService(embedded, dim=4)
+    rows = svc.range_search(text="apple pie", radius=0.1).collect()
+    assert [r.id for r in rows] == ["v1"] and rows[0].dist == 0.0

@@ -66,3 +66,15 @@ def test_rows_only_queries_run(spark):
         if pq.oracle is None:
             df = pq.build(spark, SF_DIR)
             assert df.count() >= 0, name
+
+
+def test_jaccard_max_df_prunes_only_candidates(spark):
+    """max_df prunes candidate generation; surviving pairs keep exact scores."""
+    from neighborly_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    pruned = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=50).collect()}
+    assert set(pruned) <= set(exact)  # pruning can only lose pairs
+    for pair, j in pruned.items():
+        assert j == exact[pair]  # surviving pairs score exactly
