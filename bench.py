@@ -107,7 +107,7 @@ def bench_lsh_ann_150k(spark, sf_dir):
 def bench_bq_150k(spark, sf_dir):
     from neighborly_spark.operators.quantization import bq_search
 
-    return bq_search(_synth_vectors(spark, sf_dir), QUERY_VEC, 10, dim=64, threshold=0.0, max_hamming=28)
+    return bq_search(_synth_vectors(spark, sf_dir), QUERY_VEC, 10, dim=64, threshold=0.0, max_hamming=28, materialize=True)
 
 
 def bench_ivf_150k(spark, sf_dir):
@@ -132,7 +132,7 @@ def bench_dedup_minhash(spark, sf_dir):
 def bench_dedup_simhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3, materialize=True)
 
 
 def bench_dedup_jaccard(spark, sf_dir):

@@ -335,6 +335,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
@@ -342,10 +343,16 @@ def simhash_pairs(
     by pigeonhole any pair within max_hamming agrees on >=1 chunk, so an
     equality join per chunk finds all true pairs without a quadratic join.
     Output (id_a, id_b, hamming).
+
+    materialize=True localCheckpoints the (id, code) projection so the
+    self-join's two sides don't each recompute the token hashing (the codes
+    table is 12 bytes/doc — tiny). Eager action; leave False for pure plans.
     """
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     codes = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_code"))
+    if materialize:
+        codes = codes.localCheckpoint()
     chunks = F.array(
         *[
             F.struct(

@@ -111,6 +111,7 @@ def bq_search(
     vec_col: str = "embedding",
     max_hamming: int | None = None,
     round_to: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """BQ k-NN (BinaryQuantization.cs:142-195): Hamming prefilter on packed
     codes (with the 3k-closest fallback), exact euclidean rerank, top-k.
@@ -128,6 +129,10 @@ def bq_search(
     scored = df.withColumn("_code", bq_encode_expr(F.col(vec_col), dim, threshold)).withColumn(
         "_hamming", hamming_packed(F.col("_code"), q_code)
     )
+    if materialize:
+        # three consumers (filter branch, pass-count, fallback top-k) would
+        # each re-encode; checkpoint once — eager action, codes are tiny
+        scored = scored.localCheckpoint()
     passed = scored.filter(F.col("_hamming") <= max_hamming)
     # fallback (:166-178): 3k hamming-closest, only when nothing passed
     n_pass = passed.select(F.count(F.lit(1)).alias("_n_pass"))

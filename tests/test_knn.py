@@ -99,3 +99,11 @@ def test_text_range_search_via_service(spark, tiny_vectors):
     svc = SearchService(embedded, dim=4)
     rows = svc.range_search(text="apple pie", radius=0.1).collect()
     assert [r.id for r in rows] == ["v1"] and rows[0].dist == 0.0
+
+
+def test_knn_vectorized_matches_exact(spark, tiny_vectors):
+    from neighborly_spark.operators.knn import knn, knn_vectorized
+
+    exact = [(r.id, round(r.dist, 9)) for r in knn(tiny_vectors, [2.0, 3.0, 4.0], k=4).collect()]
+    fast = [(r.id, round(r.dist, 9)) for r in knn_vectorized(tiny_vectors, [2.0, 3.0, 4.0], k=4).collect()]
+    assert exact == fast
