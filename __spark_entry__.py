@@ -11,11 +11,19 @@ this module is a thin adapter over it.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from neighborly_spark.parity import REGISTRY
+# the engine package lives next to this file; make the import independent of
+# the caller's working directory / sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from neighborly_spark.parity import REGISTRY  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
