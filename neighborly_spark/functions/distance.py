@@ -162,3 +162,20 @@ def metric_expr(name: str, a: Column, b: Column) -> Column:
         return METRICS[name](a, b)
     except KeyError:
         raise ValueError(f"unknown metric {name!r}; known: {sorted(METRICS)}") from None
+
+
+def v_normalize(a: Column) -> Column:
+    """Unit-normalize (L2). Pre-normalizing a corpus turns cosine similarity
+    into a plain dot product — the standard trick before ANN indexing.
+    Zero vectors normalize to themselves (no NaN poisoning).
+
+    The norm is LET-BOUND via a one-element transform: referencing
+    magnitude(a) directly inside the per-element lambda would re-fold the
+    whole array per element (no CSE across lambda bodies)."""
+
+    def body(m: Column) -> Column:
+        return F.when(m == F.lit(0.0), a).otherwise(
+            F.transform(a, lambda x: (x / m).cast("float"))
+        )
+
+    return F.element_at(F.transform(F.array(magnitude(a)), body), 1)

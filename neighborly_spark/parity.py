@@ -928,3 +928,44 @@ def deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return docs.select("doc_id", deterministic_id(F.col("text")).alias("vec_uuid"))
+
+
+@register(
+    "centroid_by_label",
+    f"""
+WITH g AS (
+  SELECT label, count(*) AS n, list(embedding ORDER BY vec_id) AS rows
+  FROM embeddings GROUP BY label
+)
+SELECT label, n,
+       list_transform(range(1, 65), i ->
+         round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(rows, r -> r[i]::DOUBLE)),
+               (s, x) -> s + x) / n, {ROUND})) AS centroid
+FROM g
+""".strip(),
+    tags=["agg"],
+)
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean centroid per group — the BallTree centroid
+    aggregate (SURVEY §2.6, BallTree.cs:33,140), distributed.
+
+    Float-determinism: the summation is forced into vec_id order in BOTH
+    engines (Spark: sort_array over (vec_id, value) structs then fold;
+    DuckDB: list(... ORDER BY vec_id) then fold), because a shuffle-order
+    float sum would differ run to run."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = F.struct(F.col("vec_id"), F.col("embedding"))
+    grouped = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(pairs)).alias("_rows"),
+    )
+    # fold rows in vec_id order, accumulating the per-dimension sums
+    dim = 64
+    init = F.array_repeat(F.lit(0.0), dim)
+    sums = F.aggregate(
+        F.col("_rows"),
+        init,
+        lambda acc, r: F.zip_with(acc, r["embedding"], lambda s, x: s + x.cast("double")),
+    )
+    centroid = F.transform(sums, lambda s: F.round(s / F.col("n"), ROUND))
+    return grouped.select("label", "n", centroid.alias("centroid"))

@@ -62,3 +62,14 @@ def test_hamming_packed(spark):
 def test_unknown_metric_raises():
     with pytest.raises(ValueError, match="unknown metric"):
         D.metric_expr("nope", F.lit(A), F.lit(B))
+
+
+def test_v_normalize(spark):
+    from neighborly_spark.functions import distance as D
+
+    df = spark.createDataFrame([([3.0, 4.0],), ([0.0, 0.0],)], "a array<float>")
+    rows = df.select(D.v_normalize(F.col("a")).alias("n")).collect()
+    assert rows[0].n == pytest.approx([0.6, 0.8])
+    assert rows[1].n == [0.0, 0.0]  # zero vector stays itself, no NaN
+    mag = df.select(D.magnitude(D.v_normalize(F.col("a"))).alias("m")).collect()
+    assert mag[0].m == pytest.approx(1.0, abs=1e-6)
