@@ -969,3 +969,28 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroid = F.transform(sums, lambda s: F.round(s / F.col("n"), ROUND))
     return grouped.select("label", "n", centroid.alias("centroid"))
+
+
+@register(
+    "dataset_split",
+    f"""
+SELECT {__import__('neighborly_spark.functions.splits', fromlist=['x']).split_assign_duckdb_sql("CAST(doc_id AS VARCHAR)", [0.8, 0.1, 0.1], ["train", "val", "test"])} AS split,
+       count(*) AS n_docs,
+       list_sort(list(doc_id)) AS doc_ids
+FROM documents GROUP BY 1
+""".strip(),
+    tags=["pipeline"],
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable train/val/test split (80/10/10) by hashed key — the
+    reproducible alternative to randomSplit (membership survives reruns,
+    repartitioning, and engines). Exact membership is oracle-checked, not
+    just the counts."""
+    from neighborly_spark.functions.splits import deterministic_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = deterministic_split(docs, "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+    )

@@ -78,3 +78,22 @@ def test_resolve_tags(spark, tiny_vectors):
     names = {r.id: r.tag_names for r in out.collect()}
     assert names["v2"] == ["alpha", "beta"]
     assert names["v4"] == []
+
+
+def test_hash_sample_stable_and_disjoint(spark, tiny_vectors):
+    from neighborly_spark.functions.splits import hash_sample
+
+    s1 = {r.id for r in hash_sample(tiny_vectors, "id", 0.5).collect()}
+    s2 = {r.id for r in hash_sample(tiny_vectors.repartition(7), "id", 0.5).collect()}
+    assert s1 == s2  # stable under repartitioning (df.sample is not)
+    rest = {r.id for r in tiny_vectors.collect()} - s1
+    s3 = {r.id for r in hash_sample(tiny_vectors, "id", 1.0).collect()}
+    assert s3 == s1 | rest  # fraction 1.0 keeps everything
+
+
+def test_deterministic_split_partitions_everything(spark, tiny_vectors):
+    from neighborly_spark.functions.splits import deterministic_split
+
+    out = deterministic_split(tiny_vectors, "id", [0.5, 0.5], ["a", "b"])
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(counts.values()) == 8
