@@ -24,4 +24,5 @@ semantics.
 
 __version__ = "0.1.0"
 
+from neighborly_spark.search_service import SearchService  # noqa: F401
 from neighborly_spark.session import get_spark  # noqa: F401

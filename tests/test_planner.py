@@ -36,3 +36,28 @@ def test_knn_join_auto_executes_chosen_strategy(spark):
     assert {(r.query_id, r.id) for r in out2.collect()} == {
         (r.query_id, r.id) for r in rows
     }
+
+
+def test_salted_agg_matches_direct(spark):
+    from neighborly_spark.plans.skew import salted_agg, salted_count
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    direct = {
+        (r.l_returnflag, r.l_linestatus): (r.n, round(r.total, 4))
+        for r in df.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.l_linestatus): (r.n, round(r.total, 4))
+        for r in salted_agg(
+            df,
+            ["l_returnflag", "l_linestatus"],
+            [F.count(F.lit(1)).alias("_c"), F.sum("l_quantity").alias("_s")],
+            [F.sum("_c").alias("n"), F.round(F.sum("_s"), 4).alias("total")],
+        ).collect()
+    }
+    assert direct == salted
+
+    counts = {r.l_returnflag: r.n for r in salted_count(df, ["l_returnflag"]).collect()}
+    assert sum(counts.values()) == df.count()
