@@ -32,7 +32,7 @@ codegen over byte codes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from neighborly_spark.functions.distance import euclidean, hamming_packed

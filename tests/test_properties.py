@@ -8,7 +8,6 @@ example batch (batched into a single Spark job per property for speed).
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from hypothesis import given, settings, strategies as st
