@@ -406,3 +406,57 @@ def cosine_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# --- near-dup clustering -------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pair edges -> (id, component),
+    component = min id reachable. The keep-one-per-cluster step of a dedup
+    pipeline (survivor = row whose id == component).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(diameter)
+    rounds. The driver loop checks a changed-count each round (an aggregate,
+    not a data collect) and stops at the fixpoint — dup clusters are
+    shallow (diameter ~2-3), so this is 3-4 shuffles in practice. For
+    adversarial chain-shaped graphs use the alternating large/small-star
+    variant; max_iter bounds the worst case.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .withColumn("_new", F.least(F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))))
+        )
+        changed = updated.filter(F.col("_new") != F.col("component")).limit(1).count()
+        labels = updated.select("id", F.col("_new").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per near-dup cluster (the min-id member) plus all rows
+    that appear in no pair."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -994,3 +994,42 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {T.shingles_duckdb_sql('text', 3)} AS s FROM documents
+  WHERE len({T.shingles_duckdb_sql('text', 3)}) > 0
+),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT p.id_a, p.id_b FROM p0 p
+  JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+  WHERE round(CAST(p.common AS DOUBLE) / CAST(sa.n + sb.n - p.common AS DOUBLE), {ROUND}) >= 0.3
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, min(b) AS component FROM reach GROUP BY a
+""".strip(),
+    tags=["dedup", "iterative"],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over Jaccard>=0.3 pair
+    edges via iterative min-label propagation; the oracle computes the same
+    components with a recursive CTE (transitive closure + min). Exercises
+    the engine's iterative-algorithm path end to end."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND)
+    return DD.connected_components(pairs)

@@ -78,3 +78,18 @@ def test_jaccard_max_df_prunes_only_candidates(spark):
     assert set(pruned) <= set(exact)  # pruning can only lose pairs
     for pair, j in pruned.items():
         assert j == exact[pair]  # surviving pairs score exactly
+
+
+def test_dedup_survivors_from_pairs(spark):
+    from neighborly_spark.operators.dedup import dedup_survivors_from_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    kept = dedup_survivors_from_pairs(docs, pairs)
+    # every cluster keeps exactly its min-id member; unpaired docs all kept
+    n_pairs_members = pairs.select("id_a").union(pairs.select("id_b")).distinct().count()
+    from neighborly_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs)
+    n_clusters = comps.select("component").distinct().count()
+    assert kept.count() == docs.count() - (n_pairs_members - n_clusters)
