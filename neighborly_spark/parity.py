@@ -1033,3 +1033,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND)
     return DD.connected_components(pairs)
+
+
+@register(
+    "multimodal_payload_stats",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents WHERE doc_id < 100
+""".strip(),
+    tags=["multimodal"],
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing in the gate: synthesize binary payloads from
+    text (operators.multimodal.make_assets_from_text), then compute byte
+    lengths and content hashes ON THE BINARY COLUMN — proving the binary
+    round-trip (encode -> binary ops) agrees with DuckDB's blob semantics."""
+    from neighborly_spark.operators.multimodal import make_assets_from_text
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    assets = make_assets_from_text(docs, "doc_id", "text")
+    return assets.select(
+        "asset_id",
+        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_hash"),
+    )
