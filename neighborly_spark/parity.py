@@ -1059,3 +1059,35 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.col("payload")).alias("n_bytes"),
         F.md5(F.col("payload")).alias("content_hash"),
     )
+
+
+@register(
+    "events_top_types_per_user",
+    """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+)
+SELECT user_id, event_type, n_events, total_value FROM (
+  SELECT *, row_number() OVER (ORDER BY n_events DESC, user_id ASC, event_type ASC) AS _g,
+         row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, event_type ASC) AS rn
+  FROM counts
+) WHERE rn <= 2
+""".strip(),
+    tags=["agg", "window"],
+)
+def events_top_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window in the gate: top-2 event types per user by count,
+    deterministic (count desc, type asc) tiebreak."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )

@@ -73,6 +73,9 @@ def import_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("delimiter", CSV_DELIM)
         .option("ignoreLeadingWhiteSpace", True)  # TrimOptions.Trim (Csv.cs:21)
         .option("ignoreTrailingWhiteSpace", True)
+        # quoted newlines are legal CSV (the reference's CsvHelper emits
+        # them); without multiLine Spark would split such rows mid-record
+        .option("multiLine", True)
         .csv(path)
     )
     split_f = lambda c, t: F.transform(  # noqa: E731 — empty cells -> empty array (Csv.cs:78-81)

@@ -88,3 +88,27 @@ def test_snapshot_load_without_manifest_marks_dirty(spark, three_rows, tmp_path)
     back, manifest = etl.load_database(spark, path)
     assert back.count() == 3
     assert manifest.get("dirty") is True
+
+
+def test_csv_roundtrip_hostile_text(spark, tmp_path):
+    """Text containing the delimiter, quotes, commas, and newlines must
+    survive CSV round-trip (the reference's CsvHelper quotes these;
+    Spark quotes on write but needs multiLine on read for embedded
+    newlines)."""
+    rows = [
+        ("h1", [1.0], [1], "semi;colon and , comma"),
+        ("h2", [2.0], [], 'quo"ted "text" here'),
+        ("h3", [3.0], [2], "line\nbreak inside"),
+        ("h4", [4.0], [], ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, embedding array<float>, tags array<smallint>, original_text string"
+    )
+    path = str(tmp_path / "hostile")
+    etl.export_csv(df, path)
+    back = etl.import_csv(spark, path)
+    got = {r.id: (list(r.embedding), list(r.tags), r.original_text) for r in back.collect()}
+    assert got["h1"] == ([1.0], [1], "semi;colon and , comma")
+    assert got["h2"] == ([2.0], [], 'quo"ted "text" here')
+    assert got["h3"] == ([3.0], [2], "line\nbreak inside")
+    assert got["h4"][2] == ""
