@@ -68,6 +68,21 @@ def _synth_vectors_600k(spark, sf_dir):
     return _STATE["vec6"]
 
 
+def _docs(spark, sf_dir):
+    """documents, repartitioned to the core count: the source parquet is one
+    split, and the dedup family's expensive per-row hashing would otherwise
+    run on a single task. Cached — every dedup entry shares it."""
+    if "docs" not in _STATE:
+        docs = (
+            load(spark, sf_dir, "documents")
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS") or 32))
+            .cache()
+        )
+        docs.count()
+        _STATE["docs"] = docs
+    return _STATE["docs"]
+
+
 QUERY_VEC = [0.1] * 64
 
 
@@ -126,19 +141,19 @@ def bench_ivf_150k(spark, sf_dir):
 def bench_dedup_minhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.3)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3, materialize=True)
 
 
 def bench_dedup_simhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3, materialize=True)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, materialize=True)
 
 
 def bench_dedup_jaccard(spark, sf_dir):
     from neighborly_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.3)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, materialize=True)
 
 
 BENCH_LOCAL = {

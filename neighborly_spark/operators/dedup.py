@@ -69,6 +69,35 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # --- n-gram Jaccard ----------------------------------------------------------
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(_id, _sh: array<long>) sorted-distinct hashed k-shingle sets — the
+    shared input of the Jaccard and MinHash pipelines.
+
+    One md5 per shingle, computed HERE and nowhere else: signatures,
+    candidate generation, and verification all derive from this projection,
+    so the expensive hashing pass runs once (localCheckpoint it via the
+    callers' `materialize` flag when the plan has several consumers). At
+    scale this is also the shuffle-size play: the inverted index and the
+    pair-verification joins move 8-byte longs, never shingle strings.
+    hash32 collisions fold two shingles into one set element — identically
+    in the DuckDB oracle (same md5-derived hash), so parity is exact.
+    """
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.array_distinct(F.transform(T.shingles(F.col(text_col), k), lambda s: T.hash32(s)))
+        ).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+
+
+def hashed_shingle_sets_duckdb_sql(t: str, k: int = 3) -> str:
+    """DuckDB twin of hashed_shingle_sets' set expression."""
+    sh = T.shingles_duckdb_sql(t, k)
+    return f"list_sort(list_distinct(list_transform({sh}, sg -> {T.hash32_duckdb_sql('sg')})))"
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -77,13 +106,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     round_to: int = 6,
     max_df: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by k-word-shingle Jaccard >= threshold.
 
-    Plan: per-doc shingle sets -> explode to an inverted index -> self-join
-    on shingle (candidate generation: only co-occurring docs pair up) ->
-    per-pair intersection count -> Jaccard against broadcast set sizes.
-    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Plan: per-doc HASHED shingle sets (hashed_shingle_sets) -> explode to an
+    inverted index of longs -> self-join (candidate generation: only
+    co-occurring docs pair up) -> per-pair intersection count -> Jaccard
+    against broadcast set sizes. Output: (id_a, id_b, jaccard), id_a < id_b.
 
     max_df: drop shingles appearing in more than max_df documents from
     CANDIDATE GENERATION (the standard stop-shingle prune — a shingle in d
@@ -92,10 +122,13 @@ def ngram_jaccard_pairs(
     shared shingles are pruned are missed: with max_df the operator is a
     documented approximation, the skew-proof contract for web-scale corpora.
     None (default) = exact.
+
+    materialize=True localCheckpoints the hashed sets (several consumers:
+    index, sizes, verification). Eager action; leave False for pure plans.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    sh = hashed_shingle_sets(df, id_col, text_col, k)
+    if materialize:
+        sh = sh.localCheckpoint()
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_df is not None:
@@ -169,33 +202,26 @@ def minhash_params(num_perm: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_perm: int = 16,
-) -> DataFrame:
-    """(id, sig: array<long>[num_perm]) MinHash signatures over k-shingles.
+def minhash_sig_expr(hashed: Column, num_perm: int = 16) -> Column:
+    """array<long>[num_perm] MinHash signature of an already-hashed shingle
+    array.
 
-    One md5 per shingle (hash32), then num_perm cheap permutations
-    (A_i*h + B_i mod 2^32) — the classic single-hash MinHash. The whole
-    signature is ONE fold over the hashed-shingle array: the per-permutation
-    running minima live in the fold accumulator, so shingle hashes are
-    evaluated exactly once (a per-permutation array_min would re-evaluate
-    the md5 transform num_perm times — Catalyst doesn't CSE across
-    expressions). A/B ride packed as A*2^32+B in one literal array so the
-    accumulator update is a single zip_with.
+    num_perm cheap permutations (A_i*h + B_i mod 2^32) of each 32-bit
+    shingle hash — the classic single-hash MinHash. The whole signature is
+    ONE fold over the array: the per-permutation running minima live in the
+    fold accumulator, so input elements are evaluated exactly once (a
+    per-permutation array_min would re-evaluate the input num_perm times —
+    Catalyst doesn't CSE across expressions). A/B ride packed as A*2^32+B in
+    one literal array so the accumulator update is a single zip_with.
+
+    Per-permutation min is order- and multiplicity-invariant, so the
+    signature is identical whether `hashed` is the raw per-shingle hash list
+    or the sorted-distinct set (hashed_shingle_sets).
     """
     a_const, b_const = minhash_params(num_perm)
     packed = F.lit([a * TWO32 + b for a, b in zip(a_const, b_const)]).cast("array<long>")
     init = F.array_repeat(F.lit(1 << 53).cast("long"), num_perm)
-
-    sh = df.select(
-        F.col(id_col).alias("_id"), T.shingles(F.col(text_col), k).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    hashed = F.transform(F.col("_sh"), lambda s: T.hash32(s))
-    sig = F.aggregate(
+    return F.aggregate(
         hashed,
         init,
         lambda acc, h: F.zip_with(
@@ -206,7 +232,19 @@ def minhash_signatures(
             ),
         ),
     )
-    return sh.select(F.col("_id"), sig.alias("sig"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) MinHash signatures over k-shingles:
+    one md5 per shingle (hashed_shingle_sets), then minhash_sig_expr."""
+    sh = hashed_shingle_sets(df, id_col, text_col, k)
+    return sh.select(F.col("_id"), minhash_sig_expr(F.col("_sh"), num_perm).alias("sig"))
 
 
 def minhash_sig_duckdb_sql(shingles_expr: str, num_perm: int = 16) -> str:
@@ -228,6 +266,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     round_to: int = 6,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate pairs by banded MinHash LSH, verified by exact shingle
     Jaccard >= threshold. Output (id_a, id_b, jaccard).
@@ -235,10 +274,18 @@ def minhash_lsh_pairs(
     Banding: num_perm/bands rows per band; band key = the row-slice of the
     signature. One shuffle keyed by (band_idx, band_key) generates the
     candidates; exact verification joins shingle sets back only for
-    candidate pairs.
+    candidate pairs. Signatures, banding, and verification all derive from
+    ONE hashed_shingle_sets projection — the md5 pass runs once, and every
+    shuffle in the pipeline carries longs, never shingle strings.
+
+    materialize=True localCheckpoints the hashed sets (three consumers).
+    Eager action; leave False for pure plans.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    sh = hashed_shingle_sets(df, id_col, text_col, k)
+    if materialize:
+        sh = sh.localCheckpoint()
+    sigs = sh.select("_id", minhash_sig_expr(F.col("_sh"), num_perm).alias("sig"))
     band_arr = F.array(
         *[
             F.struct(
@@ -258,16 +305,10 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    # verification on HASHED shingle sets: long-array intersections are far
+    # verification on the same hashed sets: long-array intersections are far
     # cheaper than string-set intersections, and cross-engine exact — the
     # oracle hashes with the same md5-derived hash32, so even collisions
     # (which fold two shingles into one set element) reproduce identically.
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_sort(
-            F.array_distinct(F.transform(T.shingles(F.col(text_col), k), lambda s: T.hash32(s)))
-        ).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")

@@ -395,7 +395,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
 WITH sh AS (
-  SELECT doc_id, {T.shingles_duckdb_sql('text', 3)} AS s FROM documents
+  SELECT doc_id, {DD.hashed_shingle_sets_duckdb_sql('text', 3)} AS s FROM documents
   WHERE len({T.shingles_duckdb_sql('text', 3)}) > 0
 ),
 inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
@@ -413,7 +413,9 @@ WHERE round(CAST(p.common AS DOUBLE) / CAST(sa.n + sb.n - p.common AS DOUBLE), {
     tags=["dedup"],
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-shingle Jaccard near-dup pairs >= 0.3 via inverted-index self-join."""
+    """3-shingle Jaccard near-dup pairs >= 0.3 via inverted-index self-join.
+    Both engines work on md5-hashed shingle sets (never shingle strings) —
+    collisions fold identically, so parity is exact."""
     docs = load(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND)
 
@@ -1000,7 +1002,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     f"""
 WITH RECURSIVE sh AS (
-  SELECT doc_id, {T.shingles_duckdb_sql('text', 3)} AS s FROM documents
+  SELECT doc_id, {DD.hashed_shingle_sets_duckdb_sql('text', 3)} AS s FROM documents
   WHERE len({T.shingles_duckdb_sql('text', 3)}) > 0
 ),
 inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
