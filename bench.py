@@ -33,15 +33,21 @@ _STATE: dict = {}
 
 
 def _synth_vectors(spark, sf_dir):
-    """150k (at sf0.1) synthetic vectors: orders hash-embedded at dim 64."""
+    """150k (at sf0.1) synthetic vectors: orders hash-embedded at dim 64.
+    Repartitioned to the core count — the source parquet is one split, and a
+    single-partition cache would serialize every downstream scan."""
     if "vec" not in _STATE:
         orders = load(spark, sf_dir, "orders")
-        vec = orders.select(
-            F.col("o_orderkey").alias("id"),
-            hash_embedding_fast(
-                F.concat_ws(" ", "o_orderpriority", "o_orderstatus", F.col("o_totalprice").cast("string")), 64
-            ).alias("embedding"),
-        ).cache()
+        vec = (
+            orders.select(
+                F.col("o_orderkey").alias("id"),
+                hash_embedding_fast(
+                    F.concat_ws(" ", "o_orderpriority", "o_orderstatus", F.col("o_totalprice").cast("string")), 64
+                ).alias("embedding"),
+            )
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS") or 32))
+            .cache()
+        )
         vec.count()
         _STATE["vec"] = vec
     return _STATE["vec"]
