@@ -284,6 +284,59 @@ def knn_join_vectorized(
     return out
 
 
+def knn_join_blocked(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "euclidean",
+    chunk_size: int = 50_000,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Exact batch k-NN for query sets too large to collect/broadcast at once
+    — the 100k-1M band where approx_knn_join's recall tradeoff isn't wanted.
+
+    Block nested-loop: stream the query side through the driver in bounded
+    chunks (toLocalIterator — one partition in driver memory at a time, never
+    the whole set), run each chunk on the BLAS path (knn_join_vectorized),
+    union the per-chunk results. Driver memory is bounded by chunk_size query
+    rows; the data side is scanned ceil(|Q|/chunk_size) times, so CACHE it —
+    at scale the pruned (id, vec) columnar scan is cheap next to the
+    |D|x|Q|xdim flops, which are identical across formulations.
+
+    NOTE: chunking consumes the query iterator at plan-BUILD time (eager),
+    unlike the lazy single-chunk path. Floats are BLAS-accumulated (see
+    knn_join_vectorized); the oracle-parity path stays knn_join.
+    """
+    import itertools
+    from functools import reduce
+
+    spark = data.sparkSession
+    q_proj = queries.select(query_id_col, query_vec_col)
+    it = q_proj.toLocalIterator(prefetchPartitions=True)
+    outs = []
+    while chunk := list(itertools.islice(it, chunk_size)):
+        qdf = spark.createDataFrame(chunk, q_proj.schema)
+        outs.append(
+            knn_join_vectorized(
+                data, qdf, k, metric,
+                id_col=id_col, vec_col=vec_col,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                dist_col=dist_col,
+            )
+        )
+    if not outs:  # empty query side -> empty result with the output schema
+        out_schema = (
+            f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, "
+            f"{id_col} {dict(data.dtypes)[id_col]}, {dist_col} double"
+        )
+        return spark.createDataFrame([], out_schema)
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
 def knn_vectorized(
     df: DataFrame,
     query_vec: list[float],

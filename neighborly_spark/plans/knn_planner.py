@@ -8,6 +8,8 @@ Python planner over the three physical strategies (no Catalyst extension):
 |--------------|----------------------------------------|-----------|
 | `exact`      | tiny work (|D|x|Q| small) or exactness | |D|x|Q| interpreted folds, oracle-grade floats |
 | `vectorized` | |Q| collectible, result must be exact  | |D|x|Q| BLAS flops, one scan, tiny shuffle |
+| `blocked`    | |Q| beyond collect budget but approx   | BLAS per driver-streamed query chunk; |
+|              | not allowed (exact results required)   | ceil(|Q|/chunk) scans of (cached) data |
 | `lsh`        | |Q| too big to collect/broadcast, or   | bucket join; approximate (recall-gated) |
 |              | |D|x|Q| beyond the flop budget          |            |
 
@@ -40,15 +42,20 @@ def plan_knn_join(
     query_count: int,
     dim: int,
     require_exact_floats: bool = False,
+    allow_approx: bool = True,
 ) -> KnnJoinPlan:
     work = data_count * query_count
     if require_exact_floats:
         return KnnJoinPlan("exact", "caller requires sequential-fold float semantics (oracle parity)")
     if query_count > MAX_COLLECTED_QUERIES:
-        return KnnJoinPlan("lsh", f"|Q|={query_count} exceeds collect/broadcast budget")
+        if allow_approx:
+            return KnnJoinPlan("lsh", f"|Q|={query_count} exceeds collect/broadcast budget")
+        return KnnJoinPlan(
+            "blocked", f"|Q|={query_count} exceeds collect budget and exact results required"
+        )
     if work <= EXACT_WORK_LIMIT and query_count <= 64:
         return KnnJoinPlan("exact", f"|D|x|Q|={work} small enough for declarative folds")
-    if work * dim <= VECTORIZED_WORK_LIMIT:
+    if work * dim <= VECTORIZED_WORK_LIMIT or not allow_approx:
         return KnnJoinPlan("vectorized", f"BLAS matmul over |D|x|Q|={work} at dim {dim}")
     return KnnJoinPlan("lsh", f"|D|x|Q|x dim={work * dim} beyond exact budget — prune candidates")
 
@@ -64,19 +71,22 @@ def knn_join_auto(
     query_vec_col: str = "query_embedding",
     data_count: int | None = None,
     query_count: int | None = None,
+    allow_approx: bool = True,
 ) -> tuple[DataFrame, KnnJoinPlan]:
     """Plan and execute; returns (result, plan). Counts may be passed from
     table stats to avoid the count() jobs."""
-    from neighborly_spark.operators.knn import knn_join, knn_join_vectorized
+    from neighborly_spark.operators.knn import knn_join, knn_join_blocked, knn_join_vectorized
     from neighborly_spark.operators.lsh import approx_knn_join
 
     nd = data_count if data_count is not None else data.count()
     nq = query_count if query_count is not None else queries.count()
-    plan = plan_knn_join(nd, nq, dim)
+    plan = plan_knn_join(nd, nq, dim, allow_approx=allow_approx)
     if plan.strategy == "exact":
         out = knn_join(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     elif plan.strategy == "vectorized":
         out = knn_join_vectorized(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
+    elif plan.strategy == "blocked":
+        out = knn_join_blocked(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     else:
         out = approx_knn_join(
             data, queries, k, radius_for_lsh, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col, dim=dim

@@ -14,6 +14,37 @@ def test_plan_thresholds():
     assert plan_knn_join(10_000_000_000, 50_000, 768).strategy == "lsh"
     p = plan_knn_join(10_000_000, 32, 64, require_exact_floats=True)
     assert p.strategy == "exact" and "oracle" in p.reason
+    # exactness required: big |Q| -> blocked, big work -> vectorized
+    assert plan_knn_join(1000, 500_000, 64, allow_approx=False).strategy == "blocked"
+    assert plan_knn_join(10_000_000_000, 50_000, 768, allow_approx=False).strategy == "vectorized"
+
+
+def test_knn_join_blocked_matches_exact(spark):
+    from neighborly_spark.operators.knn import knn_join, knn_join_blocked
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+    )
+    queries = emb.limit(25).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    exact = {
+        (r.query_id, r.id): r.dist for r in knn_join(emb, queries, k=3).collect()
+    }
+    # chunk_size 10 -> 3 chunks exercises the block loop + union
+    blocked = {
+        (r.query_id, r.id): r.dist
+        for r in knn_join_blocked(emb, queries, k=3, chunk_size=10).collect()
+    }
+    assert blocked.keys() == exact.keys()
+    # BLAS expands d^2 = |x|^2 - 2xq + |q|^2 (cancellation ~1e-8 on float32
+    # inputs); the fold subtracts first. Same ids, distances to ~1e-7.
+    for key, d in blocked.items():
+        assert abs(d - exact[key]) < 1e-6
+
+    empty = knn_join_blocked(emb, queries.limit(0), k=3, chunk_size=10)
+    assert empty.count() == 0 and empty.columns == ["query_id", "id", "dist"]
 
 
 def test_knn_join_auto_executes_chosen_strategy(spark):
