@@ -171,6 +171,57 @@ def quality_score_duckdb_sql(t: str) -> str:
     )
 
 
+def text_stats_exprs(text: Column) -> Column:
+    """struct(n_tokens, lang_pred, stopword_ratio, quality) — every
+    token-derived stat computed off ONE let-bound token array.
+
+    The standalone functions each call tokens() themselves; composing them
+    (as text_stats does) costs ~12 regex splits per row because Catalyst
+    does not CSE across expressions. Binding the array as a lambda variable
+    evaluates the split once. Values are expression-for-expression identical
+    to token_count / lang_id / stopword_ratio(en) / quality_score — the
+    DuckDB twins of those functions remain the oracle.
+
+    CONSUMPTION PATTERN: when reading more than one field, land the struct
+    in its own projection first (df.withColumn("_st", text_stats_exprs(t))
+    .select(col("_st.x"), ...)). Selecting struct[field] several times in ONE
+    projection inlines the whole struct per reference — HOFs get no codegen
+    and no runtime subexpression elimination, so that re-tokenizes per field.
+    CollapseProject keeps the two projections apart (the struct isn't cheap).
+    """
+    punct = punct_ratio(text)  # text-direct, no tokenization
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        scores = [
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))) for lang in LANGS
+        ]
+        best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        lang_expr = F.lit("unknown")
+        for lang, score in reversed(list(zip(LANGS, scores))):
+            lang_expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(lang_expr)
+        sw_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+            scores[0].cast("double") / n.cast("double")  # LANGS[0] == 'en'
+        )
+        distinct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+        )
+        quality = (
+            F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + distinct_ratio * 0.3
+            + (F.lit(1.0) - F.least(punct * 4.0, F.lit(1.0))) * 0.15
+            + F.least(sw_ratio * 2.0, F.lit(1.0)) * 0.15
+        )
+        return F.struct(
+            n.alias("n_tokens"),
+            lang_expr.alias("lang_pred"),
+            sw_ratio.alias("stopword_ratio"),
+            quality.alias("quality"),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
+
+
 # --- fingerprints / hashing ---------------------------------------------------
 
 

@@ -251,16 +251,21 @@ FROM documents
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: token counts (whitespace + BPE-ish),
     heuristic language ID, stopword ratio, composite quality score, content
-    fingerprint."""
+    fingerprint. All token-derived stats come from text_stats_exprs' single
+    let-bound tokenization (12 regex splits/row -> 1, identical values)."""
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    # struct lands in its OWN projection: referencing text_stats_exprs(t)
+    # four times in one select would inline (and re-tokenize) it four times —
+    # CollapseProject keeps the two projects apart because the struct isn't
+    # cheap, so the stats compute once per row.
+    return docs.withColumn("_st", T.text_stats_exprs(t)).select(
         "doc_id",
-        T.token_count(t).alias("n_tokens"),
+        F.col("_st.n_tokens").alias("n_tokens"),
         T.bpe_ish_token_count(t).alias("bpe_tokens"),
-        T.lang_id(t).alias("lang_pred"),
-        F.round(T.stopword_ratio(t), ROUND).alias("stopword_ratio"),
-        F.round(T.quality_score(t), ROUND).alias("quality"),
+        F.col("_st.lang_pred").alias("lang_pred"),
+        F.round(F.col("_st.stopword_ratio"), ROUND).alias("stopword_ratio"),
+        F.round(F.col("_st.quality"), ROUND).alias("quality"),
         T.fingerprint(t).alias("fingerprint"),
     )
 
@@ -275,9 +280,8 @@ FROM documents GROUP BY 1
 )
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return docs.groupBy(T.lang_id(F.col("text")).alias("lang_pred")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    lang = T.text_stats_exprs(F.col("text"))["lang_pred"]
+    return docs.groupBy(lang.alias("lang_pred")).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 @register(
@@ -290,8 +294,9 @@ FROM documents ORDER BY quality DESC, doc_id ASC LIMIT 20
 )
 def quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    quality = T.text_stats_exprs(F.col("text"))["quality"]
     return (
-        docs.select("doc_id", F.round(T.quality_score(F.col("text")), ROUND).alias("quality"))
+        docs.select("doc_id", F.round(quality, ROUND).alias("quality"))
         .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
         .limit(20)
     )
@@ -853,10 +858,11 @@ def pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    scored = docs.select(
+    # separate projection for the struct — see text_stats for why
+    scored = docs.withColumn("_st", T.text_stats_exprs(F.col("text"))).select(
         "doc_id",
-        F.round(T.quality_score(F.col("text")), ROUND).alias("quality"),
-        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(F.col("_st.quality"), ROUND).alias("quality"),
+        F.col("_st.lang_pred").alias("lang_pred"),
         T.fingerprint(F.col("text")).alias("f"),
     ).filter(F.col("quality") >= 0.5)
     survivors = scored.withColumn(

@@ -39,6 +39,11 @@ PAIRS = [
     ("punct_ratio", lambda c: F.round(T.punct_ratio(c), 6), lambda t: f"round({T.punct_ratio_duckdb_sql(t)}, 6)"),
     ("distinct_ratio", lambda c: F.round(T.distinct_token_ratio(c), 6), lambda t: f"round({T.distinct_token_ratio_duckdb_sql(t)}, 6)"),
     ("quality", lambda c: F.round(T.quality_score(c), 6), lambda t: f"round({T.quality_score_duckdb_sql(t)}, 6)"),
+    # fused single-tokenization struct must equal the standalone functions
+    ("fused_n_tokens", lambda c: T.text_stats_exprs(c)["n_tokens"], lambda t: T.token_count_duckdb_sql(t)),
+    ("fused_lang", lambda c: T.text_stats_exprs(c)["lang_pred"], lambda t: T.lang_id_duckdb_sql(t)),
+    ("fused_sw_ratio", lambda c: F.round(T.text_stats_exprs(c)["stopword_ratio"], 6), lambda t: f"round({T.stopword_ratio_duckdb_sql(t)}, 6)"),
+    ("fused_quality", lambda c: F.round(T.text_stats_exprs(c)["quality"], 6), lambda t: f"round({T.quality_score_duckdb_sql(t)}, 6)"),
     ("fingerprint", lambda c: T.fingerprint(c), lambda t: T.fingerprint_duckdb_sql(t)),
     ("hash32", lambda c: T.hash32(c), lambda t: T.hash32_duckdb_sql(t)),
     ("shingles2", lambda c: T.shingles(c, 2), lambda t: T.shingles_duckdb_sql(t, 2)),
