@@ -212,6 +212,7 @@ def knn_join_vectorized(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
     dist_col: str = "dist",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Batch k-NN via one vectorized pass: NumPy/BLAS distance matrix per
     Arrow batch + per-partition top-k INSIDE the UDF, so only
@@ -223,6 +224,10 @@ def knn_join_vectorized(
     The queries side is collected to the driver (it is the broadcast-small
     side by contract — use operators.lsh.approx_knn_join when it isn't).
 
+    payload_cols: extra data columns carried through to the result (only the
+    per-partition top-k rows ever leave the UDF, so carrying payload is free
+    versus a second scan to join it back on id).
+
     Float note: BLAS accumulation order differs from the sequential fold, so
     results are NOT bit-identical to knn_join (they agree to ~1e-12 rel);
     the oracle-checked parity path stays on knn_join.
@@ -230,6 +235,7 @@ def knn_join_vectorized(
     import numpy as np
     import pandas as pd
 
+    payload_cols = payload_cols or []
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
@@ -241,9 +247,14 @@ def knn_join_vectorized(
     else:
         raise ValueError(f"vectorized knn_join supports euclidean/cosine, not {metric!r}")
 
-    out_schema = (
-        f"{query_id_col} {dict(queries.dtypes)[query_id_col]}, "
-        f"{id_col} {dict(data.dtypes)[id_col]}, {dist_col} double"
+    data_types = dict(data.dtypes)
+    out_schema = ", ".join(
+        [
+            f"{query_id_col} {dict(queries.dtypes)[query_id_col]}",
+            f"{id_col} {data_types[id_col]}",
+            f"{dist_col} double",
+        ]
+        + [f"{c} {data_types[c]}" for c in payload_cols]
     )
 
     def part(batches):
@@ -252,6 +263,7 @@ def knn_join_vectorized(
         for pdf in batches:
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
             ids = pdf[id_col].to_numpy()
+            pvals = [pdf[c].to_numpy() for c in payload_cols]
             if metric == "euclidean":
                 d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ qmat.T) + q_sq[None, :]
                 dist = np.sqrt(np.maximum(d2, 0.0))  # (n, nq)
@@ -262,22 +274,32 @@ def knn_join_vectorized(
             sel = np.argpartition(dist, top - 1, axis=0)[:top]  # (top, nq)
             for qi in range(nq):
                 rows_i = sel[:, qi]
-                best[qi].extend(zip(dist[rows_i, qi], ids[rows_i]))
+                best[qi].extend(
+                    (dist[ri, qi], ids[ri]) + tuple(p[ri] for p in pvals) for ri in rows_i
+                )
         recs = []
         for qi in range(nq):
             cand = sorted(best[qi], key=lambda t: (t[0], t[1]))[:k]
-            recs.extend((qids[qi], i, float(d)) for d, i in cand)
+            recs.extend((qids[qi], t[1], float(t[0]), *t[2:]) for t in cand)
         if recs:
-            yield pd.DataFrame(recs, columns=[query_id_col, id_col, dist_col])
+            yield pd.DataFrame(recs, columns=[query_id_col, id_col, dist_col, *payload_cols])
 
-    partials = data.select(id_col, vec_col).mapInPandas(part, out_schema)
+    extra = [c for c in payload_cols if c not in (id_col, vec_col)]
+    partials = data.select(id_col, vec_col, *extra).mapInPandas(part, out_schema)
     # final merge: tiny (queries x partitions x k rows)
-    payload = F.struct(F.col(dist_col).alias("d"), F.col(id_col).alias("id"))
+    payload = F.struct(
+        F.col(dist_col).alias("d"),
+        F.col(id_col).alias("id"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
     merged = partials.groupBy(query_id_col).agg(
         F.slice(F.array_sort(F.collect_list(payload)), 1, k).alias("_cand")
     )
     out = merged.select(query_id_col, F.explode("_cand").alias("_c")).select(
-        query_id_col, F.col("_c.id").alias(id_col), F.col("_c.d").alias(dist_col)
+        query_id_col,
+        F.col("_c.id").alias(id_col),
+        F.col("_c.d").alias(dist_col),
+        *[F.col(f"_c.{c}").alias(c) for c in payload_cols],
     )
     if metric == "cosine":
         out = out.withColumn(dist_col, -F.col(dist_col))  # back to similarity
@@ -345,6 +367,7 @@ def knn_vectorized(
     id_col: str = "id",
     vec_col: str = "embedding",
     dist_col: str = "dist",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Single-query exact k-NN on the BLAS path (one-query knn_join_vectorized).
 
@@ -352,10 +375,12 @@ def knn_vectorized(
     at dim 768 (per-partition top-k inside the UDF means Arrow only carries
     k rows out, so the BLAS path wins at every dim once the scan is warm).
     Floats are BLAS-accumulated — use knn() where sequential-fold semantics
-    matter (oracle parity).
+    matter (oracle parity). payload_cols ride along (see knn_join_vectorized).
     """
     spark = df.sparkSession
     qdf = spark.createDataFrame([("q0", [float(x) for x in query_vec])],
                                 f"query_id string, query_embedding array<float>")
-    out = knn_join_vectorized(df, qdf, k, metric, id_col, vec_col, dist_col=dist_col)
+    out = knn_join_vectorized(
+        df, qdf, k, metric, id_col, vec_col, dist_col=dist_col, payload_cols=payload_cols
+    )
     return out.drop("query_id").orderBy(*_order_cols(metric, dist_col, id_col))

@@ -221,6 +221,100 @@ def pq_train(
     return PQModel(models, m, sub_dim, k)
 
 
+class _ArrayKMeansModel:
+    """Driver-trained codebook exposing MLlib's clusterCenters() surface, so
+    PQModel treats sampled-Lloyd and MLlib codebooks identically."""
+
+    def __init__(self, centers):
+        self._centers = centers  # ndarray (k, sub_dim)
+
+    def clusterCenters(self):
+        return list(self._centers)
+
+
+def pq_train_sampled(
+    df: DataFrame,
+    dim: int,
+    m: int | None = None,
+    num_centroids: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 50,
+    sample_size: int = 65_536,
+) -> PQModel:
+    """Scale-path PQ trainer: ONE pass over the data, then driver-side
+    vectorized Lloyd per sub-space.
+
+    pq_train runs m MLlib KMeans fits = m x iterations distributed passes —
+    correct but wasteful at scale, where codebooks are universally trained on
+    a sample anyway (the codebook describes the distribution, not each row;
+    256 centroids saturate long before 65k training points). Sampling is a
+    deterministic hash-ordered top-N (TakeOrderedAndProject on xxhash64):
+    one scan, bounded memory, same sample every run on the same data — no
+    seeded-RNG cross-engine drift.
+
+    The m codebooks then come from NumPy Lloyd (kmeans++ init, seeded 42 like
+    ProductQuantization.cs:171) on the driver: 65k x sub_dim x 256 distance
+    matrices are millisecond-scale BLAS. Same PQModel interface; recall-gated
+    like every approximate operator (not hash-matched — .NET Random differs
+    regardless of trainer).
+    """
+    import numpy as np
+
+    if m is None:
+        m = pq_auto_subvectors(dim)
+    sub_dim = dim // m
+    sample = (
+        df.select(F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_v")))
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.asarray([r._v for r in sample], dtype=np.float64)  # (n, dim)
+    n = mat.shape[0]
+    k = min(num_centroids, max(2, n))
+    rng = np.random.RandomState(seed)
+    models = []
+    for s in range(m):
+        x = mat[:, s * sub_dim : (s + 1) * sub_dim]  # (n, sub_dim)
+        centers = _lloyd(x, k, rng, max_iter)
+        models.append(_ArrayKMeansModel(centers))
+    return PQModel(models, m, sub_dim, k)
+
+
+def _lloyd(x, k: int, rng, max_iter: int):
+    """Vectorized Lloyd with kmeans++ seeding; empty clusters re-seeded from
+    the points farthest from their assigned center."""
+    import numpy as np
+
+    n = x.shape[0]
+    # kmeans++ init
+    centers = np.empty((k, x.shape[1]))
+    centers[0] = x[rng.randint(n)]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers[i] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        # (n, k) squared distances via expansion; argmin assignment
+        d = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        new = np.empty_like(centers)
+        for ci in range(k):
+            mask = assign == ci
+            if mask.any():
+                new[ci] = x[mask].mean(axis=0)
+            else:
+                new[ci] = x[d.min(axis=1).argmax()]
+        if np.allclose(new, centers):
+            centers = new
+            break
+        centers = new
+    return centers
+
+
 def pq_encode(
     df: DataFrame, model: PQModel, vec_col: str = "embedding", code_col: str = "pq_code"
 ) -> DataFrame:

@@ -25,10 +25,18 @@ from neighborly_spark.functions.embedding import EMBEDDERS
 from neighborly_spark.operators import ivf as IVF
 from neighborly_spark.operators import lsh as LSH
 from neighborly_spark.operators import quantization as QZ
-from neighborly_spark.operators.knn import knn, range_search, threshold_filter
+from neighborly_spark.operators.knn import knn, knn_vectorized, range_search, threshold_filter
 from neighborly_spark.operators.text_search import text_search
 
 EXACT_METHODS = {"linear", "kdtree", "balltree"}
+
+#: Dimension at or above which the facade's exact path switches from the
+#: declarative HOF plan to the BLAS mapInPandas kernel. The HOF fold is
+#: interpreted per element (cost ~ dim), the BLAS matmul is vectorized;
+#: measured crossover is well below 128 but the HOF path keeps exact
+#: sequential-fold float semantics, so we only leave it when the win is
+#: decisive (17x at dim 256, 150k rows).
+BLAS_DIM_CUTOFF = 128
 
 
 class SearchService:
@@ -95,6 +103,7 @@ class SearchService:
         method: str = "kdtree",  # the reference's default (VectorDatabase.cs:192)
         threshold: float | None = None,
         metric: str = "euclidean",
+        exact_path: str = "auto",  # auto | hof | blas
     ) -> DataFrame:
         method = method.lower()
         if text is not None:
@@ -105,7 +114,22 @@ class SearchService:
             raise ValueError("provide query_vec or text")
 
         if method in EXACT_METHODS:
-            out = knn(self.df, query_vec, k, metric, self.id_col, self.vec_col)
+            use_blas = exact_path == "blas" or (
+                exact_path == "auto"
+                and self.dim >= BLAS_DIM_CUTOFF
+                and metric in ("euclidean", "cosine")
+            )
+            if use_blas:
+                # carry every non-key column so the BLAS result's schema
+                # matches the declarative path (columns in table order + dist)
+                payload = [c for c in self.df.columns if c not in (self.id_col, self.vec_col)]
+                out = knn_vectorized(
+                    self.df, query_vec, k, metric, self.id_col, self.vec_col,
+                    payload_cols=[self.vec_col] + payload,
+                )
+                out = out.select(*self.df.columns, "dist")
+            else:
+                out = knn(self.df, query_vec, k, metric, self.id_col, self.vec_col)
         elif method == "lsh":
             out = LSH.lsh_knn(self.df, query_vec, k, self.vec_col, model=self._lsh_model)
         elif method == "hnsw":

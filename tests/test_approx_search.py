@@ -127,3 +127,36 @@ def test_search_service_dispatch(emb, query):
         svc.range_search(query, radius=0.0)
     with pytest.raises(ValueError):
         svc.search(query_vec=query, method="nope")
+
+
+def test_pq_train_sampled_matches_mllib_recall(emb, query):
+    """Scale-path trainer (one pass + driver Lloyd) reaches the same recall
+    band as the m-MLlib-fits trainer, deterministically."""
+    exact = [r.id for r in exact_knn(emb, query, 20).collect()]
+    model = QZ.pq_train_sampled(emb, dim=64, num_centroids=64)
+    encoded = QZ.pq_encode(emb, model)
+    approx = [r.id for r in QZ.pq_search(encoded, model, query, 20).collect()]
+    assert _recall(approx, exact) >= 0.5
+    # deterministic: same data -> bit-identical codebooks (hash-ordered
+    # sample + seeded kmeans++/Lloyd, no RNG from Spark partitioning)
+    model2 = QZ.pq_train_sampled(emb, dim=64, num_centroids=64)
+    assert model.centroids == model2.centroids
+    assert model.m == model2.m and model.sub_dim == model2.sub_dim
+
+
+def test_search_service_blas_exact_path(emb, query):
+    """exact_path='blas' returns the same rows/schema as the declarative
+    path; 'auto' picks HOF below the dim cutoff and BLAS at/above it."""
+    svc = SearchService(emb, dim=64)
+    hof = svc.search(query_vec=query, k=5, method="linear", exact_path="hof")
+    blas = svc.search(query_vec=query, k=5, method="linear", exact_path="blas")
+    assert hof.columns == blas.columns
+    h = [(r.id, round(r.dist, 6), r.label) for r in hof.collect()]
+    b = [(r.id, round(r.dist, 6), r.label) for r in blas.collect()]
+    assert h == b
+    # auto: dim 64 < cutoff -> declarative plan (no mapInPandas node)
+    auto_plan = svc.search(query_vec=query, k=5, method="linear")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in auto_plan
+    svc_big = SearchService(emb, dim=128)  # pretend-dim: only dispatch looks at it
+    auto_big = svc_big.search(query_vec=query, k=5, method="linear")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in auto_big
