@@ -24,6 +24,8 @@ from neighborly_spark.operators.knn import (
     with_distance,
 )
 
+from neighborly_spark.functions.text import tokens, tokens_duckdb_sql
+
 PREFIX_UNION_MAX_LEN = 20  # SearchService.cs:121
 
 
@@ -35,6 +37,132 @@ def embed_table(
 ) -> DataFrame:
     """Attach the deterministic hash embedding of a text column."""
     return df.withColumn(out_col, hash_embedding(F.col(text_col), dim))
+
+
+def _bm25_terms(query: str) -> list[str]:
+    """Distinct lowercased whitespace terms, first-seen order."""
+    return list(dict.fromkeys(query.lower().split()))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 ranked lexical retrieval — the keyword-search complement to the
+    vector-search operators (north-star extension; the reference's only text
+    matching is the k-NN prefix union, Search/SearchService.cs:121-127).
+
+    Okapi BM25 with the Lucene idf form ln((N - df + 0.5)/(df + 0.5) + 1):
+    one corpus-stats aggregate (N, total token length, per-term doc
+    frequency — a single reduce to ONE row, broadcast back into the scoring
+    scan), then a per-doc score and a distributed top-k. Two passes over the
+    corpus total; at scale the stats pass amortizes across queries by
+    materializing the aggregate once per corpus version.
+
+    Determinism: token counts are integers; the score arithmetic is fixed
+    left-to-right double math, rounded to `round_to` — oracle-checkable
+    (bm25_topk_duckdb_sql is the twin). Ties order by id.
+    """
+    terms = _bm25_terms(query)
+    if not terms:
+        raise ValueError("empty BM25 query")
+
+    toks = tokens(F.col(text_col))
+
+    # corpus stats: one row — tokenize once per row via the let-bound struct
+    def stats_body(t: F.Column) -> F.Column:
+        return F.struct(
+            F.size(t).alias("dl"),
+            *[F.array_contains(t, term).cast("long").alias(f"has{i}") for i, term in enumerate(terms)],
+        )
+
+    stats_struct = F.element_at(F.transform(F.array(toks), stats_body), 1)
+    stats = (
+        df.withColumn("_cs", stats_struct)
+        .select("_cs.*")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+            *[F.sum(f"has{i}").alias(f"df{i}") for i in range(len(terms))],
+        )
+    )
+
+    # per-doc (dl, tf_i) — same let-bind so the regex split runs once per row
+    def doc_body(t: F.Column) -> F.Column:
+        return F.struct(
+            F.size(t).alias("dl"),
+            *[
+                F.size(F.filter(t, lambda x: x == F.lit(term))).alias(f"tf{i}")
+                for i, term in enumerate(terms)
+            ],
+        )
+
+    scored = (
+        df.withColumn("_st", F.element_at(F.transform(F.array(toks), doc_body), 1))
+        .select(id_col, "_st.*")
+        .crossJoin(F.broadcast(stats))
+    )
+
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df{i}").cast("double") + 0.5)
+            / (F.col(f"df{i}").cast("double") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        term_score = idf * (tf * (1.0 + float(k1))) / (tf + F.lit(float(k1)) * norm)
+        score = term_score if score is None else score + term_score
+
+    out = scored.withColumn("score", F.round(score, round_to)).filter(F.col("score") > 0.0)
+    return out.select(id_col, "score").orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_topk_duckdb_sql(
+    query: str,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of bm25_topk — identical operation order and rounding."""
+    terms = _bm25_terms(query)
+    toks = tokens_duckdb_sql(text_col)
+    has = ", ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1::BIGINT ELSE 0::BIGINT END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    norm = f"(1.0 - {b!r} + {b!r} * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+    parts = []
+    for i in range(len(terms)):
+        idf = f"ln((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        parts.append(
+            f"({idf} * (CAST(tf{i} AS DOUBLE) * (1.0 + {k1!r})) / (CAST(tf{i} AS DOUBLE) + {k1!r} * {norm}))"
+        )
+    score = " + ".join(parts)
+    return f"""
+WITH toked AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS total_len, {has} FROM toked),
+docs AS (SELECT {id_col}, len(toks) AS dl, {tfs} FROM toked),
+scored AS (SELECT {id_col}, round({score}, {round_to}) AS score FROM docs, stats)
+SELECT {id_col}, score FROM scored WHERE score > 0.0
+ORDER BY score DESC, {id_col} ASC
+LIMIT {k}
+""".strip()
 
 
 def text_search(

@@ -368,6 +368,23 @@ def text_knn_short_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.text_search(v, _SHORT_QUERY, k=5, dim=EMBED_DIM, round_to=ROUND)
 
 
+_BM25_QUERY = "vector hash join merge"
+
+
+@register(
+    "bm25_topk",
+    TS.bm25_topk_duckdb_sql(_BM25_QUERY, k=15),
+    tags=["search", "text"],
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked lexical retrieval over documents (north-star extension —
+    keyword complement to vector search). Corpus stats (N, avgdl, per-term
+    df) are one broadcast aggregate row; scoring is a scan + distributed
+    top-k. Fixed left-to-right double arithmetic, rounded to 6dp."""
+    docs = load(spark, sf_dir, "documents")
+    return TS.bm25_topk(docs, _BM25_QUERY, k=15)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (driver north star) over documents / embeddings
 # ---------------------------------------------------------------------------

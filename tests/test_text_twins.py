@@ -84,3 +84,28 @@ def test_minhash_sig_twin(spark):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == want[k], k
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against a hand-computed 3-doc corpus (Lucene idf form)."""
+    import math
+
+    from neighborly_spark.operators.text_search import bm25_topk
+
+    docs = [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian elderberry fig")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r.score for r in bm25_topk(df, "apple banana", k=3).collect()}
+
+    def expected(tf_counts, dl):
+        n, avgdl, k1, b = 3, 8 / 3, 1.2, 0.75
+        dfreq = {"apple": 1, "banana": 2}
+        s = 0.0
+        for term in ["apple", "banana"]:
+            idf = math.log((n - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1)
+            tf = tf_counts.get(term, 0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(s, 6)
+
+    assert out[1] == pytest.approx(expected({"apple": 2, "banana": 1}, 3), abs=1e-6)
+    assert out[2] == pytest.approx(expected({"banana": 1}, 2), abs=1e-6)
+    assert 3 not in out  # no query terms -> score 0 -> filtered
