@@ -69,3 +69,51 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     free."""
     u = hash32(F.col(key_col).cast("string")).cast("double") / F.lit(TWO32)
     return df.filter(u < fraction)
+
+
+def stratified_sample_exact(
+    df: DataFrame, strata_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly n rows per stratum (fewer if the stratum is smaller),
+    content-stable: rows ranked inside each stratum by (hash32(key), key) —
+    the same rows win on every rerun, engine, and layout.
+
+    Class rebalancing for curation pipelines (cap the dominant language /
+    source). The window partitions by the stratum key — a keyed shuffle that
+    scales with stratum count, NOT a global window; skewed strata sort only
+    their own partition's rows.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string")
+    w = Window.partitionBy(strata_col).orderBy(hash32(key).asc(), key.asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n_per_stratum).drop("_rn")
+
+
+def stratified_sample_exact_duckdb_sql(
+    table: str, strata_col: str, key_col: str, n_per_stratum: int, select_cols: str = "*"
+) -> str:
+    """DuckDB twin of stratified_sample_exact (same rank key, same rows)."""
+    key = f"CAST({key_col} AS VARCHAR)"
+    return f"""
+SELECT {select_cols} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {strata_col}
+    ORDER BY {hash32_duckdb_sql(key)} ASC, {key} ASC
+  ) AS _rn FROM {table}
+) WHERE _rn <= {n_per_stratum}
+""".strip()
+
+
+def stratified_hash_sample(
+    df: DataFrame, strata_col: str, key_col: str, fractions: dict[str, float], default: float = 0.0
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. downweight a dominant source to 10%
+    while keeping 100% of a rare one), content-stable like hash_sample.
+    One scan, no shuffle: the stratum only selects which threshold the
+    row's uniform hash is compared against."""
+    u = hash32(F.col(key_col).cast("string")).cast("double") / F.lit(TWO32)
+    thresh = F.lit(float(default))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(float(frac))).otherwise(thresh)
+    return df.filter(u < thresh)

@@ -1022,6 +1022,23 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    __import__("neighborly_spark.functions.splits", fromlist=["x"]).stratified_sample_exact_duckdb_sql(
+        "documents", "lang", "doc_id", 15, select_cols="doc_id, lang"
+    ),
+    tags=["pipeline"],
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum rebalancing (cap each language at 15 docs),
+    content-stable rank (hash32(key), key) inside each stratum — exact
+    membership oracle-checked. The window shuffles by the stratum key only."""
+    from neighborly_spark.functions.splits import stratified_sample_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "lang", "doc_id", 15).select("doc_id", "lang")
+
+
+@register(
     "dedup_clusters",
     f"""
 WITH RECURSIVE sh AS (

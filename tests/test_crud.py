@@ -97,3 +97,29 @@ def test_deterministic_split_partitions_everything(spark, tiny_vectors):
     out = deterministic_split(tiny_vectors, "id", [0.5, 0.5], ["a", "b"])
     counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
     assert sum(counts.values()) == 8
+
+
+def test_stratified_sample_exact_counts_and_stability(spark):
+    from neighborly_spark.functions.splits import stratified_sample_exact
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "id int, stratum string")
+    out = stratified_sample_exact(df, "stratum", "id", 8)
+    counts = {r.stratum: r['count'] for r in out.groupBy("stratum").count().collect()}
+    assert counts == {"big": 8, "small": 8}
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in stratified_sample_exact(df.repartition(5), "stratum", "id", 8).collect())
+    assert ids1 == ids2  # content-stable under relayout
+    # stratum smaller than n -> keep all of it
+    tiny = stratified_sample_exact(df, "stratum", "id", 45)
+    assert tiny.filter("stratum = 'small'").count() == 10
+
+
+def test_stratified_hash_sample_rates(spark):
+    from neighborly_spark.functions.splits import stratified_hash_sample
+
+    rows = [(i, "keep" if i % 2 else "drop") for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, stratum string")
+    out = stratified_hash_sample(df, "stratum", "id", {"keep": 1.0})
+    got = {(r.id, r.stratum) for r in out.collect()}
+    assert got == {(i, "keep") for i in range(100) if i % 2}  # default 0.0 drops the rest
