@@ -222,6 +222,63 @@ def text_stats_exprs(text: Column) -> Column:
     return F.element_at(F.transform(F.array(tokens(text)), body), 1)
 
 
+# --- chunking -----------------------------------------------------------------
+
+
+def chunks_expr(text: Column, chunk_tokens: int, overlap: int = 0) -> Column:
+    """Sliding-window token chunks: array<struct<chunk_id int, chunk_text
+    string, n_tokens int>> — the context-window splitter every training
+    pipeline needs before embedding/packing.
+
+    Windows start every (chunk_tokens - overlap) tokens; the last window may
+    be short but is never empty; a doc with <= chunk_tokens tokens yields one
+    chunk. Pure Column expression (no explode here — callers posexplode), the
+    token array is let-bound so the regex split runs once per document.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        # chunk count: 1 + ceil((n - chunk_tokens) / step) for n > chunk_tokens
+        extra = F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(step)).cast("int")
+        n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(1 + extra)
+        windows = F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda j: F.struct(
+                (j - 1).alias("chunk_id"),
+                F.concat_ws(" ", F.slice(toks, (j - 1) * step + 1, chunk_tokens)).alias("chunk_text"),
+                F.least(n - (j - 1) * step, F.lit(chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+        # sequence(1, 0) is DESCENDING in Spark, not empty — guard empty docs
+        # here, inside the lambda, so the text tokenizes exactly once
+        return F.when(
+            n <= 0,
+            F.array().cast("array<struct<chunk_id:int,chunk_text:string,n_tokens:int>>"),
+        ).otherwise(windows)
+
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
+
+
+def chunks_duckdb_sql(t: str, chunk_tokens: int, overlap: int = 0) -> str:
+    """DuckDB twin of chunks_expr (list of structs, same fields)."""
+    step = chunk_tokens - overlap
+    toks = tokens_duckdb_sql(t)
+    n = f"len({toks})"
+    n_chunks = (
+        f"(CASE WHEN {n} <= 0 THEN 0 WHEN {n} <= {chunk_tokens} THEN 1 "
+        f"ELSE 1 + CAST(ceil(CAST({n} - {chunk_tokens} AS DOUBLE) / {step}) AS INT) END)"
+    )
+    return (
+        f"list_transform(range(1, {n_chunks} + 1), j -> {{"
+        f"'chunk_id': j - 1, "
+        f"'chunk_text': array_to_string({toks}[(j-1)*{step}+1 : (j-1)*{step}+{chunk_tokens}], ' '), "
+        f"'n_tokens': least({n} - (j-1)*{step}, {chunk_tokens})}})"
+    )
+
+
 # --- fingerprints / hashing ---------------------------------------------------
 
 

@@ -49,8 +49,72 @@ def ivf_train(
     return IVFModel(km.fit(feats), nlist)
 
 
+class _ArrayCentroids:
+    """clusterCenters()-shaped wrapper for driver-trained centroids."""
+
+    def __init__(self, centers):
+        self._centers = centers
+
+    def clusterCenters(self):
+        return list(self._centers)
+
+
+def ivf_train_sampled(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_size: int = 65_536,
+) -> IVFModel:
+    """Scale-path coarse quantizer: ONE pass (deterministic hash-ordered
+    sample) + driver-side Lloyd, mirroring quantization.pq_train_sampled —
+    the MLlib fit costs `iterations` full scans, and a coarse quantizer with
+    nlist <= a few thousand saturates on a 65k sample. Returns the same
+    IVFModel; recall-gated like the MLlib-trained variant.
+
+    The assignment expression from _assign_expr works for either trainer —
+    at 100 TB, train on the sample, then assign+write the partitioned layout
+    in the single real pass (ivf_assign -> ivf_write).
+    """
+    import numpy as np
+
+    from neighborly_spark.operators.quantization import _lloyd
+
+    sample = (
+        df.select(F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col("_v")))
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.asarray([r._v for r in sample], dtype=np.float64)
+    k = min(nlist, max(2, mat.shape[0]))
+    centers = _lloyd(mat, k, np.random.RandomState(seed), max_iter)
+    return IVFModel(_ArrayCentroids(centers), nlist)
+
+
 def ivf_assign(df: DataFrame, model: IVFModel, vec_col: str = "embedding") -> DataFrame:
-    """Attach the coarse cluster id (nearest centroid) as a column."""
+    """Attach the coarse cluster id (nearest centroid) as a column.
+
+    MLlib-trained models go through KMeansModel.transform; driver-trained
+    ones (ivf_train_sampled) through a pure Column argmin over the broadcast
+    centroid literals — JVM-side either way, no Python in the scan."""
+    if not hasattr(model.kmeans_model, "transform"):
+        cents_lit = F.lit(model.centroids).cast("array<array<double>>")
+        dists = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        assign = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return df.withColumn(CLUSTER_COL, assign)
+
     from pyspark.ml.functions import array_to_vector
 
     feats = df.withColumn("_f", array_to_vector(F.col(vec_col)))

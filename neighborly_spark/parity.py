@@ -1039,6 +1039,42 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    __import__("neighborly_spark.operators.corpus", fromlist=["x"]).chunk_documents_duckdb_sql(
+        chunk_tokens=16, overlap=4
+    ),
+    tags=["pipeline", "text"],
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (16-token windows, 4 overlap) — the
+    context-window splitter before embedding. No shuffle: projection +
+    generator; (doc_id, chunk_id) is the stable chunk key. Exact chunk text
+    and per-chunk token counts are oracle-checked."""
+    from neighborly_spark.operators.corpus import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
+@register(
+    "corpus_vocab",
+    __import__("neighborly_spark.operators.corpus", fromlist=["x"]).vocab_topk_duckdb_sql(
+        k=40, min_count=2
+    ),
+    tags=["pipeline", "text"],
+)
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 corpus vocabulary with total and document frequencies —
+    frequency tables drive stop-shingle and rare-token filters. Per-doc
+    distinct happens before the shuffle; both aggregates are map-side
+    partial."""
+    from neighborly_spark.operators.corpus import vocab_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=40, min_count=2)
+
+
+@register(
     "dedup_clusters",
     f"""
 WITH RECURSIVE sh AS (

@@ -160,3 +160,17 @@ def test_search_service_blas_exact_path(emb, query):
     svc_big = SearchService(emb, dim=128)  # pretend-dim: only dispatch looks at it
     auto_big = svc_big.search(query_vec=query, k=5, method="linear")._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in auto_big
+
+
+def test_ivf_train_sampled_recall_and_determinism(emb, query):
+    """One-pass sampled coarse quantizer hits the recall bar (one more probe
+    than the MLlib fit needs on this data) and is bit-deterministic."""
+    model = IVF.ivf_train_sampled(emb, nlist=8)
+    assigned = IVF.ivf_assign(emb, model)
+    exact = [r.id for r in exact_knn(emb, query, K).collect()]
+    approx = [r.id for r in IVF.ivf_search(assigned, model, query, K, nprobe=5).collect()]
+    assert _recall(approx, exact) >= 0.8
+    assert model.centroids == IVF.ivf_train_sampled(emb, nlist=8).centroids
+    # expression-path assignment stays JVM-side (no Python in the scan)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan

@@ -109,3 +109,29 @@ def test_bm25_hand_computed(spark):
     assert out[1] == pytest.approx(expected({"apple": 2, "banana": 1}, 3), abs=1e-6)
     assert out[2] == pytest.approx(expected({"banana": 1}, 2), abs=1e-6)
     assert 3 not in out  # no query terms -> score 0 -> filtered
+
+
+def test_chunk_documents_windows(spark):
+    from neighborly_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "a b c")], "doc_id int, text string"
+    )
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+            for r in chunk_documents(df, chunk_tokens=3, overlap=1).collect()}
+    assert rows[(1, 0)] == ("a b c", 3)
+    assert rows[(1, 1)] == ("c d e", 3)   # stride 2, tail window complete
+    assert rows[(2, 0)] == ("x", 1)       # short doc -> one short chunk
+    assert rows[(3, 0)] == ("a b c", 3) and (3, 1) not in rows  # exact fit -> one chunk
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=3, overlap=3)
+
+
+def test_vocab_topk_counts(spark):
+    from neighborly_spark.operators.corpus import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b b")], "doc_id int, text string"
+    )
+    rows = [(r.token, r.n_total, r.n_docs) for r in vocab_topk(df, k=10).collect()]
+    assert rows == [("b", 4, 2), ("a", 3, 2), ("c", 1, 1)]
