@@ -182,6 +182,8 @@ BENCH_FROM_REGISTRY = [
     "text_stats",
     "text_knn_short_query_prefix_union",
     "events_tumbling_window",
+    "bm25_topk",
+    "chunk_embed_knn",
 ]
 
 

@@ -1056,6 +1056,49 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=16, overlap=4)
 
 
+_CHUNK_QUERY = "window table scan merge"
+
+
+@register(
+    "chunk_embed_knn",
+    f"""
+WITH chunks AS (
+  {__import__("neighborly_spark.operators.corpus", fromlist=["x"]).chunk_documents_duckdb_sql(chunk_tokens=16, overlap=4)}
+),
+v AS (
+  SELECT doc_id, chunk_id, {hash_embedding_duckdb_sql("chunk_text", EMBED_DIM)} AS embedding
+  FROM chunks
+),
+q AS (SELECT {hash_embedding_duckdb_sql(f"'{_CHUNK_QUERY}'", EMBED_DIM)} AS qe)
+SELECT v.doc_id, v.chunk_id, round({sql_euclidean('v.embedding', 'q.qe')}, {ROUND}) AS dist
+FROM v, q
+ORDER BY dist ASC, v.doc_id ASC, v.chunk_id ASC
+LIMIT 10
+""".strip(),
+    tags=["pipeline", "search", "text"],
+)
+def chunk_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-level retrieval: chunk documents into 16-token
+    windows, hash-embed each chunk, exact k-NN against an embedded text
+    query — the composition a RAG-style pipeline runs. One shuffle-free
+    chunk+embed projection feeding a distributed top-k."""
+    from neighborly_spark.functions.embedding import hash_embedding
+    from neighborly_spark.operators.corpus import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    v = chunks.select(
+        "doc_id", "chunk_id", hash_embedding(F.col("chunk_text"), EMBED_DIM).alias("embedding")
+    )
+    q = hash_embedding(F.lit(_CHUNK_QUERY), EMBED_DIM)
+    scored = v.select(
+        "doc_id", "chunk_id", F.round(D.euclidean(F.col("embedding"), q), ROUND).alias("dist")
+    )
+    return scored.orderBy(
+        F.col("dist").asc(), F.col("doc_id").asc(), F.col("chunk_id").asc()
+    ).limit(10)
+
+
 @register(
     "corpus_vocab",
     __import__("neighborly_spark.operators.corpus", fromlist=["x"]).vocab_topk_duckdb_sql(
