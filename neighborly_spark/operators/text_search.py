@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from neighborly_spark.functions.embedding import hash_embedding
 from neighborly_spark.operators.knn import (
@@ -163,6 +164,51 @@ SELECT {id_col}, score FROM scored WHERE score > 0.0
 ORDER BY score DESC, {id_col} ASC
 LIMIT {k}
 """.strip()
+
+
+def hybrid_search_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked result sets (the standard
+    lexical+vector hybrid): score(d) = sum over lists of 1/(rrf_k + rank_d),
+    ranks 1-based within each list, docs absent from a list contribute 0.
+
+    Inputs are the two (already top-n) result DataFrames: `lexical` ranked
+    by (score desc, id asc) — bm25_topk's output order — and `semantic`
+    ranked by (dist asc, id asc) — knn's. Both are k-row results, so the
+    fusion is a join of two tiny sides at any data scale; rank assignment
+    partitions by nothing but operates on <= n rows (safe single-task
+    window over an already-reduced result, not over the corpus).
+
+    Rank arithmetic is exact integers; the fused score is a fixed-order
+    double sum rounded to `round_to` — oracle-checkable.
+    """
+    lex = lexical.select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+        .alias("_rl"),
+    )
+    sem = semantic.select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("dist").asc(), F.col(id_col).asc()))
+        .alias("_rs"),
+    )
+    fused = lex.join(sem, id_col, "full_outer").select(
+        id_col,
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("_rs")), F.lit(0.0))
+        ).alias("_score"),
+    )
+    out = fused.withColumn("rrf_score", F.round(F.col("_score"), round_to)).drop("_score")
+    return out.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def text_search(

@@ -934,6 +934,34 @@ def _register_rows_only():
         data = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
         return knn_join_vectorized(data, queries, k=3, id_col="vec_id")
 
+    @register("knn_join_blocked", None, tags=["search", "join"])
+    def knn_join_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Blocked BLAS kNN join with a deliberately tiny chunk (3) so the
+        driver exercises the multi-chunk union path."""
+        from neighborly_spark.operators.knn import knn_join_blocked
+
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 7).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+        )
+        data = emb.filter(F.col("vec_id") >= 7).select("vec_id", "embedding")
+        return knn_join_blocked(data, queries, k=3, chunk_size=3, id_col="vec_id")
+
+    @register("approx_knn_join_lsh", None, tags=["search", "join", "approx"])
+    def approx_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LSH-bucketed batch kNN — the beyond-broadcast scale tier of the
+        knn_join planner (recall-gated in tests)."""
+        from neighborly_spark.operators.lsh import approx_knn_join
+
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+        )
+        data = emb.filter(F.col("vec_id") >= 5).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        return approx_knn_join(data, queries, k=3, radius=6.0, num_hash_tables=8)
+
 
 _register_rows_only()
 
@@ -1097,6 +1125,50 @@ def chunk_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("dist").asc(), F.col("doc_id").asc(), F.col("chunk_id").asc()
     ).limit(10)
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH lexbase AS (
+  SELECT * FROM ({TS.bm25_topk_duckdb_sql(_BM25_QUERY, k=20)}) tl
+),
+v AS ({{DOCVEC}}),
+q AS (SELECT {{QEMB}} AS qe),
+sembase AS (
+  SELECT v.id AS doc_id, round({{EUCL}}, {ROUND}) AS dist
+  FROM v, q ORDER BY dist ASC, v.id ASC LIMIT 20
+),
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rl FROM lexbase),
+sem AS (SELECT doc_id, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rs FROM sembase),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + rl), 0.0) + coalesce(1.0 / (60 + rs), 0.0), {ROUND}) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf_score FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+""".strip()
+    .replace("{DOCVEC}", _doc_vectors_sql())
+    .replace("{QEMB}", hash_embedding_duckdb_sql(f"'{_BM25_QUERY}'", EMBED_DIM))
+    .replace("{EUCL}", sql_euclidean("v.embedding", "q.qe")),
+    tags=["search", "text", "pipeline"],
+)
+def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical+semantic hybrid retrieval: BM25 top-20 and embedded-query
+    exact-kNN top-20 fused by reciprocal rank (1/(60+rank)). Both inputs are
+    already-reduced k-row results, so the fusion join is trivially small at
+    any corpus scale. Rank-exact, oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    lexical = TS.bm25_topk(docs, _BM25_QUERY, k=20)
+    v = _doc_vectors(spark, sf_dir)
+    q = __import__("neighborly_spark.functions.embedding", fromlist=["x"]).hash_embedding(
+        F.lit(_BM25_QUERY), EMBED_DIM
+    )
+    semantic = (
+        K.knn(v, q, 20, "euclidean", id_col="id", round_to=ROUND)
+        .select(F.col("id").alias("doc_id"), "dist")
+    )
+    return TS.hybrid_search_rrf(lexical, semantic, k=10)
 
 
 @register(

@@ -135,3 +135,22 @@ def test_vocab_topk_counts(spark):
     )
     rows = [(r.token, r.n_total, r.n_docs) for r in vocab_topk(df, k=10).collect()]
     assert rows == [("b", 4, 2), ("a", 3, 2), ("c", 1, 1)]
+
+
+def test_hybrid_search_rrf_hand_computed(spark):
+    from neighborly_spark.operators.text_search import hybrid_search_rrf
+
+    lexical = spark.createDataFrame(
+        [(1, 2.0), (2, 1.5), (3, 1.0)], "doc_id int, score double"
+    )
+    semantic = spark.createDataFrame(
+        [(2, 0.1), (4, 0.2)], "doc_id int, dist double"
+    )
+    out = {r.doc_id: r.rrf_score for r in hybrid_search_rrf(lexical, semantic, k=4).collect()}
+    # ranks: lex 1->1, 2->2, 3->3; sem 2->1, 4->2
+    assert out[2] == round(1 / 62 + 1 / 61, 6)   # in both lists
+    assert out[1] == round(1 / 61, 6)
+    assert out[4] == round(1 / 62, 6)
+    assert out[3] == round(1 / 63, 6)
+    top = sorted(out.items(), key=lambda t: (-t[1], t[0]))[0][0]
+    assert top == 2  # fusion promotes the doc present in both lists
