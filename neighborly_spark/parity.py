@@ -1172,6 +1172,33 @@ def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_percentiles_by_lang",
+    """
+SELECT lang, count(*) AS n_docs,
+  quantile_disc(n_chars, 0.5) AS p50,
+  quantile_disc(n_chars, 0.9) AS p90,
+  quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang
+""".strip(),
+    tags=["pipeline", "agg"],
+)
+def length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length percentiles (discrete, lower-value rule) —
+    the distribution profile a curation pass cuts on. Spark's
+    percentile_disc and DuckDB's quantile_disc agree exactly on integers
+    (no interpolation), so this is hash-checked, not approximate. One
+    keyed aggregate; at scale approx_percentile is the single-pass
+    alternative when exactness isn't required."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").cast("long").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").cast("long").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)").cast("long").alias("p99"),
+    )
+
+
+@register(
     "corpus_vocab",
     __import__("neighborly_spark.operators.corpus", fromlist=["x"]).vocab_topk_duckdb_sql(
         k=40, min_count=2
