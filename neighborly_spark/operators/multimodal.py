@@ -113,6 +113,41 @@ def extract_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFra
     return df.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Image-resize plumbing: payload -> resized payload + updated metadata,
+    via the same Arrow-batched mapInPandas shape as extract_features.
+
+    fake=False raises NotImplementedError at the decode step (no Pillow in
+    this container); fake=True produces a deterministic stand-in payload
+    (md5-keyed stream of width*height bytes) so schema, batch flow, and
+    metadata updates execute for real. A deployment replaces the body of
+    `_fake_resize` with decode -> resample -> re-encode.
+    """
+
+    def _fake_resize(payload: bytes) -> bytes:
+        out = bytearray()
+        counter = 0
+        while len(out) < width * height:
+            out.extend(hashlib.md5(payload + counter.to_bytes(4, "little")).digest())
+            counter += 1
+        return bytes(out[: width * height])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires a decoder library; "
+                    "deploy with a real decoder or pass fake=True"
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(lambda b: _fake_resize(bytes(b)))
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp
     (the decode of each frame is the same stub). Pure plan-side explode —

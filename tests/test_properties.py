@@ -92,3 +92,39 @@ def test_hamming_metric_axioms(spark):
     assert ab[0] == 0 and ab[1] == 4
     # popcount identity: d(a,b) == popcount(a xor b) summed
     assert ab[2] == bin((5 ^ 3)).count("1") + bin(9 ^ 12).count("1")
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=0, max_value=1),
+)
+@settings(max_examples=15, deadline=None)
+def test_chunking_covers_all_tokens(spark, texts, chunk_tokens, overlap):
+    """Every token lands in >= 1 chunk; zero-overlap chunks reconstruct the
+    token stream exactly; no chunk exceeds the window."""
+    from neighborly_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap)
+    rows = sorted(((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out.collect()))
+    by_doc = {}
+    for doc_id, chunk_id, text, n in rows:
+        assert n <= chunk_tokens
+        assert n == len(text.split()) or text == ""  # n counts tokens in window
+        by_doc.setdefault(doc_id, []).append((chunk_id, text))
+    step = chunk_tokens - overlap
+    for doc_id, text in enumerate(texts):
+        toks = text.strip().lower().split()
+        chunks = [t for _, t in sorted(by_doc.get(doc_id, []))]
+        if not toks:
+            # whitespace-only text still tokenizes to [''] per the engine's
+            # (and DuckDB's) split semantics -> one chunk
+            continue
+        # windows tile the stream: dropping each non-first chunk's first
+        # `overlap` tokens reconstructs the token sequence exactly
+        rebuilt = []
+        for ci, ctext in enumerate(chunks):
+            ctoks = ctext.split() if ctext else []
+            rebuilt.extend(ctoks[overlap:] if ci > 0 else ctoks)
+        assert rebuilt == toks

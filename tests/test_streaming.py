@@ -120,3 +120,22 @@ def test_frame_sample_explodes_by_duration(spark):
     out = MM.frame_sample(df, every_ms=1000)
     got = {(r.asset_id, r.frame_ts_ms) for r in out.collect()}
     assert got == {("a", 0), ("a", 1000), ("a", 2000), ("b", 0)}
+
+
+def test_resize_image_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    assets = MM.make_assets_from_text(docs, "doc_id", "text")
+    out = MM.resize_image(assets, width=8, height=4, fake=True)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in MM.ASSET_SCHEMA.fields
+    ]
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4 for r in rows)
+    # deterministic payloads, chainable into the feature extractor
+    again = {r.asset_id: r.payload for r in MM.resize_image(assets, 8, 4, fake=True).collect()}
+    assert all(again[r.asset_id] == r.payload for r in rows)
+    feats = MM.extract_features(out, dim=4, fake=True)
+    assert feats.count() == 10
+    with pytest.raises(Exception, match="NotImplementedError|image resize"):
+        MM.resize_image(assets, 8, 4, fake=False).collect()
