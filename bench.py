@@ -184,6 +184,10 @@ BENCH_FROM_REGISTRY = [
     "events_tumbling_window",
     "bm25_topk",
     "chunk_embed_knn",
+    "user_sessions",
+    "repetition_stats",
+    "purchase_asof_click",
+    "sequence_packing",
 ]
 
 

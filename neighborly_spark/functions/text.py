@@ -310,6 +310,136 @@ def hash32_duckdb_sql(s: str) -> str:
     return f"CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
 
 
+# --- PII redaction ------------------------------------------------------------
+
+#: (tag, pattern) in APPLICATION ORDER — emails first (their local parts can
+#: contain digit runs a later pass would mis-tag), then dotted IPv4 quads,
+#: then bare phone-ish digit runs. Patterns restricted to the syntax subset
+#: Java regex and RE2 (DuckDB) interpret identically: character classes,
+#: bounded repetition, no backrefs/lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("PHONE", r"\+?[0-9][0-9 \-]{6,}[0-9]"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    ``<EMAIL>/<IP>/<PHONE>`` tags, applied in PII_PATTERNS order (a pass
+    sees the previous pass's output, so an email's digits are never
+    re-tagged as a phone).
+
+    Extension beyond the reference (no text mutation ops exist there) — a
+    pre-training corpus scrub. Pure JVM regexp_replace chain: shuffle-free,
+    whole-stage-codegen, embarrassingly parallel at any corpus size.
+    """
+    out = text
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
+def redact_pii_duckdb_sql(t: str) -> str:
+    out = t
+    for tag, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '<{tag}>', 'g')"
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind match counts on the RAW text (each pattern counted
+    independently), aliased n_email/n_ip/n_phone."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{tag.lower()}")
+        for tag, pat in PII_PATTERNS
+    ]
+
+
+def pii_counts_duckdb_sql(t: str) -> list[str]:
+    return [
+        f"len(regexp_extract_all({t}, '{pat}')) AS n_{tag.lower()}"
+        for tag, pat in PII_PATTERNS
+    ]
+
+
+# --- repetition signals -------------------------------------------------------
+
+
+def repetition_stats_expr(text: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signals per document:
+    struct(total_ngrams int, distinct_ngrams int, top_ngram_count int).
+
+    Callers derive dup_frac = (total - distinct) / total (fraction of
+    n-gram occurrences that are repeats) and top_frac = top / total (mass
+    of the single most frequent n-gram) — the two classic boilerplate /
+    spam repetition filters.
+
+    Implementation is shuffle-free: per row, sort the (non-distinct) n-gram
+    list, then the most-frequent count == the longest equal-run, found via
+    run-BOUNDARY positions (i where s[i] != s[i-1]) and their successive
+    differences. Everything is integer list arithmetic — no fold with a
+    struct accumulator (DuckDB 1.0 lambda struct-literals see already-
+    mutated sibling fields, so a run-length fold is NOT portable; boundary
+    positions are). The token array, the sorted gram list, and the boundary
+    list are each let-bound via the one-element-transform trick (Catalyst
+    does not CSE across lambda bodies).
+
+    Scale: embarrassingly parallel projection, O(L log L) per document in
+    its own length — no cross-row state, survives any corpus size.
+    """
+
+    def on_bounds(s: Column, m: Column, bp: Column) -> Column:
+        runs = F.transform(
+            F.sequence(F.lit(1), F.size(bp)),
+            lambda j: F.coalesce(F.try_element_at(bp, j + 1), m + 1) - F.element_at(bp, j),
+        )
+        return F.array_max(runs)
+
+    def on_sorted(s: Column) -> Column:
+        m = F.size(s)
+        bounds = F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: (i == 1) | (F.try_element_at(s, i) != F.try_element_at(s, i - 1)),
+        )
+        top = F.element_at(F.transform(F.array(bounds), lambda bp: on_bounds(s, m, bp)), 1)
+        return F.struct(
+            m.alias("total_ngrams"),
+            F.size(F.array_distinct(s)).alias("distinct_ngrams"),
+            top.alias("top_ngram_count"),
+        )
+
+    def body(toks: Column) -> Column:
+        nt = F.size(toks)
+        raw = F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        empty = F.struct(
+            F.lit(0).alias("total_ngrams"),
+            F.lit(0).alias("distinct_ngrams"),
+            F.lit(0).alias("top_ngram_count"),
+        )
+        # sequence(1, m) is DESCENDING for m < 1 — guard short docs first
+        return F.when(nt < n, empty).otherwise(
+            F.element_at(F.transform(F.array(F.array_sort(raw)), on_sorted), 1)
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
+
+
+def sorted_ngrams_duckdb_sql(t: str, n: int = 2) -> str:
+    """DuckDB scalar twin of the sorted NON-distinct n-gram list (the input
+    to the run-boundary computation; contrast shingles_duckdb_sql, which
+    dedups). Parity queries let-bind it via a CTE, then apply the same
+    boundary-difference arithmetic (see parity.repetition oracle)."""
+    toks = tokens_duckdb_sql(t)
+    return (
+        f"list_sort(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
 # --- shingles ----------------------------------------------------------------
 
 

@@ -12,8 +12,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from neighborly_spark.functions.text import chunks_duckdb_sql, chunks_expr, tokens, tokens_duckdb_sql
+from neighborly_spark.functions.text import (
+    chunks_duckdb_sql,
+    chunks_expr,
+    shingles,
+    shingles_duckdb_sql,
+    tokens,
+    tokens_duckdb_sql,
+)
 
 
 def chunk_documents(
@@ -53,6 +61,126 @@ def chunk_documents_duckdb_sql(
     return f"""
 SELECT {id_col}, c.chunk_id AS chunk_id, c.chunk_text AS chunk_text, c.n_tokens AS n_tokens
 FROM (SELECT {id_col}, unnest({ch}) AS c FROM {table})
+""".strip()
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-token shingle with a benchmark/eval set. Returns contaminated docs
+    only: (id, n_overlap) where n_overlap counts the distinct shared
+    shingles (shingles() is already distinct per doc, so a plain count).
+
+    Scale: the realistic asymmetry is a petabyte train side vs a tiny
+    benchmark side, so the benchmark's distinct shingle set is BROADCAST —
+    the train side never shuffles its exploded grams, only the final
+    per-doc count aggregates (map-side partial first). A benchmark too big
+    to broadcast degrades gracefully to a shuffle hash join.
+    """
+    bench_grams = bench.select(
+        F.explode(shingles(F.col(text_col), n)).alias("_gram")
+    ).distinct()
+    train_grams = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_gram")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def decontaminate_duckdb_sql(
+    train_where: str,
+    bench_where: str,
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    sh = shingles_duckdb_sql(text_col, n)
+    return f"""
+WITH bg AS (
+  SELECT DISTINCT g AS _gram FROM (SELECT unnest({sh}) AS g FROM {table} WHERE {bench_where})
+),
+tg AS (
+  SELECT {id_col}, unnest({sh}) AS _gram FROM {table} WHERE {train_where}
+)
+SELECT {id_col}, count(*) AS n_overlap FROM tg JOIN bg USING (_gram) GROUP BY {id_col}
+""".strip()
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each group's documents
+    in ``id_col`` order and chop the token stream at ``budget_tokens``
+    boundaries (the GPT-style pack-then-split discipline — no padding waste,
+    a document crossing a boundary CONTINUES in the next sequence). Emits
+    per document: token count, start offset in the group's stream, and the
+    first/last bin (training sequence) it lands in.
+
+    This formulation is exactly window-expressible — one running sum per
+    group, integer division for bin ids — unlike greedy first-fit packing,
+    which is an inherently sequential recurrence. Cost: ONE exchange on the
+    group key + per-partition sort; bin ids are integer arithmetic (div,
+    never float division — exact beyond 2^53 token offsets).
+
+    Scale: groups are independent; a giant group degrades one partition's
+    sort only. For unbounded groups, sub-shard by hash(id) first — packing
+    within shards is still valid (bins never span shards).
+    """
+    b = int(budget_tokens)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+        )
+        .withColumn("first_bin", F.expr(f"start_offset div {b}"))
+        .withColumn("last_bin", F.expr(f"(start_offset + n_tokens - 1) div {b}"))
+        .withColumn("n_bins", F.col("last_bin") - F.col("first_bin") + F.lit(1))
+    )
+
+
+def pack_sequences_duckdb_sql(
+    budget_tokens: int = 512,
+    group_col: str = "lang",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    b = int(budget_tokens)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {group_col}, len({tokens_duckdb_sql(text_col)})::BIGINT AS n_tokens
+  FROM {table}
+), o AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+    PARTITION BY {group_col} ORDER BY {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+  FROM t WHERE n_tokens > 0
+)
+SELECT {id_col}, {group_col}, n_tokens, start_offset,
+       start_offset // {b} AS first_bin,
+       (start_offset + n_tokens - 1) // {b} AS last_bin,
+       (start_offset + n_tokens - 1) // {b} - start_offset // {b} + 1 AS n_bins
+FROM o
 """.strip()
 
 

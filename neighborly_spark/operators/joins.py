@@ -1,0 +1,144 @@
+"""Temporal joins: as-of join and point-in-interval join.
+
+Extension beyond the reference (it has no general join operator at all;
+SURVEY.md §2.5 — the join-like capabilities it does have are id-equality
+lookups and the k-NN join family). A training-data / event-analytics
+pipeline needs the two temporal joins Spark lacks as built-ins:
+
+- ``asof_join``: for every left row, the single most recent right row at or
+  before it (per key) — the canonical enrichment join (event → last state,
+  trade → latest quote). Implemented WITHOUT a join node: union both sides
+  tagged, one window ``last(..., ignorenulls=True)`` over (key, time)
+  carries the latest right payload forward into left rows. Cost: ONE
+  exchange of both sides on the key + a per-partition sort — the same
+  shuffle a sort-merge join would do, with no candidate-pair blowup and no
+  inequality-join fallback to BroadcastNestedLoop. This is the classic
+  Flink/KDB "last known value" formulation.
+- ``interval_join``: points joined to the intervals containing them.
+  Spark's naive form (equi-key + BETWEEN) is fine per-key but a bare range
+  condition degrades to BroadcastNestedLoopJoin without an equality key.
+  The scale path here bucketizes time: intervals explode to the fixed-width
+  buckets they overlap, points hash to their bucket, and the join becomes
+  an EQUI-join on (key, bucket) refined by the exact containment predicate.
+  Each (point, interval) pair meets in exactly one bucket (the point's), so
+  no dedup pass is needed.
+
+Scale: both operators shuffle each input exactly once. As-of's per-key
+ordered scan is the information-theoretic minimum for "latest before"; a
+skewed key degrades one partition's sort, not the plan shape. Interval
+bucket width trades explode factor (long intervals / narrow buckets) vs
+candidate precision (short buckets filter more exactly); pick it near the
+median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    tolerance_sec: int | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the right row with the
+    greatest ``ts_col`` <= the left row's (per ``on`` key; ties on equal
+    timestamps match, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    Right payload columns (``right_cols``, default = everything but the key
+    and timestamp) arrive prefixed; the matched right timestamp is
+    ``{prefix}{ts_col}``. ``how='left'`` keeps unmatched left rows with
+    null payload; ``tolerance_sec`` drops matches older than the window.
+
+    If several right rows share one (key, ts), the one latest in the
+    union's deterministic sort order wins — pre-aggregate the right side if
+    a specific tiebreak is required (the parity query keeps max event_id).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    left_cols = [c for c in left.columns if c not in (on, ts_col)]
+    out_right = [prefix + ts_col] + [prefix + c for c in right_cols]
+
+    # One tagged frame: right rows sort BEFORE left rows at equal ts so an
+    # exactly-simultaneous right row is visible to the left row's frame.
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias(prefix + ts_col),
+        *[F.col(c).alias(prefix + c) for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(prefix + ts_col),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(prefix + c) for c in right_cols],
+        *left_cols,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        on,
+        ts_col,
+        "_side",
+        *left_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_right],
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    matched = F.col(prefix + ts_col).isNotNull()
+    if tolerance_sec is not None:
+        gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(prefix + ts_col))
+        in_tol = matched & (gap_us <= int(tolerance_sec) * 1_000_000)
+        out = out.filter(in_tol) if how == "inner" else out.select(
+            on, ts_col, *left_cols,
+            *[F.when(in_tol, F.col(c)).alias(c) for c in out_right],
+        )
+    elif how == "inner":
+        out = out.filter(matched)
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "user_id",
+    point_us: str = "us",
+    start_us: str = "start_us",
+    end_us: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Inner join of point rows to every interval row containing them:
+    ``points.{point_us}`` in CLOSED ``[start_us, end_us]`` with matching
+    ``on`` key. Timestamps are epoch-microsecond longs.
+
+    Bucketized equi-join (see module docstring): never a nested-loop plan,
+    and overlapping intervals still yield one output row per containing
+    interval with no dedup step.
+    """
+    b = int(bucket_us)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_us) / b).cast("long"), (F.col(end_us) / b).cast("long")
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", (F.col(point_us) / b).cast("long"))
+    return (
+        pt.join(iv, [on, "_bucket"])
+        .filter(F.col(point_us).between(F.col(start_us), F.col(end_us)))
+        .drop("_bucket")
+    )

@@ -1311,3 +1311,214 @@ def events_top_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+@register(
+    "user_sessions",
+    __import__("neighborly_spark.operators.sessions", fromlist=["x"]).session_stats_duckdb_sql(
+        gap_sec=28800, where="user_id < 40"
+    ),
+    tags=["sessionization", "window", "extension"],
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (8h gap) via Spark's native session_window;
+    the oracle replicates the merge semantics with lag + running sum
+    (break strictly-greater-than gap — adjacent windows coalesce)."""
+    from neighborly_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return session_stats(ev, gap_sec=28800)
+
+
+_REP = T.sorted_ngrams_duckdb_sql("text", 2)
+
+@register(
+    "repetition_stats",
+    f"""
+WITH g AS (SELECT doc_id, {_REP} AS s FROM documents),
+b AS (SELECT doc_id, s, list_filter(range(1, len(s)+1), i -> i = 1 OR s[i] <> s[i-1]) AS bp FROM g),
+r AS (
+  SELECT doc_id, len(s) AS total_ngrams, len(list_distinct(s)) AS distinct_ngrams,
+    CASE WHEN len(s) = 0 THEN 0 ELSE
+      list_aggregate(list_transform(range(1, len(bp)+1), j -> coalesce(bp[j+1], len(s)+1) - bp[j]), 'max')
+    END AS top_ngram_count
+  FROM b
+)
+SELECT doc_id, total_ngrams, distinct_ngrams, top_ngram_count,
+  CASE WHEN total_ngrams = 0 THEN 0.0 ELSE
+    round(CAST(total_ngrams - distinct_ngrams AS DOUBLE) / total_ngrams, {ROUND}) END AS dup_frac,
+  CASE WHEN total_ngrams = 0 THEN 0.0 ELSE
+    round(CAST(top_ngram_count AS DOUBLE) / total_ngrams, {ROUND}) END AS top_frac
+FROM r
+""".strip(),
+    tags=["text", "quality", "extension"],
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-
+    bigram mass and top-bigram mass (functions/text.repetition_stats_expr,
+    shuffle-free run-boundary arithmetic over the sorted bigram list)."""
+    docs = load(spark, sf_dir, "documents")
+    st = docs.withColumn("_r", T.repetition_stats_expr(F.col("text"), 2))
+    total = F.col("_r.total_ngrams")
+    return st.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        F.col("_r.distinct_ngrams").alias("distinct_ngrams"),
+        F.col("_r.top_ngram_count").alias("top_ngram_count"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round((total - F.col("_r.distinct_ngrams")).cast("double") / total, ROUND))
+        .alias("dup_frac"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("_r.top_ngram_count").cast("double") / total, ROUND))
+        .alias("top_frac"),
+    )
+
+
+@register(
+    "decontamination",
+    __import__("neighborly_spark.operators.corpus", fromlist=["x"]).decontaminate_duckdb_sql(
+        train_where="doc_id % 97 <> 0", bench_where="doc_id % 97 = 0", n=4
+    ),
+    tags=["dedup", "join", "extension"],
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 4-token shingle
+    with the held-out benchmark slice (doc_id % 97 == 0). n=4 is the
+    demonstrative value for this synthetic ~60-word-vocab corpus — real
+    pipelines use 8-13-gram overlap; the operator default is 8."""
+    from neighborly_spark.operators.corpus import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=4,
+    )
+
+
+_SESSION_SQL = __import__(
+    "neighborly_spark.operators.sessions", fromlist=["x"]
+).session_stats_duckdb_sql
+
+
+@register(
+    "purchase_asof_click",
+    """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS us, r.click_event_id,
+       epoch_us(r.ts) AS click_us, epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip(),
+    tags=["join", "asof", "extension"],
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the latest click at
+    or before it per user (operators/joins.asof_join — union + one window,
+    never a nested-loop join). The oracle is DuckDB's NATIVE ASOF JOIN — an
+    independent implementation of the semantics, not a twin of ours. Right
+    side pre-aggregated to unique (user, ts) so ties are deterministic."""
+    from neighborly_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(purchases, clicks, on="user_id", ts_col="ts",
+                  right_cols=["click_event_id"], how="inner")
+    us, click_us = F.unix_micros(F.col("ts")), F.unix_micros(F.col("r_ts"))
+    return j.select(
+        "event_id", "user_id", us.alias("us"),
+        F.col("r_click_event_id").alias("click_event_id"),
+        click_us.alias("click_us"), (us - click_us).alias("gap_us"),
+    )
+
+
+@register(
+    "event_interval_join",
+    f"""
+WITH s AS ({_SESSION_SQL(gap_sec=7200, where="event_type = 'click'", value_col=None)})
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS us, s.start_us, s.end_us
+FROM events p JOIN s ON p.user_id = s.user_id
+  AND epoch_us(p.ts) BETWEEN s.start_us AND s.end_us
+WHERE p.event_type = 'purchase'
+""".strip(),
+    tags=["join", "interval", "extension"],
+)
+def event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: purchase events landing inside a click
+    session (2h gap) of the same user. Spark side bucketizes time into 1h
+    buckets so the plan is an EQUI-join (operators/joins.interval_join);
+    the oracle is DuckDB's inequality join over the same intervals."""
+    from neighborly_spark.operators.joins import interval_join
+    from neighborly_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    intervals = session_stats(
+        ev.filter(F.col("event_type") == "click"), gap_sec=7200, value_col=None
+    ).select("user_id", "start_us", "end_us")
+    points = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    return interval_join(points, intervals, on="user_id", bucket_us=3_600_000_000)
+
+
+@register(
+    "sequence_packing",
+    __import__("neighborly_spark.operators.corpus", fromlist=["x"]).pack_sequences_duckdb_sql(
+        budget_tokens=512
+    ),
+    tags=["corpus", "window", "extension"],
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per language, concatenate documents in
+    doc_id order and chop the token stream at 512-token boundaries; each doc
+    reports its stream offset and first/last training-sequence bin
+    (operators/corpus.pack_sequences — one window per group, integer-div
+    bin ids)."""
+    from neighborly_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), budget_tokens=512)
+
+
+@register(
+    "pii_redaction",
+    f"""
+SELECT event_id, {__import__("neighborly_spark.functions.text", fromlist=["x"]).redact_pii_duckdb_sql("_t")} AS redacted,
+       {", ".join(__import__("neighborly_spark.functions.text", fromlist=["x"]).pii_counts_duckdb_sql("_t"))}
+FROM (
+  SELECT event_id,
+         concat('contact user', CAST(user_id AS VARCHAR), '@example.com from 10.0.',
+                CAST(user_id % 256 AS VARCHAR), '.', CAST(event_id % 256 AS VARCHAR),
+                ' or call +1 555 000 ', CAST(event_id % 10000 AS VARCHAR)) AS _t
+  FROM events
+)
+""".strip(),
+    tags=["text", "quality", "extension"],
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.redact_pii): emails, IPv4s, phone runs
+    tagged out, per-kind counts kept. The corpus has no organic PII, so the
+    query plants deterministic synthetic PII built from event columns —
+    IDENTICALLY in both engines — then redacts it; the operator itself is a
+    general text→text scrub."""
+    ev = load(spark, sf_dir, "events")
+    t = F.concat(
+        F.lit("contact user"), F.col("user_id").cast("string"),
+        F.lit("@example.com from 10.0."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+        F.lit(" or call +1 555 000 "), (F.col("event_id") % 10000).cast("string"),
+    )
+    planted = ev.select("event_id", t.alias("_t"))
+    return planted.select(
+        "event_id", T.redact_pii(F.col("_t")).alias("redacted"), *T.pii_counts(F.col("_t"))
+    )

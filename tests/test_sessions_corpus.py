@@ -1,0 +1,104 @@
+"""Hand-computed cases for sessionization, repetition signals, and
+decontamination (the DuckDB-parity checks live in test_parity.py via the
+registry; these pin the semantics on tiny inputs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from neighborly_spark.functions.text import repetition_stats_expr
+from neighborly_spark.operators.corpus import decontaminate
+from neighborly_spark.operators.sessions import session_stats, sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, offsets_sec):
+    rows = [(1, T0 + dt.timedelta(seconds=s), i, 1.0) for i, s in enumerate(offsets_sec)]
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, value double")
+
+
+def test_session_boundary_semantics(spark):
+    # diff == gap CONTINUES the session (native session_window merges
+    # adjacent windows); diff > gap breaks — both paths must agree.
+    df = _events(spark, [0, 100, 200.000001])
+    assert session_stats(df, gap_sec=100, value_col=None).count() == 2
+    seqs = [r.session_seq for r in sessionize(df, gap_sec=100).orderBy("event_id").collect()]
+    assert seqs == [1, 1, 2]
+
+
+def test_session_stats_values(spark):
+    df = _events(spark, [0, 50, 5000, 5020, 5040, 99999])
+    out = {r.start_us: r for r in session_stats(df, gap_sec=100).collect()}
+    assert len(out) == 3
+    s1 = out[int(T0.timestamp() * 1e6)]
+    assert (s1.n_events, s1.duration_sec, s1.total_value) == (2, 50, 2.0)
+    s2 = out[int(T0.timestamp() * 1e6) + 5000_000000]
+    assert (s2.n_events, s2.duration_sec, s2.total_value) == (3, 40, 3.0)
+    # duration uses event extent, not the gap-padded window end
+    df2 = _events(spark, [0, 90, 180])
+    (s3,) = session_stats(df2, gap_sec=100).collect()
+    assert (s3.n_events, s3.duration_sec) == (3, 180)
+
+
+def test_sessionize_multi_user_and_ties(spark):
+    rows = [
+        (1, T0, 0, 1.0),
+        (1, T0, 1, 1.0),  # equal ts -> same session, deterministic via event_id tiebreak
+        (2, T0 + dt.timedelta(seconds=500), 2, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, value double")
+    got = {(r.user_id, r.event_id): r.session_seq for r in sessionize(df, gap_sec=100).collect()}
+    assert got == {(1, 0): 1, (1, 1): 1, (2, 2): 1}
+
+
+def test_repetition_stats_hand_cases(spark):
+    cases = [
+        (0, "a a a b", (3, 2, 2)),        # bigrams: "a a" x2, "a b"
+        (1, "x", (0, 0, 0)),              # shorter than n
+        (2, "", (0, 0, 0)),
+        (3, "a b a b a", (4, 2, 2)),      # "a b" x2, "b a" x2
+        (4, "w w w w w", (4, 1, 4)),      # pure repetition: all mass in one gram
+        (5, "p q r s", (3, 3, 1)),        # no repetition
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "doc_id int, text string")
+    out = {
+        r.doc_id: (r.total_ngrams, r.distinct_ngrams, r.top_ngram_count)
+        for r in df.select("doc_id", repetition_stats_expr(F.col("text"), 2).alias("r"))
+        .select("doc_id", "r.*")
+        .collect()
+    }
+    for i, _, want in cases:
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_repetition_trigram(spark):
+    df = spark.createDataFrame([(0, "a b c a b c a b c")], "doc_id int, text string")
+    (r,) = df.select(repetition_stats_expr(F.col("text"), 3).alias("r")).select("r.*").collect()
+    # trigrams: abc x3, bca x2, cab x2 -> total 7, distinct 3, top 3
+    assert (r.total_ngrams, r.distinct_ngrams, r.top_ngram_count) == (7, 3, 3)
+
+
+def test_decontaminate_hand_case(spark):
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),     # shares "the quick brown fox" + "quick brown fox jumps"
+            (1, "a completely different doc"),    # clean
+            (2, "quick brown fox jumps high"),    # shares "quick brown fox jumps"
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.n_overlap for r in decontaminate(train, bench, n=4).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_decontaminate_broadcasts_bench(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = decontaminate(docs, docs.limit(5), n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
