@@ -188,6 +188,7 @@ BENCH_FROM_REGISTRY = [
     "repetition_stats",
     "purchase_asof_click",
     "sequence_packing",
+    "unigram_logprob",
 ]
 
 

@@ -184,6 +184,80 @@ FROM o
 """.strip()
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style unigram LM quality signal: per document, the mean
+    negative log-probability of its tokens under the corpus's own unigram
+    distribution (higher = rarer vocabulary). Returns
+    (id, n_tokens, avg_neg_logprob).
+
+    Cross-engine float contract: ln(tf) is scaled by ``scale`` and rounded
+    to an exact BIGINT per DISTINCT token frequency, so the per-document
+    aggregation is an integer sum — order-independent under any shuffle.
+    The only float steps are one ln+round per distinct tf value and one
+    final division of exact integers, both reproducible across engines.
+
+    Scale: token frequencies aggregate with map-side partial combine; the
+    doc↔frequency join shuffles on the token key (AQE broadcasts the
+    frequency side when the vocabulary is small); the per-doc sum shuffles
+    on the doc key. No driver-side state — the corpus total is a 1-row
+    broadcast aggregate.
+    """
+    s = int(scale)
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    freqs = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    lp = freqs.withColumn(
+        "_lp", F.round(F.log(F.col("_tf").cast("double")) * s, 0).cast("long")
+    )
+    total = toks.select(
+        F.round(F.log(F.count(F.lit(1)).cast("double")) * s, 0).cast("long").alias("_ln_n")
+    )
+    per_doc = (
+        toks.join(lp, "_tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lp").alias("_s"))
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") * F.col("_ln_n") - F.col("_s"))
+            / F.col("n_tokens")
+            / F.lit(float(s)),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
+def unigram_logprob_duckdb_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> str:
+    s = int(scale)
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, unnest({tokens_duckdb_sql(text_col)}) AS _tok FROM {table}
+), fr AS (
+  SELECT _tok, CAST(round(ln(count(*)::DOUBLE) * {s}, 0) AS BIGINT) AS _lp
+  FROM tk GROUP BY _tok
+), tot AS (
+  SELECT CAST(round(ln(count(*)::DOUBLE) * {s}, 0) AS BIGINT) AS _ln_n FROM tk
+), d AS (
+  SELECT {id_col}, count(*) AS n_tokens, sum(_lp) AS _s
+  FROM tk JOIN fr USING (_tok) GROUP BY {id_col}
+)
+SELECT {id_col}, n_tokens,
+       round((n_tokens * _ln_n - _s) / n_tokens / {s}.0, 6) AS avg_neg_logprob
+FROM d, tot
+""".strip()
+
+
 def vocab_topk(
     df: DataFrame,
     k: int = 100,

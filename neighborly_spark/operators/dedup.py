@@ -501,3 +501,46 @@ def dedup_survivors_from_pairs(
     comps = connected_components(pairs)
     losers = comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# --- centroid outliers -------------------------------------------------------
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    centroids: DataFrame,
+    q: float = 0.9,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Semantic outlier pruning (SemDeDup-adjacent curation): distance of
+    every embedding to its group's centroid, flagged when it exceeds the
+    group's exact q-quantile (percentile_disc on the ROUNDED distance, so
+    the cut is reproducible cross-engine). Returns
+    (id, label, dist, cutoff, is_outlier).
+
+    ``centroids`` is (label, centroid) — supply MLlib ``Summarizer.mean``
+    output at scale, or the order-forced exact fold (parity query
+    centroid_by_label) when cross-engine determinism matters.
+
+    Scale: centroids are one row per label — always broadcast; the
+    quantile is one keyed window over rows partitioned by label (the same
+    exchange the groupBy would take). No self-joins, no collect.
+    """
+    from neighborly_spark.functions.distance import euclidean
+
+    d = euclidean(F.col(vec_col), F.col("centroid"))
+    if round_to is not None:
+        d = F.round(d, round_to)
+    scored = emb.join(F.broadcast(centroids), label_col).select(
+        F.col(id_col), F.col(label_col), d.alias("dist")
+    )
+    cut = F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY dist)")
+    cuts = scored.groupBy(label_col).agg(cut.alias("cutoff"))
+    return (
+        scored.join(F.broadcast(cuts), label_col)
+        .withColumn("is_outlier", F.col("dist") > F.col("cutoff"))
+        .select(id_col, label_col, "dist", "cutoff", "is_outlier")
+    )

@@ -133,6 +133,12 @@ def bq_search(
         # three consumers (filter branch, pass-count, fallback top-k) would
         # each re-encode; checkpoint once — eager action, codes are tiny
         scored = scored.localCheckpoint()
+    else:
+        # cold path: lazy cache instead — the broadcast pass-count subquery
+        # runs first and populates it, so the filter and fallback branches
+        # read codes instead of re-encoding; no eager action, and Spark's
+        # ContextCleaner drops the cache when the plan is unreferenced
+        scored = scored.persist()
     passed = scored.filter(F.col("_hamming") <= max_hamming)
     # fallback (:166-178): 3k hamming-closest, only when nothing passed
     n_pass = passed.select(F.count(F.lit(1)).alias("_n_pass"))

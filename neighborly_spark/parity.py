@@ -1522,3 +1522,54 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted.select(
         "event_id", T.redact_pii(F.col("_t")).alias("redacted"), *T.pii_counts(F.col("_t"))
     )
+
+
+@register(
+    "unigram_logprob",
+    __import__("neighborly_spark.operators.corpus", fromlist=["x"]).unigram_logprob_duckdb_sql(),
+    tags=["text", "quality", "extension"],
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM score: mean negative log-prob of each doc's
+    tokens under the corpus unigram distribution (corpus.
+    unigram_logprob_score — exact-integer scaled-ln sums, so the float
+    contract survives any shuffle order)."""
+    from neighborly_spark.operators.corpus import unigram_logprob_score
+
+    return unigram_logprob_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_outliers",
+    f"""
+WITH g AS (
+  SELECT label, count(*) AS n, list(embedding ORDER BY vec_id) AS rows
+  FROM embeddings GROUP BY label
+), c AS (
+  SELECT label,
+         list_transform(range(1, 65), i ->
+           round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(rows, r -> r[i]::DOUBLE)),
+                 (s, x) -> s + x) / n, {ROUND})) AS centroid
+  FROM g
+), s AS (
+  SELECT e.vec_id, e.label, round({sql_euclidean('e.embedding', 'c.centroid')}, {ROUND}) AS dist
+  FROM embeddings e JOIN c USING (label)
+), q AS (
+  SELECT label, quantile_disc(dist, 0.9) AS cutoff FROM s GROUP BY label
+)
+SELECT vec_id, label, dist, cutoff, dist > cutoff AS is_outlier
+FROM s JOIN q USING (label)
+""".strip(),
+    tags=["dedup", "curation", "extension"],
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-adjacent curation: per-label centroid distance with an
+    exact per-label p90 cut (dedup.centroid_outliers). Centroids come from
+    the order-forced exact fold (centroid_by_label) so both engines see
+    identical 6dp centroids; distances round to 6dp BEFORE the discrete
+    quantile, making the cutoff reproducible."""
+    from neighborly_spark.operators.dedup import centroid_outliers
+
+    cents = REGISTRY["centroid_by_label"].build(spark, sf_dir).select("label", "centroid")
+    emb = load(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, cents, q=0.9)

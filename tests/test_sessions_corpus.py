@@ -102,3 +102,36 @@ def test_decontaminate_broadcasts_bench(spark):
     out = decontaminate(docs, docs.limit(5), n=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+    import pytest
+    from neighborly_spark.operators.corpus import unigram_logprob_score
+
+    # corpus tokens: a:2 b:2 c:1, N=5
+    df = spark.createDataFrame([(0, "a a b"), (1, "b c")], "doc_id int, text string")
+    got = {r.doc_id: (r.n_tokens, r.avg_neg_logprob) for r in unigram_logprob_score(df).collect()}
+    assert got[0][0] == 3 and got[1][0] == 2
+    assert got[0][1] == pytest.approx(math.log(5 / 2), abs=2e-6)
+    assert got[1][1] == pytest.approx((math.log(5 / 2) + math.log(5)) / 2, abs=2e-6)
+
+
+def test_centroid_outliers_hand_case(spark):
+    from neighborly_spark.operators.dedup import centroid_outliers
+
+    emb = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (1, 0, [1.0, 0.0]), (2, 0, [10.0, 0.0]),
+         (3, 1, [5.0, 5.0])],
+        "vec_id int, label int, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [5.0, 5.0])], "label int, centroid array<double>"
+    )
+    out = {r.vec_id: (r.dist, r.cutoff, r.is_outlier)
+           for r in centroid_outliers(emb, cents, q=0.5).collect()}
+    # label 0 dists [1, 0, 9] -> p50 (discrete, lower-value rule) = 1
+    assert out[0] == (1.0, 1.0, False)
+    assert out[1] == (0.0, 1.0, False)
+    assert out[2] == (9.0, 1.0, True)
+    assert out[3] == (0.0, 0.0, False)

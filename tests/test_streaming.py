@@ -139,3 +139,36 @@ def test_resize_image_plumbing(spark):
     assert feats.count() == 10
     with pytest.raises(Exception, match="NotImplementedError|image resize"):
         MM.resize_image(assets, 8, 4, fake=False).collect()
+
+
+def test_streaming_sessionization_matches_batch(spark, events_landing):
+    """session_stats is the SAME plan under Structured Streaming: watermark +
+    append mode emits exactly the watermark-closed sessions, all agreeing
+    with the batch twin."""
+    from neighborly_spark.operators.sessions import session_stats
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_landing)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        session_stats(stream, gap_sec=7200, value_col=None)
+        .writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM stream_sessions").collect()}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    batch = {tuple(r) for r in session_stats(ev, gap_sec=7200, value_col=None).collect()}
+    assert got <= batch          # append emits only closed sessions
+    assert len(got) >= len(batch) * 0.5  # and the watermark closed most of them
