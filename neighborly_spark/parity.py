@@ -1573,3 +1573,53 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = REGISTRY["centroid_by_label"].build(spark, sf_dir).select("label", "centroid")
     emb = load(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, cents, q=0.9)
+
+
+@register(
+    "corpus_source_stats",
+    f"""
+WITH p AS (
+  SELECT source, n_chars,
+         {T.token_count_duckdb_sql('text')} AS n_tok,
+         {T.fingerprint_duckdb_sql('text')} AS fp,
+         CAST(round({T.quality_score_duckdb_sql('text')} * 1000000, 0) AS BIGINT) AS q_int
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       count(DISTINCT fp) AS n_distinct,
+       round(1.0 - count(DISTINCT fp) / count(*), {ROUND}) AS dup_frac,
+       round((sum(q_int) / count(*)) / 1000000.0, {ROUND}) AS mean_quality,
+       round(sum(n_chars) / count(*), 1) AS mean_chars
+FROM p GROUP BY source
+""".strip(),
+    tags=["pipeline", "agg", "extension"],
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per-source doc counts, token totals, exact-dup
+    rate (distinct fingerprints), mean quality, mean length — the summary a
+    curation pass is steered by. Float contract: quality is integerized
+    per row (6dp-scaled BIGINT) so the mean is an exact-integer sum under
+    any shuffle order; all divisions are double-over-exact-integers.
+
+    Scale: single keyed aggregate with map-side partials; the distinct-
+    fingerprint count is the one expensive leg (per-source distinct =
+    Expand + two-phase agg) — at 100 TB swap in approx_count_distinct
+    (documented trade)."""
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        "n_chars",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.round(T.quality_score(F.col("text")) * 1_000_000, 0).cast("long").alias("q_int"),
+    )
+    n = F.count(F.lit(1))
+    return p.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.count_distinct(F.col("fp")).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count_distinct(F.col("fp")) / n, ROUND).alias("dup_frac"),
+        F.round((F.sum("q_int") / n) / F.lit(1_000_000.0), ROUND).alias("mean_quality"),
+        F.round(F.sum("n_chars") / n, 1).alias("mean_chars"),
+    )

@@ -79,7 +79,10 @@ class SearchService:
         elif method in ("bq", "binaryquantization"):
             self._bq_threshold = QZ.bq_global_threshold(self.df, self.vec_col)
         elif method in ("pq", "productquantization"):
-            self._pq_model = QZ.pq_train(self.df, self.dim, vec_col=self.vec_col)
+            # sampled one-pass trainer: recall >= the MLlib fit at equal cost
+            # at the 150k tier, and its cost is constant in data size where
+            # MLlib's is m x iters full scans (docs/RECALL.md verdict)
+            self._pq_model = QZ.pq_train_sampled(self.df, self.dim, vec_col=self.vec_col)
             self._pq_encoded = QZ.pq_encode(self.df, self._pq_model, self.vec_col).cache()
         elif method == "ivf":
             self._ivf_model = IVF.ivf_train(self.df, vec_col=self.vec_col)
