@@ -47,31 +47,41 @@ def asof_join(
     how: str = "inner",
     tolerance_sec: int | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach to each left row the right row with the
-    greatest ``ts_col`` <= the left row's (per ``on`` key; ties on equal
-    timestamps match, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """As-of join: attach to each left row ONE right row per ``on`` key —
+    ``direction='backward'`` (default) the greatest right ``ts_col`` <= the
+    left row's (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``), ``'forward'``
+    the smallest right ts >= the left row's. Equal timestamps match in both
+    directions.
 
     Right payload columns (``right_cols``, default = everything but the key
     and timestamp) arrive prefixed; the matched right timestamp is
     ``{prefix}{ts_col}``. ``how='left'`` keeps unmatched left rows with
-    null payload; ``tolerance_sec`` drops matches older than the window.
+    null payload; ``tolerance_sec`` drops matches farther than the window.
 
-    If several right rows share one (key, ts), the one latest in the
-    union's deterministic sort order wins — pre-aggregate the right side if
-    a specific tiebreak is required (the parity query keeps max event_id).
+    If several right rows share one (key, ts), the one nearest the left row
+    in the union's deterministic sort order wins — pre-aggregate the right
+    side if a specific tiebreak is required (the parity queries keep max
+    event_id).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    back = direction == "backward"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts_col)]
     left_cols = [c for c in left.columns if c not in (on, ts_col)]
     out_right = [prefix + ts_col] + [prefix + c for c in right_cols]
 
-    # One tagged frame: right rows sort BEFORE left rows at equal ts so an
-    # exactly-simultaneous right row is visible to the left row's frame.
+    # One tagged frame. Backward: right rows sort BEFORE left rows at equal
+    # ts so an exactly-simultaneous right row is inside the preceding frame;
+    # forward: right rows sort AFTER left rows so it is inside the following
+    # frame.
+    r_side, l_side = (0, 1) if back else (1, 0)
     r = right.select(
         F.col(on),
         F.col(ts_col),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         F.col(ts_col).alias(prefix + ts_col),
         *[F.col(c).alias(prefix + c) for c in right_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
@@ -79,27 +89,30 @@ def asof_join(
     l = left.select(
         F.col(on),
         F.col(ts_col),
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.lit(None).cast(right.schema[ts_col].dataType).alias(prefix + ts_col),
         *[F.lit(None).cast(right.schema[c].dataType).alias(prefix + c) for c in right_cols],
         *left_cols,
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(on).orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+    if back:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = r.unionByName(l).select(
         on,
         ts_col,
         "_side",
         *left_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_right],
+        *[carry(c).alias(c) for c in out_right],
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side")
+    out = carried.filter(F.col("_side") == l_side).drop("_side")
     matched = F.col(prefix + ts_col).isNotNull()
     if tolerance_sec is not None:
-        gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(prefix + ts_col))
+        signed = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(prefix + ts_col))
+        gap_us = signed if back else -signed
         in_tol = matched & (gap_us <= int(tolerance_sec) * 1_000_000)
         out = out.filter(in_tol) if how == "inner" else out.select(
             on, ts_col, *left_cols,

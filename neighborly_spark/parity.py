@@ -1623,3 +1623,43 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.sum("q_int") / n) / F.lit(1_000_000.0), ROUND).alias("mean_quality"),
         F.round(F.sum("n_chars") / n, 1).alias("mean_chars"),
     )
+
+
+@register(
+    "signup_next_purchase_asof",
+    """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS next_purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS us, r.next_purchase_id,
+       epoch_us(r.ts) AS purchase_us, epoch_us(r.ts) - epoch_us(l.ts) AS wait_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+""".strip(),
+    tags=["join", "asof", "extension"],
+)
+def signup_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each signup picks up the next purchase at or
+    after it per user (joins.asof_join direction='forward' — the mirrored
+    window frame). Oracle = DuckDB's native ASOF JOIN with the <=
+    comparator, again an independent implementation of the semantics."""
+    from neighborly_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("next_purchase_id"))
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(signups, purchases, on="user_id", ts_col="ts",
+                  right_cols=["next_purchase_id"], how="inner", direction="forward")
+    us, pus = F.unix_micros(F.col("ts")), F.unix_micros(F.col("r_ts"))
+    return j.select(
+        "event_id", "user_id", us.alias("us"),
+        F.col("r_next_purchase_id").alias("next_purchase_id"),
+        pus.alias("purchase_us"), (pus - us).alias("wait_us"),
+    )

@@ -118,3 +118,15 @@ def test_redact_pii_hand_case(spark):
     assert got[2] == ("call <PHONE> today", 0, 0, 1)
     assert got[3] == ("clean text with numbers 1 2 3", 0, 0, 0)
     assert got[4] == ("<EMAIL> and <IP> and <PHONE>", 1, 1, 1)
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, right_cols=["v"], direction="forward", how="left")
+    got = {r.lbl: r.r_v for r in out.collect()}
+    # l0 at 10 matches the EQUAL-ts right row; l1 at 20 has nothing after;
+    # l2 at 4 takes the next (5); l3's key has no right rows.
+    assert got == {"l0": 200, "l1": None, "l2": 100, "l3": None}
+    tol = asof_join(left, right, right_cols=["v"], direction="forward",
+                    how="inner", tolerance_sec=0)
+    assert {r.lbl: r.r_v for r in tol.collect()} == {"l0": 200}

@@ -94,3 +94,26 @@ def test_range_search_filter_before_sort(emb):
     plan = _plan(range_search(emb, [0.0] * 64, 1.0))
     # the radius filter must run before the sort (sort input is pre-filtered)
     assert plan.index("Filter") > plan.index("Sort")  # executedPlan prints top-down: Sort above Filter
+
+
+def test_interval_join_is_equi_join_not_bnl(spark):
+    # a bare containment predicate would fall into BroadcastNestedLoopJoin;
+    # bucketization must turn it into a hash EQUI-join
+    plan = _plan(REGISTRY["event_interval_join"].build(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_asof_join_has_no_join_node(spark):
+    # both directions compile to union + one keyed window — no join operator
+    for q in ("purchase_asof_click", "signup_next_purchase_asof"):
+        plan = _plan(REGISTRY[q].build(spark, SF))
+        assert "Join" not in plan, q
+        assert plan.count("Window") == 1, q
+
+
+def test_unigram_freq_join_never_shuffles_doc_tokens(spark):
+    # the exploded doc-token side must meet the frequency table via a
+    # broadcast hash join (no Exchange between Generate and the join)
+    plan = _plan(REGISTRY["unigram_logprob"].build(spark, SF))
+    assert "BroadcastHashJoin" in plan
