@@ -123,6 +123,26 @@ def asof_join(
     return out
 
 
+def auto_bucket_us(
+    intervals: DataFrame, start_us: str = "start_us", end_us: str = "end_us"
+) -> int:
+    """Pick an interval-join bucket width: the median interval length
+    (percentile_approx over one tiny planner job), rounded to a power of
+    two. Median-width buckets bound the explode factor at ~2 rows per
+    typical interval while keeping candidate lists tight; the power-of-two
+    snap makes the choice stable under small data drift. Driver-side
+    ACTION at plan time — one aggregate over the (small) interval side.
+    """
+    import math
+
+    med = intervals.select(
+        F.percentile_approx(F.col(end_us) - F.col(start_us) + 1, 0.5).alias("m")
+    ).first().m
+    if not med or med <= 1:
+        return 1
+    return int(2 ** round(math.log2(med)))
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -130,7 +150,7 @@ def interval_join(
     point_us: str = "us",
     start_us: str = "start_us",
     end_us: str = "end_us",
-    bucket_us: int = 3_600_000_000,
+    bucket_us: int | None = 3_600_000_000,
 ) -> DataFrame:
     """Inner join of point rows to every interval row containing them:
     ``points.{point_us}`` in CLOSED ``[start_us, end_us]`` with matching
@@ -138,9 +158,12 @@ def interval_join(
 
     Bucketized equi-join (see module docstring): never a nested-loop plan,
     and overlapping intervals still yield one output row per containing
-    interval with no dedup step.
+    interval with no dedup step. ``bucket_us=None`` sizes the bucket from
+    the intervals' median length (auto_bucket_us).
     """
-    b = int(bucket_us)
+    b = int(bucket_us) if bucket_us is not None else auto_bucket_us(
+        intervals, start_us, end_us
+    )
     iv = intervals.withColumn(
         "_bucket",
         F.explode(

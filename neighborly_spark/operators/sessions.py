@@ -118,3 +118,97 @@ SELECT {key_col}, min(us) AS start_us, max(us) AS end_us, count(*) AS n_events,
        (max(us) - min(us)) // 1000000 AS duration_sec{val_sel.replace(f'sum({value_col})', 'sum(_v)') if value_col else ''}
 FROM s GROUP BY {key_col}, seq
 """.strip()
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis: per key, the earliest completion chain of
+    ``steps`` — t1 = first step-1 event, t_{i+1} = first step-(i+1) event
+    STRICTLY after t_i. Returns (key, t1_us..tK_us, steps_completed,
+    converted); earliest-greedy matching is the standard funnel semantics
+    and provably maximizes steps_completed for ordered chains.
+
+    Implementation: ONE shuffle — events of the tracked types collect into
+    a per-key time-sorted array ((us, tiebreak) order, so equal timestamps
+    are deterministic), then each step is a first-match scan of that array
+    with null propagation for missed steps. No per-step self-joins (a K-step
+    funnel via joins costs K shuffles); state is bounded by the per-key
+    tracked-event count. The DuckDB oracle computes the same chain via
+    list_filter — lists are only READ here, never fold-mutated, so the
+    DuckDB lambda-struct pitfall (NOTES.md) does not apply.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(key_col),
+        F.struct(us.alias("us"), F.col(tiebreak_col).alias("tb"), F.col(type_col).alias("t")).alias("_e"),
+    )
+    grouped = ev.groupBy(key_col).agg(F.array_sort(F.collect_list("_e")).alias("_l"))
+
+    # each t_i references t_{i-1}, so the chain is built via successive
+    # withColumn projections (a same-select alias would not resolve). The
+    # lambda comes from a factory — default-arg closures would add params
+    # and break PySpark's HOF arity inspection.
+    def first_match(step: str, prev: Column | None) -> Column:
+        if prev is None:
+            m = F.filter(F.col("_l"), lambda x: x["t"] == step)
+        else:
+            m = F.filter(F.col("_l"), lambda x: (x["t"] == step) & (x["us"] > prev))
+        return F.try_element_at(m, F.lit(1))["us"]
+
+    out = grouped
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        name = f"t{i}_us"
+        out = out.withColumn(name, first_match(step, prev))
+        prev = F.col(name)
+    out = out.drop("_l")
+    completed = None
+    for i in range(1, len(steps) + 1):
+        c = F.when(F.col(f"t{i}_us").isNotNull(), 1).otherwise(0)
+        completed = c if completed is None else completed + c
+    return out.withColumn("steps_completed", completed).withColumn(
+        "converted", F.col(f"t{len(steps)}_us").isNotNull()
+    )
+
+
+def funnel_steps_duckdb_sql(
+    steps: list[str],
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    where: str = "TRUE",
+) -> str:
+    types = ", ".join(f"'{s}'" for s in steps)
+    t_exprs, prev = [], None
+    for i, step in enumerate(steps, start=1):
+        cond = f"x.t = '{step}'" if prev is None else f"x.t = '{step}' AND x.us > {prev}"
+        t_exprs.append(f"list_filter(_l, x -> {cond})[1].us AS t{i}_us")
+        prev = f"t{i}_us"
+    steps_done = " + ".join(
+        f"CASE WHEN t{i}_us IS NOT NULL THEN 1 ELSE 0 END" for i in range(1, len(steps) + 1)
+    )
+    # each t_i references t_{i-1} via DuckDB's lateral column aliases
+    acc = list(t_exprs)
+    return f"""
+WITH g AS (
+  SELECT {key_col},
+         list(struct_pack(us := epoch_us({ts_col}), tb := {tiebreak_col}, t := {type_col})
+              ORDER BY epoch_us({ts_col}), {tiebreak_col}) AS _l
+  FROM {table} WHERE {type_col} IN ({types}) AND ({where})
+  GROUP BY {key_col}
+), s AS (
+  SELECT {key_col}, {", ".join(acc)} FROM g
+)
+SELECT {key_col}, {", ".join(f"t{i}_us" for i in range(1, len(steps) + 1))},
+       {steps_done} AS steps_completed,
+       t{len(steps)}_us IS NOT NULL AS converted
+FROM s
+""".strip()

@@ -256,3 +256,48 @@ def text_search(
             .limit(k)
         )
     return hits
+
+
+def stub_rerank_topk(
+    candidates: DataFrame,
+    query: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Model-in-the-loop rerank plumbing: score every candidate with an
+    Arrow-batched pandas UDF (the slot a cross-encoder occupies), keep the
+    top k by (score DESC, id ASC). Returns (id, rerank_score).
+
+    The stand-in scorer is DETERMINISTIC AND CROSS-ENGINE: md5 of
+    '{query}::{text}' -> first 8 hex chars as uint32 / 2^32, identical to a
+    SQL expression in any engine — so unlike typical UDF stages this one is
+    oracle-checked end to end (the parity gate proves the Arrow batch path
+    returns exactly what the SQL twin computes). Swap the body for a real
+    model; the plumbing (batch iterator, schema, top-k) is the product.
+
+    Scale: candidates are an already-reduced top-N (retrieval happened
+    upstream), so the UDF touches N rows, not the corpus; the final top-k
+    is a distributed TakeOrderedAndProject.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: postponed-evaluation strings ('pd.Series') break
+    # pandas_udf's signature inference under `from __future__ import
+    # annotations`; the returnType argument carries the schema instead
+    @pandas_udf("double")
+    def _score(texts):
+        def one(t: str) -> float:
+            h = hashlib.md5(f"{query}::{t}".encode()).hexdigest()[:8]
+            return round(int(h, 16) / 4294967296.0, round_to)
+
+        return texts.map(one)
+
+    scored = candidates.select(
+        F.col(id_col), _score(F.col(text_col)).alias("rerank_score")
+    )
+    return scored.orderBy(F.col("rerank_score").desc(), F.col(id_col).asc()).limit(k)

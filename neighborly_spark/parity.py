@@ -1663,3 +1663,44 @@ def signup_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_next_purchase_id").alias("next_purchase_id"),
         pus.alias("purchase_us"), (pus - us).alias("wait_us"),
     )
+
+
+@register(
+    "rerank_topk",
+    f"""
+WITH cand AS ({TS.bm25_topk_duckdb_sql(_BM25_QUERY, k=20)}),
+t AS (SELECT c.doc_id, d.text FROM cand c JOIN documents d USING (doc_id))
+SELECT doc_id,
+       round(CAST(('0x' || substr(md5('{_BM25_QUERY}' || '::' || text), 1, 8)) AS BIGINT)
+             / 4294967296.0, {ROUND}) AS rerank_score
+FROM t ORDER BY rerank_score DESC, doc_id ASC LIMIT 5
+""".strip(),
+    tags=["search", "text", "udf", "extension"],
+)
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: BM25 top-20, then an Arrow-batched pandas-UDF
+    scoring stage (text_search.stub_rerank_topk) picks the final 5. The
+    stub scorer is md5-based and cross-engine, so this is the gate's proof
+    that the PANDAS-UDF path (not just JVM expressions) returns exactly
+    what the SQL twin computes — the slot a real cross-encoder occupies."""
+    docs = load(spark, sf_dir, "documents")
+    cand = TS.bm25_topk(docs, _BM25_QUERY, k=20).select("doc_id")
+    withtext = cand.join(docs.select("doc_id", "text"), "doc_id")
+    return TS.stub_rerank_topk(withtext, _BM25_QUERY, k=5)
+
+
+@register(
+    "funnel_signup_click_purchase",
+    _SESSION_SQL.__module__ and __import__(
+        "neighborly_spark.operators.sessions", fromlist=["x"]
+    ).funnel_steps_duckdb_sql(["signup", "click", "purchase"]),
+    tags=["sessionization", "funnel", "extension"],
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user the earliest signup -> click -> purchase
+    chain (sessions.funnel_steps — one shuffle, per-key sorted-array scan,
+    no per-step self-joins)."""
+    from neighborly_spark.operators.sessions import funnel_steps
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_steps(ev, ["signup", "click", "purchase"])

@@ -130,3 +130,21 @@ def test_asof_forward_semantics(spark):
     tol = asof_join(left, right, right_cols=["v"], direction="forward",
                     how="inner", tolerance_sec=0)
     assert {r.lbl: r.r_v for r in tol.collect()} == {"l0": 200}
+
+
+def test_interval_join_auto_bucket(spark):
+    from neighborly_spark.operators.joins import auto_bucket_us
+
+    intervals = spark.createDataFrame(
+        [(1, 0, 99), (1, 200, 299), (2, 0, 399)],
+        "user_id int, start_us long, end_us long",
+    )
+    # lengths 100, 100, 400 -> median 100 -> 2^round(log2(100)) = 128
+    assert auto_bucket_us(intervals) == 128
+    points = spark.createDataFrame(
+        [(1, 0, 50), (1, 1, 250), (2, 2, 350), (2, 3, 500)],
+        "user_id int, event_id int, us long",
+    )
+    got = sorted((r.event_id, r.start_us) for r in
+                 interval_join(points, intervals, bucket_us=None).collect())
+    assert got == [(0, 0), (1, 200), (2, 0)]

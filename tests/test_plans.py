@@ -81,11 +81,16 @@ def test_distance_exprs_stay_jvm_side(emb):
 
 def test_oracle_queries_contain_no_python_udfs(spark):
     # every parity builder must stay JVM-side (SURVEY §7.0 design stance);
-    # the only sanctioned Python is mapInPandas in multimodal (not here).
+    # sanctioned Python: mapInPandas in multimodal (not here), and
+    # rerank_topk, whose WHOLE POINT is oracle-checking the Arrow UDF path
+    # (the cross-encoder slot) — it must use Arrow, never row-Python.
     for name, pq in REGISTRY.items():
         plan = _plan(pq.build(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
-        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF needlessly"
+        if name == "rerank_topk":
+            assert "ArrowEvalPython" in plan, "rerank must be Arrow-batched"
+        else:
+            assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF needlessly"
 
 
 def test_range_search_filter_before_sort(emb):

@@ -128,3 +128,46 @@ def test_chunking_covers_all_tokens(spark, texts, chunk_tokens, overlap):
             ctoks = ctext.split() if ctext else []
             rebuilt.extend(ctoks[overlap:] if ci > 0 else ctoks)
         assert rebuilt == toks
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+             min_size=0, max_size=12),
+)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    """asof_join (both directions, inner) agrees with a brute-force Python
+    reference on random keyed event sets. Right side deduped per (key, ts)
+    by max payload — the documented tiebreak discipline."""
+    import datetime as dt
+
+    from neighborly_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    dedup = {}
+    for k, s, v in rights:
+        dedup[(k, s)] = max(v, dedup.get((k, s), -1))
+    rrows = [(k, ts(s), v) for (k, s), v in dedup.items()]
+    lrows = [(k, ts(s), i) for i, (k, s) in enumerate(lefts)]
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, lid int")
+    right = spark.createDataFrame(rrows or [(99, ts(0), 0)], "k int, ts timestamp, v int")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: (r.r_ts, r.r_v)
+            for r in asof_join(left, right, on="k", right_cols=["v"],
+                               direction=direction).collect()
+        }
+        want = {}
+        for k, lts, lid in lrows:
+            if direction == "backward":
+                cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= lts]
+                best = max(cands) if cands else None
+            else:
+                cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts >= lts]
+                best = min(cands) if cands else None
+            if best is not None:
+                want[lid] = best
+        assert got == want, direction

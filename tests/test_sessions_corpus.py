@@ -15,6 +15,10 @@ from neighborly_spark.operators.sessions import session_stats, sessionize
 T0 = dt.datetime(2024, 1, 1)
 
 
+def _sec(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
 def _events(spark, offsets_sec):
     rows = [(1, T0 + dt.timedelta(seconds=s), i, 1.0) for i, s in enumerate(offsets_sec)]
     return spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, value double")
@@ -135,3 +139,26 @@ def test_centroid_outliers_hand_case(spark):
     assert out[1] == (0.0, 1.0, False)
     assert out[2] == (9.0, 1.0, True)
     assert out[3] == (0.0, 0.0, False)
+
+
+def test_funnel_hand_case(spark):
+    from neighborly_spark.operators.sessions import funnel_steps
+
+    rows = [
+        # user 1 completes s->c->p (greedy: s@0, first c after = 20, p after = 30)
+        (1, T0, 0, "signup"), (1, _sec(10), 1, "purchase"), (1, _sec(20), 2, "click"),
+        (1, _sec(30), 3, "purchase"),
+        # user 2 clicks before signup -> only reaches step 1 via signup@50, no click after
+        (2, _sec(40), 4, "click"), (2, _sec(50), 5, "signup"),
+        # user 3 never signs up
+        (3, _sec(5), 6, "click"), (3, _sec(6), 7, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int, event_type string")
+    got = {
+        r.user_id: (r.t1_us, r.t2_us, r.t3_us, r.steps_completed, r.converted)
+        for r in funnel_steps(df, ["signup", "click", "purchase"]).collect()
+    }
+    us = lambda s: int(T0.timestamp() * 1e6) + s * 1_000_000  # noqa: E731
+    assert got[1] == (us(0), us(20), us(30), 3, True)
+    assert got[2] == (us(50), None, None, 1, False)
+    assert got[3] == (None, None, None, 0, False)
