@@ -13,6 +13,12 @@ nickna/Neighborly (an embeddable C# vector database) on Spark SQL + MLlib:
 - text analysis (lang-id, quality, tokens)  (functions.text)
 - ETL: CSV / JSON / JSONZ / Parquet + snapshots (sources.etl)
 - CRUD-as-batch + tag filtering             (operators.crud)
+- corpus ops: chunking, packing, vocab, decontamination, unigram LM
+                                            (operators.corpus)
+- BM25 / hybrid RRF / rerank retrieval      (operators.text_search)
+- sessionization + ordered funnels          (operators.sessions)
+- as-of + interval joins                    (operators.joins)
+- deterministic splits / stratified sampling (functions.splits)
 - streaming ingest + debounced index refresh (streaming.ingest)
 
 Design stance (SURVEY.md §7.0): every operator takes and returns DataFrames,

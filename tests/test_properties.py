@@ -171,3 +171,30 @@ def test_asof_join_matches_python_reference(spark, lefts, rights):
             if best is not None:
                 want[lid] = best
         assert got == want, direction
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=7),
+)
+def test_pack_sequences_invariants(spark, texts, budget):
+    """Packing laws: per group, offsets tile the token stream contiguously
+    in id order; first/last bins are exactly the integer-division of the
+    span; n_bins is their difference + 1."""
+    from neighborly_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in enumerate(texts)], "doc_id int, lang string, text string"
+    )
+    rows = sorted(
+        pack_sequences(df, budget_tokens=budget).collect(), key=lambda r: r.doc_id
+    )
+    offset = 0
+    for r in rows:
+        assert r.start_offset == offset
+        assert r.first_bin == r.start_offset // budget
+        assert r.last_bin == (r.start_offset + r.n_tokens - 1) // budget
+        assert r.n_bins == r.last_bin - r.first_bin + 1
+        assert r.n_tokens >= 1
+        offset += r.n_tokens
