@@ -164,15 +164,13 @@ def interval_join(
     b = int(bucket_us) if bucket_us is not None else auto_bucket_us(
         intervals, start_us, end_us
     )
+    # integer `div`, never float division: epoch-micro offsets stay exact
+    # past 2^53 and bucket boundaries can't drift
     iv = intervals.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(
-                (F.col(start_us) / b).cast("long"), (F.col(end_us) / b).cast("long")
-            )
-        ),
+        F.explode(F.sequence(F.expr(f"{start_us} div {b}"), F.expr(f"{end_us} div {b}"))),
     )
-    pt = points.withColumn("_bucket", (F.col(point_us) / b).cast("long"))
+    pt = points.withColumn("_bucket", F.expr(f"{point_us} div {b}"))
     return (
         pt.join(iv, [on, "_bucket"])
         .filter(F.col(point_us).between(F.col(start_us), F.col(end_us)))
