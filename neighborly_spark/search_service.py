@@ -85,7 +85,11 @@ class SearchService:
             self._pq_model = QZ.pq_train_sampled(self.df, self.dim, vec_col=self.vec_col)
             self._pq_encoded = QZ.pq_encode(self.df, self._pq_model, self.vec_col).cache()
         elif method == "ivf":
-            self._ivf_model = IVF.ivf_train(self.df, vec_col=self.vec_col)
+            # sampled one-pass coarse quantizer: statistically equivalent
+            # recall to the MLlib fit at the 150k tier once measured with
+            # enough queries (docs/RECALL.md 20-query table), at one scan
+            # instead of iterations x scans
+            self._ivf_model = IVF.ivf_train_sampled(self.df, vec_col=self.vec_col)
             self._ivf_assigned = IVF.ivf_assign(self.df, self._ivf_model, self.vec_col).cache()
         elif method in EXACT_METHODS or method in ("hnsw", "range"):
             pass  # exact paths need no artifact; hnsw maps to lsh/exact lazily

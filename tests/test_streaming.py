@@ -172,3 +172,35 @@ def test_streaming_sessionization_matches_batch(spark, events_landing):
     batch = {tuple(r) for r in session_stats(ev, gap_sec=7200, value_col=None).collect()}
     assert got <= batch          # append emits only closed sessions
     assert len(got) >= len(batch) * 0.5  # and the watermark closed most of them
+
+
+def test_streaming_funnel_matches_batch(spark, events_landing):
+    """funnel_steps is a plain keyed aggregation, so it runs unchanged under
+    Structured Streaming in complete mode — full equality with the batch
+    result once all data is processed."""
+    from neighborly_spark.operators.sessions import funnel_steps
+
+    steps = ["signup", "click", "purchase"]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_landing)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        funnel_steps(stream, steps)
+        .writeStream.format("memory")
+        .queryName("stream_funnel")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM stream_funnel").collect()}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    batch = {tuple(r) for r in funnel_steps(ev, steps).collect()}
+    assert got == batch and len(got) > 0
