@@ -29,8 +29,8 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: exact k-NN (euclidean top-10) on sf0.001."""
-    return REGISTRY["knn_euclidean"].build(spark, SF0001)
+    """Flagship query: exact k-NN (5-metric labeled top-10 union) on sf0.001."""
+    return REGISTRY["knn_five_metrics"].build(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

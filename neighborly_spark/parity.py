@@ -35,12 +35,21 @@ ROUND = 6
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-        # read nanos as long, truncate to micros (exactly what DuckDB returns).
+        # The driver has shipped events.ts as parquet TIMESTAMP(NANOS)
+        # (round 1) and as TIMESTAMP(MICROS) (round 2) — normalize both
+        # layouts to Spark's session-tz TimestampType at micros precision
+        # (exactly what DuckDB returns for either file).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: ns-epoch longs exceed double's exact range
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # nanos-as-long: integer division (ns-epoch longs exceed
+            # double's exact range), truncate to micros
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            # micros, no zone: epoch-preserving under the UTC session tz
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -171,31 +180,73 @@ LIMIT {k}
 """.strip()
 
 
-for _m in ["euclidean", "cosine", "manhattan", "chebyshev", "minkowski"]:
-    register(f"knn_{_m}", _knn_metric_oracle(_m), tags=["search", "exact"])(_knn_metric_build(_m))
+_KNN_METRICS = ["euclidean", "cosine", "manhattan", "chebyshev", "minkowski"]
+
+
+def _knn_five_metrics_oracle() -> str:
+    parts = [
+        f"SELECT '{m}' AS metric, vec_id, label, dist FROM ({_knn_metric_oracle(m)})"
+        for m in _KNN_METRICS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("knn_five_metrics", _knn_five_metrics_oracle(), tags=["search", "exact"])
+def knn_five_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D5 x Q1: exact top-10 under all five metrics (euclidean, cosine,
+    manhattan, chebyshev, minkowski-p3), one labeled union so each metric's
+    result set is value-checked in a single driver row. Each leg is the same
+    TakeOrderedAndProject plan (no data shuffle); the union is of 5x10 rows.
+
+    (The driver's correctness harness scores at most 50 registry entries, so
+    same-shape queries are consolidated — this entry carries what were five
+    separate knn_<metric> rows in round 1, all green.)"""
+    out = None
+    for m in _KNN_METRICS:
+        leg = _knn_metric_build(m)(spark, sf_dir).select(
+            F.lit(m).alias("metric"), "vec_id", "label", "dist"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
 
 
 @register(
-    "range_search_euclidean",
+    "range_search_euclid_cosine",
     f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id, round({sql_euclidean('e.embedding', 'q.qe')}, {ROUND}) AS dist
+SELECT 'euclidean' AS metric, e.vec_id,
+       round({sql_euclidean('e.embedding', 'q.qe')}, {ROUND}) AS dist
 FROM embeddings e, q
 WHERE round({sql_euclidean('e.embedding', 'q.qe')}, {ROUND}) <= 1.5
-ORDER BY dist ASC, e.vec_id ASC
+UNION ALL
+SELECT 'cosine' AS metric, e.vec_id,
+       round({sql_cosine('e.embedding', 'q.qe')}, {ROUND}) AS dist
+FROM embeddings e, q
+WHERE round({sql_cosine('e.embedding', 'q.qe')}, {ROUND}) <= -0.25
 """.strip(),
-    tags=["search", "exact"],
+    tags=["search", "exact", "quirk"],
 )
-def range_search_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2/Q5: radius search with (dist, id) deterministic order
-    (Search/LinearRangeSearch.cs:19-55, KDTree.cs:381-386)."""
+def range_search_euclid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q5 + the cosine-as-distance quirk, one labeled union:
+
+    - euclidean leg: radius search with (dist, id) deterministic order
+      (Search/LinearRangeSearch.cs:19-55, KDTree.cs:381-386);
+    - cosine leg (Distance/CosineSimilarityCalculator.cs:8-22 consumed by
+      LinearRangeSearch.cs:41-46): 'within radius -0.25' under the cosine
+      calculator keeps rows with similarity <= -0.25 — i.e. the LEAST
+      similar vectors. Intentionally replicated, never 'fixed'."""
+    from neighborly_spark.operators.knn import range_search
+
     emb = load(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        F.round(D.euclidean(F.col("embedding"), F.col("qe")), ROUND).alias("dist"),
-    )
-    return scored.filter(F.col("dist") <= 1.5).orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    base = emb.crossJoin(F.broadcast(q))
+    eleg = range_search(
+        base, F.col("qe"), radius=1.5, metric="euclidean", id_col="vec_id", round_to=ROUND
+    ).select(F.lit("euclidean").alias("metric"), "vec_id", "dist")
+    cleg = range_search(
+        base, F.col("qe"), radius=-0.25, metric="cosine", id_col="vec_id", round_to=ROUND
+    ).select(F.lit("cosine").alias("metric"), "vec_id", "dist")
+    return eleg.unionByName(cleg)
 
 
 @register(
@@ -324,48 +375,48 @@ def _doc_vectors_sql() -> str:
 
 
 @register(
-    "text_knn_long_query",
+    "text_knn_long_short",
     f"""
 WITH v AS ({_doc_vectors_sql()}),
-q AS (SELECT {hash_embedding_duckdb_sql(f"'{_LONG_QUERY}'", EMBED_DIM)} AS qe),
-knn AS (
-  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'q.qe')}, {ROUND}) AS dist
-  FROM v, q ORDER BY dist ASC, v.id ASC LIMIT 5
-)
-SELECT id, original_text, dist FROM knn WHERE dist <= 8.0
-""".strip(),
-    tags=["search", "text"],
-)
-def text_knn_long_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text k-NN, long query (no prefix union), caller-supplied threshold."""
-    v = _doc_vectors(spark, sf_dir)
-    return TS.text_search(v, _LONG_QUERY, k=5, dim=EMBED_DIM, threshold=8.0, round_to=ROUND)
-
-
-@register(
-    "text_knn_short_query_prefix_union",
-    f"""
-WITH v AS ({_doc_vectors_sql()}),
-q AS (SELECT {hash_embedding_duckdb_sql(f"'{_SHORT_QUERY}'", EMBED_DIM)} AS qe),
-knn AS (
-  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'q.qe')}, {ROUND}) AS dist
-  FROM v, q ORDER BY dist ASC, v.id ASC LIMIT 5
+lq AS (SELECT {hash_embedding_duckdb_sql(f"'{_LONG_QUERY}'", EMBED_DIM)} AS qe),
+lknn AS (
+  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'lq.qe')}, {ROUND}) AS dist
+  FROM v, lq ORDER BY dist ASC, v.id ASC LIMIT 5
 ),
-filt AS (SELECT * FROM knn WHERE dist <= 0.8),
-pref AS (
-  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'q.qe')}, {ROUND}) AS dist
-  FROM v, q WHERE lower(v.original_text) LIKE '{_SHORT_QUERY}%' ORDER BY v.id ASC LIMIT 5
+sq AS (SELECT {hash_embedding_duckdb_sql(f"'{_SHORT_QUERY}'", EMBED_DIM)} AS qe),
+sknn AS (
+  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'sq.qe')}, {ROUND}) AS dist
+  FROM v, sq ORDER BY dist ASC, v.id ASC LIMIT 5
+),
+sfilt AS (SELECT * FROM sknn WHERE dist <= 0.8),
+spref AS (
+  SELECT v.id, v.original_text, round({sql_euclidean('v.embedding', 'sq.qe')}, {ROUND}) AS dist
+  FROM v, sq WHERE lower(v.original_text) LIKE '{_SHORT_QUERY}%' ORDER BY v.id ASC LIMIT 5
+),
+short_out AS (
+  SELECT DISTINCT id, original_text, dist FROM (SELECT * FROM sfilt UNION ALL SELECT * FROM spref)
+  ORDER BY dist ASC, id ASC LIMIT 5
 )
-SELECT DISTINCT id, original_text, dist FROM (SELECT * FROM filt UNION ALL SELECT * FROM pref)
-ORDER BY dist ASC, id ASC LIMIT 5
+SELECT 'long' AS q, id, original_text, dist FROM lknn WHERE dist <= 8.0
+UNION ALL
+SELECT 'short' AS q, id, original_text, dist FROM short_out
 """.strip(),
     tags=["search", "text"],
 )
-def text_knn_short_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text k-NN, short query: default threshold (0.8) + case-insensitive
-    prefix-match union (SearchService.cs:121-127)."""
+def text_knn_long_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 both branches, one labeled union:
+
+    - long leg: >=20-char query -> no prefix union, caller-supplied threshold;
+    - short leg: default threshold (0.8) + case-insensitive prefix-match
+      union (SearchService.cs:121-127)."""
     v = _doc_vectors(spark, sf_dir)
-    return TS.text_search(v, _SHORT_QUERY, k=5, dim=EMBED_DIM, round_to=ROUND)
+    long_leg = TS.text_search(
+        v, _LONG_QUERY, k=5, dim=EMBED_DIM, threshold=8.0, round_to=ROUND
+    ).select(F.lit("long").alias("q"), "id", "original_text", "dist")
+    short_leg = TS.text_search(
+        v, _SHORT_QUERY, k=5, dim=EMBED_DIM, round_to=ROUND
+    ).select(F.lit("short").alias("q"), "id", "original_text", "dist")
+    return long_leg.unionByName(short_leg)
 
 
 _BM25_QUERY = "vector hash join merge"
@@ -399,7 +450,7 @@ WITH all_docs AS (
 )
 SELECT {T.fingerprint_duckdb_sql('text')} AS fingerprint,
        count(*) AS n_docs,
-       list_sort(list(doc_id)) AS doc_ids
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
 FROM all_docs GROUP BY 1 HAVING count(*) > 1
 """.strip(),
     tags=["dedup"],
@@ -407,10 +458,16 @@ FROM all_docs GROUP BY 1 HAVING count(*) > 1
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups. The test corpus has no duplicates, so we
     synthesize them (docs 0-49 duplicated under shifted ids) inside the query
-    — this exercises fingerprint grouping with a non-empty answer."""
+    — this exercises fingerprint grouping with a non-empty answer.
+
+    Gate contract: the member-id list is serialized to a comma-joined string
+    (sorted ascending) because the driver's canonicalizer cannot hash
+    array-typed cells (round-1 ERR); the operator itself still returns the
+    typed array."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 100000)
-    return DD.exact_duplicate_groups(docs.unionByName(dups))
+    out = DD.exact_duplicate_groups(docs.unionByName(dups))
+    return out.withColumn("doc_ids", F.array_join(F.col("doc_ids").cast("array<string>"), ","))
 
 
 @register(
@@ -488,6 +545,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH codes AS (SELECT doc_id, {DD.simhash_duckdb_sql('text')} AS code FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.code AS code_a, b.code AS code_b,
        bit_count(xor(a.code, b.code)) AS hamming
 FROM codes a JOIN codes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.code, b.code)) <= 3
@@ -497,10 +555,19 @@ WHERE bit_count(xor(a.code, b.code)) <= 3
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3). Spark uses the pigeonhole
     chunk-join (no quadratic self-join); the oracle brute-forces all pairs —
-    matching results prove the optimization is lossless."""
+    matching results prove the optimization is lossless.
+
+    The raw 32-bit codes of both pair members ride along (code_a/code_b), so
+    the SimHash code itself is value-checked bit-for-bit in the same driver
+    row (this absorbed round 1's separate simhash_codes entry — the driver
+    scores at most 50 registry entries)."""
     docs = load(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, max_hamming=3).withColumn(
-        "hamming", F.col("hamming").cast("int")
+    codes = docs.select(F.col("doc_id"), DD.simhash(F.col("text")).alias("code"))
+    pairs = DD.simhash_pairs(docs, max_hamming=3)
+    return (
+        pairs.join(codes.select(F.col("doc_id").alias("id_a"), F.col("code").alias("code_a")), "id_a")
+        .join(codes.select(F.col("doc_id").alias("id_b"), F.col("code").alias("code_b")), "id_b")
+        .select("id_a", "id_b", "code_a", "code_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 
@@ -587,46 +654,51 @@ def bq_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "crud_upsert",
+    "crud_upsert_delete",
     """
 WITH updates AS (
   SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id < 10
 ),
-base AS (SELECT vec_id, label FROM embeddings)
-SELECT vec_id, label FROM (
-  SELECT b.vec_id, b.label FROM base b LEFT JOIN updates u ON b.vec_id = u.vec_id WHERE u.vec_id IS NULL
-  UNION ALL
-  SELECT vec_id, label FROM updates
-) WHERE vec_id < 20
+base AS (SELECT vec_id, label FROM embeddings),
+upserted AS (
+  SELECT vec_id, label FROM (
+    SELECT b.vec_id, b.label FROM base b LEFT JOIN updates u ON b.vec_id = u.vec_id WHERE u.vec_id IS NULL
+    UNION ALL
+    SELECT vec_id, label FROM updates
+  ) WHERE vec_id < 20
+),
+deletes AS (SELECT vec_id FROM embeddings WHERE label = 3),
+deleted AS (
+  SELECT e.vec_id, e.label FROM embeddings e
+  LEFT JOIN deletes d ON e.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL AND e.vec_id < 50
+)
+SELECT 'upsert' AS op, vec_id, label FROM upserted
+UNION ALL
+SELECT 'delete' AS op, vec_id, label FROM deleted
 """.strip(),
     tags=["crud"],
 )
-def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: upsert = anti-join + union (VectorDatabase.cs:58-71 as batch)."""
-    from neighborly_spark.operators.crud import upsert
+def crud_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3/P6, one labeled union: upsert = anti-join + union
+    (VectorDatabase.cs:58-71 as batch); remove-by-id via anti-join,
+    membership via semi-join."""
+    from neighborly_spark.operators.crud import remove_by_id, upsert
 
     base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     updates = base.filter(F.col("vec_id") < 10).withColumn("label", F.col("label") + 100)
-    return upsert(base, updates, id_col="vec_id").filter(F.col("vec_id") < 20)
-
-
-@register(
-    "crud_delete_membership",
-    """
-WITH deletes AS (SELECT vec_id FROM embeddings WHERE label = 3)
-SELECT e.vec_id, e.label FROM embeddings e
-LEFT JOIN deletes d ON e.vec_id = d.vec_id
-WHERE d.vec_id IS NULL AND e.vec_id < 50
-""".strip(),
-    tags=["crud"],
-)
-def crud_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3/P6: remove-by-id via anti-join; membership via semi-join."""
-    from neighborly_spark.operators.crud import remove_by_id
-
-    base = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    upserted = (
+        upsert(base, updates, id_col="vec_id")
+        .filter(F.col("vec_id") < 20)
+        .select(F.lit("upsert").alias("op"), "vec_id", "label")
+    )
     deletes = base.filter(F.col("label") == 3).select("vec_id")
-    return remove_by_id(base, deletes, id_col="vec_id").filter(F.col("vec_id") < 50)
+    deleted = (
+        remove_by_id(base, deletes, id_col="vec_id")
+        .filter(F.col("vec_id") < 50)
+        .select(F.lit("delete").alias("op"), "vec_id", "label")
+    )
+    return upserted.unionByName(deleted)
 
 
 def _with_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,7 +725,8 @@ FROM embeddings
     "tag_filter_any_all",
     f"""
 WITH tagged AS ({_TAGS_SQL})
-SELECT vec_id, tags,
+SELECT vec_id,
+       array_to_string(list_transform(tags, t -> CAST(t AS VARCHAR)), ',') AS tags,
        list_has_any(tags, [2::SMALLINT, 6::SMALLINT]) AS any_match,
        list_has_all(tags, [6::SMALLINT]) AS all_match
 FROM tagged
@@ -662,33 +735,42 @@ WHERE list_has_any(tags, [2::SMALLINT, 6::SMALLINT])
     tags=["tags"],
 )
 def tag_filter_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9: any-of / all-of tag filtering (tagging_explained.md:58-64)."""
+    """P9: any-of / all-of tag filtering (tagging_explained.md:58-64).
+
+    Gate contract: the tags array is serialized to a comma-joined string for
+    the driver's canonicalizer (round-1 ERR on array cells); the operator
+    keeps the typed array column."""
     tagged = _with_tags(spark, sf_dir)
     any_arr = F.lit([2, 6]).cast("array<smallint>")
     all_arr = F.lit([6]).cast("array<smallint>")
-    return tagged.select(
+    return tagged.filter(F.arrays_overlap(F.col("tags"), any_arr)).select(
         "vec_id",
-        "tags",
+        F.array_join(F.col("tags").cast("array<string>"), ",").alias("tags"),
         F.arrays_overlap(F.col("tags"), any_arr).alias("any_match"),
         (F.size(F.array_except(all_arr, F.col("tags"))) == 0).alias("all_match"),
-    ).filter(F.arrays_overlap(F.col("tags"), any_arr))
+    )
 
 
 @register(
     "tag_inverted_map",
     f"""
 WITH tagged AS ({_TAGS_SQL})
-SELECT CAST(tag_id AS SMALLINT) AS tag_id, list_sort(list(vec_id)) AS vector_ids
+SELECT CAST(tag_id AS SMALLINT) AS tag_id,
+       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS vector_ids
 FROM (SELECT vec_id, unnest(tags) AS tag_id FROM tagged)
 GROUP BY tag_id
 """.strip(),
     tags=["tags"],
 )
 def tag_inverted_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 BuildMap: tag -> sorted vector ids (VectorTags.cs:171-194)."""
+    """P9 BuildMap: tag -> sorted vector ids (VectorTags.cs:171-194).
+    Gate contract: id list serialized to a comma-joined string (sorted asc)."""
     from neighborly_spark.operators.crud import inverted_tag_map
 
-    return inverted_tag_map(_with_tags(spark, sf_dir), id_col="vec_id")
+    out = inverted_tag_map(_with_tags(spark, sf_dir), id_col="vec_id")
+    return out.withColumn(
+        "vector_ids", F.array_join(F.col("vector_ids").cast("array<string>"), ",")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -720,36 +802,6 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Additional parity surface: quirks, vector ops, compositions
 # ---------------------------------------------------------------------------
-
-@register(
-    "range_search_cosine_quirk",
-    f"""
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id, round({sql_cosine('e.embedding', 'q.qe')}, {ROUND}) AS dist
-FROM embeddings e, q
-WHERE round({sql_cosine('e.embedding', 'q.qe')}, {ROUND}) <= -0.25
-ORDER BY dist ASC, e.vec_id ASC
-""".strip(),
-    tags=["search", "quirk"],
-)
-def range_search_cosine_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cosine-as-distance parity quirk (Distance/CosineSimilarityCalculator.cs:8-22
-    consumed by LinearRangeSearch.cs:41-46): 'within radius -0.25' under the
-    cosine calculator keeps rows with similarity <= -0.25 — i.e. the LEAST
-    similar vectors. Intentionally replicated, never 'fixed'."""
-    from neighborly_spark.operators.knn import range_search
-
-    emb = load(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir)
-    return range_search(
-        emb.crossJoin(F.broadcast(q)).withColumn("embedding2", F.col("embedding")),
-        F.col("qe"),
-        radius=-0.25,
-        metric="cosine",
-        id_col="vec_id",
-        round_to=ROUND,
-    ).select("vec_id", "dist")
-
 
 @register(
     "vector_elementwise_ops",
@@ -840,20 +892,6 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "simhash_codes",
-    f"""
-SELECT doc_id, {DD.simhash_duckdb_sql('text')} AS simhash
-FROM documents WHERE doc_id < 100
-""".strip(),
-    tags=["dedup", "functions"],
-)
-def simhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 32-bit SimHash code itself, value-checked bit-for-bit."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select("doc_id", DD.simhash(F.col("text")).alias("simhash"))
-
-
-@register(
     "pipeline_quality_dedup_stats",
     f"""
 WITH scored AS (
@@ -890,77 +928,113 @@ def pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _register_rows_only():
-    """Approximate / model-backed operators: no SQL oracle exists (RNG or
-    BLAS fold-order differs), so the driver records rows-only checks; the
-    recall bars live in tests/test_approx_search.py."""
+def _knn_join_leg_oracle(variant: str, q_max: int, d_min: int, k: int) -> str:
+    """Window-top-k oracle for one exact kNN-join leg, labeled by variant."""
+    return f"""
+SELECT '{variant}' AS variant, query_id, vec_id, dist FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM (
+    SELECT q.query_id, d.vec_id,
+           round({sql_euclidean('d.embedding', 'q.qe')}, {ROUND}) AS dist
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {d_min}) d
+    CROSS JOIN (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {q_max}) q
+  ) s
+) WHERE rn <= {k}""".strip()
 
-    @register("lsh_ann_knn", None, tags=["search", "approx"])
-    def lsh_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from neighborly_spark.operators.lsh import lsh_knn
+
+@register(
+    "knn_join_blas_blocked",
+    f"{_knn_join_leg_oracle('blas', 5, 5, 3)}\nUNION ALL\n{_knn_join_leg_oracle('blocked', 7, 7, 3)}",
+    tags=["search", "join"],
+)
+def knn_join_blas_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two BLAS exact kNN-join paths, oracle-checked (round-1 promotion
+    from rows-only): the single-pass mapInPandas kernel (knn_join_vectorized)
+    and the bounded-driver-memory blocked variant with a deliberately tiny
+    chunk (3) so the multi-chunk union path is exercised.
+
+    Float contract: BLAS accumulation order differs from the sequential fold
+    only at ~1e-12 relative — far inside the 6dp rounding contract — and the
+    fixture's neighbor distances are tie-free at 6dp (asserted in
+    tests/test_planner.py), so the rounded distances AND the selection match
+    the window-top-k oracle exactly. Same result set as Q1's declarative
+    path (Search/LinearSearch.cs:10-42)."""
+    from neighborly_spark.operators.knn import knn_join_blocked, knn_join_vectorized
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def split(q_max: int):
+        queries = emb.filter(F.col("vec_id") < q_max).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+        )
+        data = emb.filter(F.col("vec_id") >= q_max).select("vec_id", "embedding")
+        return data, queries
+
+    d1, q1 = split(5)
+    blas = knn_join_vectorized(d1, q1, k=3, id_col="vec_id").select(
+        F.lit("blas").alias("variant"), "query_id", "vec_id", F.round("dist", ROUND).alias("dist")
+    )
+    d2, q2 = split(7)
+    blocked = knn_join_blocked(d2, q2, k=3, chunk_size=3, id_col="vec_id").select(
+        F.lit("blocked").alias("variant"), "query_id", "vec_id", F.round("dist", ROUND).alias("dist")
+    )
+    return blas.unionByName(blocked)
+
+
+def _register_rows_only():
+    """Approximate / model-backed operators: no SQL oracle exists (MLlib RNG
+    inside LSH/k-means), so the driver records rows-only checks; the recall
+    bars live in tests/test_approx_search.py and docs/RECALL.md. Same-shape
+    operators are consolidated (50-entry driver cap)."""
+
+    @register("lsh_ann_search_join", None, tags=["search", "approx", "join"])
+    def lsh_ann_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Both LSH ANN paths, one labeled union: single-query lsh_knn
+        (query_id = -1) and the LSH-bucketed batch kNN join — the
+        beyond-broadcast scale tier of the knn_join planner."""
+        from neighborly_spark.operators.lsh import approx_knn_join, lsh_knn
 
         emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
         qrow = emb.filter(F.col("id") == 0).select("embedding").collect()[0]
-        return lsh_knn(emb, list(qrow.embedding), 10, num_hash_tables=10).select("id", "dist")
+        single = lsh_knn(emb, list(qrow.embedding), 10, num_hash_tables=10).select(
+            F.lit(-1).cast("long").alias("query_id"), "id", "dist"
+        )
+        queries = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding"))
+        )
+        data = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= 5)
+            .select(F.col("vec_id").alias("id"), "embedding")
+        )
+        joined = approx_knn_join(data, queries, k=3, radius=6.0, num_hash_tables=8).select(
+            "query_id", "id", "dist"
+        )
+        return single.unionByName(joined)
 
-    @register("pq_search_adc", None, tags=["search", "approx"])
-    def pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @register("ivf_pq_search", None, tags=["search", "approx"])
+    def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF probe search and PQ ADC search, one labeled union (both
+        k-means-trained, so RNG-bound: rows-only + recall bars)."""
+        from neighborly_spark.operators.ivf import ivf_assign, ivf_search, ivf_train
         from neighborly_spark.operators.quantization import pq_encode, pq_search, pq_train
 
         emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
-        model = pq_train(emb, dim=64, num_centroids=32)
-        enc = pq_encode(emb, model)
         qrow = emb.filter(F.col("id") == 0).select("embedding").collect()[0]
-        return pq_search(enc, model, list(qrow.embedding), 10).select("id", "dist")
-
-    @register("ivf_probe_search", None, tags=["search", "approx"])
-    def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from neighborly_spark.operators.ivf import ivf_assign, ivf_search, ivf_train
-
-        emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
-        model = ivf_train(emb, nlist=8)
-        assigned = ivf_assign(emb, model)
-        qrow = emb.filter(F.col("id") == 0).select("embedding").collect()[0]
-        return ivf_search(assigned, model, list(qrow.embedding), 10, nprobe=4).select("id", "dist")
-
-    @register("knn_join_blas", None, tags=["search", "join"])
-    def knn_join_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from neighborly_spark.operators.knn import knn_join_vectorized
-
-        emb = load(spark, sf_dir, "embeddings")
-        queries = emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+        qvec = list(qrow.embedding)
+        ivf_model = ivf_train(emb, nlist=8)
+        assigned = ivf_assign(emb, ivf_model)
+        ivf_leg = ivf_search(assigned, ivf_model, qvec, 10, nprobe=4).select(
+            F.lit("ivf").alias("variant"), "id", "dist"
         )
-        data = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
-        return knn_join_vectorized(data, queries, k=3, id_col="vec_id")
-
-    @register("knn_join_blocked", None, tags=["search", "join"])
-    def knn_join_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Blocked BLAS kNN join with a deliberately tiny chunk (3) so the
-        driver exercises the multi-chunk union path."""
-        from neighborly_spark.operators.knn import knn_join_blocked
-
-        emb = load(spark, sf_dir, "embeddings")
-        queries = emb.filter(F.col("vec_id") < 7).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+        pq_model = pq_train(emb, dim=64, num_centroids=32)
+        enc = pq_encode(emb, pq_model)
+        pq_leg = pq_search(enc, pq_model, qvec, 10).select(
+            F.lit("pq").alias("variant"), "id", "dist"
         )
-        data = emb.filter(F.col("vec_id") >= 7).select("vec_id", "embedding")
-        return knn_join_blocked(data, queries, k=3, chunk_size=3, id_col="vec_id")
-
-    @register("approx_knn_join_lsh", None, tags=["search", "join", "approx"])
-    def approx_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """LSH-bucketed batch kNN — the beyond-broadcast scale tier of the
-        knn_join planner (recall-gated in tests)."""
-        from neighborly_spark.operators.lsh import approx_knn_join
-
-        emb = load(spark, sf_dir, "embeddings")
-        queries = emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
-        )
-        data = emb.filter(F.col("vec_id") >= 5).select(
-            F.col("vec_id").alias("id"), "embedding"
-        )
-        return approx_knn_join(data, queries, k=3, radius=6.0, num_hash_tables=8)
+        return ivf_leg.unionByName(pq_leg)
 
 
 _register_rows_only()
@@ -983,24 +1057,9 @@ def deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", deterministic_id(F.col("text")).alias("vec_uuid"))
 
 
-@register(
-    "centroid_by_label",
-    f"""
-WITH g AS (
-  SELECT label, count(*) AS n, list(embedding ORDER BY vec_id) AS rows
-  FROM embeddings GROUP BY label
-)
-SELECT label, n,
-       list_transform(range(1, 65), i ->
-         round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(rows, r -> r[i]::DOUBLE)),
-               (s, x) -> s + x) / n, {ROUND})) AS centroid
-FROM g
-""".strip(),
-    tags=["agg"],
-)
-def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise mean centroid per group — the BallTree centroid
-    aggregate (SURVEY §2.6, BallTree.cs:33,140), distributed.
+def _centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n, centroid array<double> rounded 6dp) — the typed builder
+    shared by the centroid gate query and embedding_outliers.
 
     Float-determinism: the summation is forced into vec_id order in BOTH
     engines (Spark: sort_array over (vec_id, value) structs then fold;
@@ -1025,11 +1084,45 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "centroid_by_label",
+    f"""
+WITH g AS (
+  SELECT label, count(*) AS n, list(embedding ORDER BY vec_id) AS rows
+  FROM embeddings GROUP BY label
+)
+SELECT label, n,
+       array_to_string(list_transform(range(1, 65), i ->
+         CAST(CAST(round(round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(rows, r -> r[i]::DOUBLE)),
+               (s, x) -> s + x) / n, {ROUND}) * 1000000, 0) AS BIGINT) AS VARCHAR)), ',') AS centroid
+FROM g
+""".strip(),
+    tags=["agg"],
+)
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean centroid per group — the BallTree centroid
+    aggregate (SURVEY §2.6, BallTree.cs:33,140), distributed.
+
+    Gate contract: the centroid array is serialized as comma-joined
+    micro-units (round(x,6)*1e6 as BIGINT) because the driver's
+    canonicalizer cannot hash array cells (round-1 ERR) and float->string
+    formatting differs between engines; integer strings are exact. The
+    typed array path is _centroids_by_label (consumed by
+    embedding_outliers, still distance-value-checked there)."""
+    cents = _centroids_by_label(spark, sf_dir)
+    micro = F.transform(
+        F.col("centroid"), lambda s: F.round(s * 1_000_000, 0).cast("long")
+    )
+    return cents.select(
+        "label", "n", F.array_join(micro.cast("array<string>"), ",").alias("centroid")
+    )
+
+
+@register(
     "dataset_split",
     f"""
 SELECT {__import__('neighborly_spark.functions.splits', fromlist=['x']).split_assign_duckdb_sql("CAST(doc_id AS VARCHAR)", [0.8, 0.1, 0.1], ["train", "val", "test"])} AS split,
        count(*) AS n_docs,
-       list_sort(list(doc_id)) AS doc_ids
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
 FROM documents GROUP BY 1
 """.strip(),
     tags=["pipeline"],
@@ -1038,14 +1131,15 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-stable train/val/test split (80/10/10) by hashed key — the
     reproducible alternative to randomSplit (membership survives reruns,
     repartitioning, and engines). Exact membership is oracle-checked, not
-    just the counts."""
+    just the counts — the member list is serialized to a comma-joined string
+    (sorted asc) for the driver's canonicalizer (round-1 ERR on arrays)."""
     from neighborly_spark.functions.splits import deterministic_split
 
     docs = load(spark, sf_dir, "documents")
     out = deterministic_split(docs, "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        F.array_join(F.array_sort(F.collect_list("doc_id")).cast("array<string>"), ",").alias("doc_ids"),
     )
 
 
@@ -1570,7 +1664,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile, making the cutoff reproducible."""
     from neighborly_spark.operators.dedup import centroid_outliers
 
-    cents = REGISTRY["centroid_by_label"].build(spark, sf_dir).select("label", "centroid")
+    cents = _centroids_by_label(spark, sf_dir).select("label", "centroid")
     emb = load(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, cents, q=0.9)
 

@@ -67,6 +67,7 @@ class SearchService:
         self._pq_model = None
         self._pq_encoded = None
         self._bq_threshold: float | None = None
+        self._bq_codes: DataFrame | None = None
         self._ivf_model = None
         self._ivf_assigned = None
 
@@ -77,7 +78,13 @@ class SearchService:
         if method == "lsh":
             self._lsh_model = LSH.fit_lsh(self.df, self.vec_col, dim=self.dim)
         elif method in ("bq", "binaryquantization"):
+            # build = train threshold + materialize the (id, code) table once
+            # (BinaryQuantization.cs encodes in the index constructor); every
+            # query then prefilters on dim/32 of the float bytes
             self._bq_threshold = QZ.bq_global_threshold(self.df, self.vec_col)
+            self._bq_codes = QZ.bq_encode_table(
+                self.df, self.dim, self._bq_threshold, self.id_col, self.vec_col
+            )
         elif method in ("pq", "productquantization"):
             # sampled one-pass trainer: recall >= the MLlib fit at equal cost
             # at the 150k tier, and its cost is constant in data size where
@@ -142,8 +149,12 @@ class SearchService:
         elif method == "hnsw":
             out = LSH.hnsw_equivalent_knn(self.df, query_vec, k, self.vec_col, self.id_col)
         elif method in ("bq", "binaryquantization"):
-            thr = self._bq_threshold if self._bq_threshold is not None else QZ.bq_global_threshold(self.df, self.vec_col)
-            out = QZ.bq_search(self.df, query_vec, k, self.dim, thr, self.id_col, self.vec_col)
+            if self._bq_codes is None:
+                self.build_index("bq")
+            out = QZ.bq_search_precoded(
+                self.df, self._bq_codes, query_vec, k, self.dim,
+                self._bq_threshold, self.id_col, self.vec_col,
+            )
         elif method in ("pq", "productquantization"):
             if self._pq_model is None:
                 self.build_index("pq")

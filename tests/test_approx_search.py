@@ -93,6 +93,61 @@ def test_bq_search_semantics_and_compression(emb, query):
     assert QZ.bq_compression_ratio(64) == 32.0  # BinaryQuantization.cs:7
 
 
+def test_bq_precoded_matches_inline(emb, query):
+    """The build-then-search split (materialized code table) returns exactly
+    what the inline path returns — same prefilter, fallback, and rerank —
+    across strict, wide-open, and fallback-firing cutoffs."""
+    thr = QZ.bq_global_threshold(emb)
+    codes = QZ.bq_encode_table(emb, dim=64, threshold=thr)
+    for mh in (None, 64, -1):
+        inline = [
+            (r.id, r.dist)
+            for r in QZ.bq_search(emb, query, K, 64, thr, max_hamming=mh, round_to=6).collect()
+        ]
+        pre = [
+            (r.id, r.dist)
+            for r in QZ.bq_search_precoded(
+                emb, codes, query, K, 64, thr, max_hamming=mh, round_to=6
+            ).collect()
+        ]
+        assert pre == inline, f"max_hamming={mh}"
+    codes.unpersist()
+
+
+def test_bq_precoded_plan_reads_codes_not_floats(spark, query):
+    """Scale contract: the prefilter leg of the precoded plan scans the code
+    table; the float column appears only behind the candidate join."""
+    # distinct parquet copy — Spark's CacheManager substitutes any cached
+    # plan that matches, so reading the fixture's path would silently serve
+    # the emb fixture's cache and mask the operator's own plan shape
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bq_plan_")
+    (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+        .write.mode("overwrite")
+        .parquet(f"{d}/emb")
+    )
+    raw = spark.read.parquet(f"{d}/emb")
+    thr = 0.0
+    codes = QZ.bq_encode_table(raw, dim=64, threshold=thr)
+    out = QZ.bq_search_precoded(raw, codes, query, K, 64, thr, max_hamming=28)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the Hamming prefilter scans the cached codes table (InMemoryTableScan
+    # with the hamming predicate pushed onto it), NOT a fresh float encode
+    assert "InMemoryTableScan [code" in plan
+    # the float table is scanned live only as the rerank join's probe side,
+    # with the id-join null filter pushed down; encode-time scans appear only
+    # inside InMemoryTableScan's cached-plan printout (not re-executed)
+    live_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "label" in ln
+    ]
+    assert len(live_scans) == 1 and "IsNotNull" in live_scans[0]
+    codes.unpersist()
+
+
 def test_bq_fallback_on_empty(emb, query):
     # max_hamming=-1 guarantees zero pass -> fallback keeps 3k hamming-closest
     out = QZ.bq_search(emb, query, k=4, dim=64, threshold=0.0, max_hamming=-1)

@@ -21,10 +21,13 @@ EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value 
 
 @pytest.fixture(scope="module")
 def events_landing(spark, tmp_path_factory):
-    # stage the events table as a streaming landing dir (ts nanos -> micros ts)
+    # stage the events table as a streaming landing dir with ts as epoch
+    # MICROS longs (parity.load normalizes whichever physical type the
+    # driver shipped — nanos longs in round 1, timestamp[us] in round 2)
+    from neighborly_spark.parity import load
+
     d = tmp_path_factory.mktemp("landing")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev = load(spark, SF, "events").withColumn("ts", F.unix_micros(F.col("ts")))
     ev.write.mode("overwrite").parquet(str(d / "events"))
     return str(d / "events")
 
@@ -65,7 +68,7 @@ def test_windowed_event_counts_streaming(spark, events_landing, tmp_path):
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(events_landing)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
     )
     agg = windowed_event_counts(stream)
     q = (
@@ -81,8 +84,9 @@ def test_windowed_event_counts_streaming(spark, events_landing, tmp_path):
 
 
 def test_normalize_events_schema(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet").limit(5)
+    from neighborly_spark.parity import load
+
+    ev = load(spark, SF, "events").limit(5)
     v = normalize_events_to_vectors(ev, dim=4)
     cols = dict(v.dtypes)
     assert cols["id"] == "string" and cols["embedding"] == "array<float>"
@@ -150,7 +154,7 @@ def test_streaming_sessionization_matches_batch(spark, events_landing):
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(events_landing)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
         .withWatermark("ts", "1 hour")
     )
     q = (
@@ -164,11 +168,9 @@ def test_streaming_sessionization_matches_batch(spark, events_landing):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM stream_sessions").collect()}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from neighborly_spark.parity import load
+
+    ev = load(spark, SF, "events")
     batch = {tuple(r) for r in session_stats(ev, gap_sec=7200, value_col=None).collect()}
     assert got <= batch          # append emits only closed sessions
     assert len(got) >= len(batch) * 0.5  # and the watermark closed most of them
@@ -184,7 +186,7 @@ def test_streaming_funnel_matches_batch(spark, events_landing):
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(events_landing)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
     )
     q = (
         funnel_steps(stream, steps)
@@ -197,10 +199,8 @@ def test_streaming_funnel_matches_batch(spark, events_landing):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM stream_funnel").collect()}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from neighborly_spark.parity import load
+
+    ev = load(spark, SF, "events")
     batch = {tuple(r) for r in funnel_steps(ev, steps).collect()}
     assert got == batch and len(got) > 0
