@@ -41,14 +41,19 @@ def token_count_duckdb_sql(t: str) -> str:
 def bpe_ish_token_count(text: Column) -> Column:
     """A BPE-ish proxy count: word-piece segments of letters/digits plus
     individual punctuation marks (regex split on boundaries). Matches the
-    common ~chars/4 heuristic better than whitespace for code/punct text."""
-    pieces = F.split(F.lower(text), r"[^\p{L}\p{N}]+")
+    common ~chars/4 heuristic better than whitespace for code/punct text.
+
+    Alphabet contract: word characters are ASCII ``[a-z0-9]`` (post-lower),
+    everything else counts as punctuation — the SAME class the DuckDB twin
+    uses, so non-ASCII text scores identically in both engines (a Unicode
+    ``\\p{L}\\p{N}`` class here would diverge from the oracle)."""
+    pieces = F.split(F.lower(text), r"[^a-z0-9]+")
     words = F.filter(pieces, lambda p: p != "")
     # each word contributes ceil(len/4) subword units, punctuation 1 each
     word_units = F.aggregate(
         words, F.lit(0).cast("long"), lambda s, w: s + F.ceil(F.length(w) / 4.0).cast("long")
     )
-    punct = F.length(F.regexp_replace(F.lower(text), r"[\p{L}\p{N}\s]", ""))
+    punct = F.length(F.regexp_replace(F.lower(text), r"[a-z0-9\s]", ""))
     return (word_units + punct).alias("bpe_tokens")
 
 

@@ -288,6 +288,53 @@ def vocab_topk(
     return out.orderBy(F.col("n_total").desc(), F.col("token").asc()).limit(k)
 
 
+def source_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    round_to: int = 6,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Corpus report card: per-source doc counts, token totals, exact-dup
+    rate (distinct fingerprints), mean quality, mean length — the summary a
+    curation pass is steered by. Single keyed aggregate with map-side
+    partials; quality is integerized per row (6dp-scaled BIGINT) so the
+    mean is an exact-integer sum under any shuffle order.
+
+    approx_distinct=True swaps count_distinct(fingerprint) for
+    approx_count_distinct (HyperLogLog++, default ~2% rsd) — the 100 TB
+    tier: the exact form needs a per-source distinct (Expand + two-phase
+    agg) whose state is one entry PER DISTINCT FINGERPRINT; the HLL sketch
+    is constant memory per source and one pass. dup_frac then inherits the
+    sketch's error; everything else stays exact. (The parity gate pins the
+    exact form — sketches are engine-specific and cannot hash-match an
+    oracle.)"""
+    from neighborly_spark.functions import text as T
+
+    p = df.select(
+        F.col(group_col),
+        F.col(chars_col),
+        T.token_count(F.col(text_col)).alias("n_tok"),
+        T.fingerprint(F.col(text_col)).alias("fp"),
+        F.round(T.quality_score(F.col(text_col)) * 1_000_000, 0).cast("long").alias("q_int"),
+    )
+    n = F.count(F.lit(1))
+    nd = (
+        F.approx_count_distinct(F.col("fp"))
+        if approx_distinct
+        else F.count_distinct(F.col("fp"))
+    )
+    return p.groupBy(group_col).agg(
+        n.alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        nd.alias("n_distinct"),
+        F.round(F.lit(1.0) - nd / n, round_to).alias("dup_frac"),
+        F.round((F.sum("q_int") / n) / F.lit(1_000_000.0), round_to).alias("mean_quality"),
+        F.round(F.sum(chars_col) / n, 1).alias("mean_chars"),
+    )
+
+
 def vocab_topk_duckdb_sql(
     k: int = 100,
     min_count: int = 1,

@@ -96,26 +96,32 @@ def build_tag_dim(df: DataFrame, tag_text_col: str = "tag") -> DataFrame:
 
 
 def resolve_tags(df: DataFrame, tag_dim: DataFrame, tags_col: str = "tags") -> DataFrame:
-    """P8 GetRangeAsString: attach `tag_names: array<string>` by joining ids
-    through the broadcast dictionary (explode -> broadcast-join -> regroup,
-    preserving id order via the original array position)."""
-    pos = df.select("*", F.posexplode_outer(F.col(tags_col)).alias("_pos", "_tag_id"))
+    """P8 GetRangeAsString: attach `tag_names: array<string>` via the
+    broadcast dictionary. The id array is resolved ELEMENT-WISE with a
+    map lookup (transform over a map literal-from-dataframe would need a
+    collect), so instead: explode -> broadcast-join -> regroup BY A
+    SURROGATE ROW KEY. Grouping by every original column (the previous
+    formulation) silently collapses fully-identical input rows into one
+    output row and breaks on non-groupable (map-typed) columns; the
+    surrogate key preserves row multiplicity and arbitrary column types."""
+    keyed = df.withColumn("_rk", F.monotonically_increasing_id())
+    pos = keyed.select("_rk", F.posexplode_outer(F.col(tags_col)).alias("_pos", "_tag_id"))
     joined = pos.join(
         F.broadcast(tag_dim.withColumnRenamed("tag_id", "_tag_id")), on="_tag_id", how="left"
     )
-    others = [c for c in df.columns]
-    regrouped = joined.groupBy(*others).agg(
+    regrouped = joined.groupBy("_rk").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("_pos").alias("pos"), F.col("tag").alias("tag")))
         ).alias("_ordered")
     )
-    # posexplode_outer emits one null-pos row for empty arrays -> drop it
-    return regrouped.withColumn(
+    names = regrouped.withColumn(
         "tag_names",
         F.transform(
+            # posexplode_outer emits one null-pos row for empty arrays -> drop it
             F.filter(F.col("_ordered"), lambda s: s["pos"].isNotNull()), lambda s: s["tag"]
         ),
-    ).drop("_ordered")
+    ).select("_rk", "tag_names")
+    return keyed.join(names, "_rk").drop("_rk")
 
 
 # --- tag filtering (P9) -----------------------------------------------------------

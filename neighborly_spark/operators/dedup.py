@@ -105,7 +105,9 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     round_to: int = 6,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
+    max_df_frac: float = 0.01,
+    max_df_floor: int = 100,
     materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by k-word-shingle Jaccard >= threshold.
@@ -117,11 +119,17 @@ def ngram_jaccard_pairs(
 
     max_df: drop shingles appearing in more than max_df documents from
     CANDIDATE GENERATION (the standard stop-shingle prune — a shingle in d
-    docs contributes d^2 candidate pairs, so heavy hitters dominate the
-    join). Jaccard is still computed on the FULL sets, but pairs whose only
-    shared shingles are pruned are missed: with max_df the operator is a
-    documented approximation, the skew-proof contract for web-scale corpora.
-    None (default) = exact.
+    docs contributes d^2 candidate pairs, so ONE hot shingle detonates the
+    self-join at corpus scale: the exact path is O(sum df^2)). Jaccard is
+    still computed on the FULL sets, but pairs whose only shared shingles
+    are pruned are missed — with pruning the operator is a documented
+    approximation, the skew-proof contract for web-scale corpora.
+
+    "auto" (default): max_df = greatest(max_df_floor, max_df_frac * n_docs),
+    derived INSIDE the plan (the doc count rides in as a broadcast 1-row
+    aggregate — no extra driver action), so the prune scales with the corpus
+    instead of needing hand-tuning. None = exact (the oracle path; use for
+    parity checks and small corpora). An int pins the cutoff.
 
     materialize=True localCheckpoints the hashed sets (several consumers:
     index, sizes, verification). Eager action; leave False for pure plans.
@@ -133,7 +141,20 @@ def ngram_jaccard_pairs(
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_df is not None:
         freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-        inv = inv.join(F.broadcast(freq.filter(F.col("_df") <= max_df).select("_s")), "_s")
+        if max_df == "auto":
+            n_docs = sh.select(F.count(F.lit(1)).alias("_ndocs"))
+            cutoff = F.greatest(
+                F.lit(int(max_df_floor)).cast("double"),
+                F.lit(float(max_df_frac)) * F.col("_ndocs"),
+            )
+            keep = (
+                freq.crossJoin(F.broadcast(n_docs))
+                .filter(F.col("_df") <= cutoff)
+                .select("_s")
+            )
+        else:
+            keep = freq.filter(F.col("_df") <= int(max_df)).select("_s")
+        inv = inv.join(F.broadcast(keep), "_s")
     if max_df is None:
         # exact path: the inverted index both generates candidates AND counts
         # intersections in one aggregation

@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from neighborly_spark.functions.distance import metric_expr
 
 #: Metrics where "closer" means larger values (cosine similarity parity
@@ -186,7 +184,13 @@ def threshold_filter(
     """
     if threshold is None:
         return df
-    with_max = df.withColumn("_max_dist", F.max(F.col(dist_col)).over(Window.partitionBy()))
+    # the global max arrives as a broadcast 1-row aggregate, NOT a
+    # Window.partitionBy() — an unpartitioned window drags the whole input
+    # through one task, which is fine on the by-contract top-k inputs this
+    # filter sees but a trap if ever applied to an unbounded frame; the
+    # aggregate form is safe either way (same two-pass cost on tiny inputs)
+    max_row = df.select(F.max(F.col(dist_col)).alias("_max_dist"))
+    with_max = df.crossJoin(F.broadcast(max_row))
     bypass = (F.lit(dim) > 50) & (F.col("_max_dist") > 5.0) & (F.lit(float(threshold)) > 1.5)
     return with_max.filter(bypass | (F.col(dist_col) <= F.lit(float(threshold)))).drop("_max_dist")
 
@@ -243,7 +247,12 @@ def knn_join_vectorized(
     if metric == "euclidean":
         q_sq = (qmat**2).sum(axis=1)
     elif metric == "cosine":
-        q_norm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        # zero-magnitude guard: dividing by 0 yields NaN distances whose
+        # ordering through argpartition/sorted is unspecified — normalize by
+        # 1 instead (the row's similarity becomes 0, ranked like the
+        # declarative path's NaN-is-worst contract)
+        q_norm = qmat / np.where(qn == 0.0, 1.0, qn)
     else:
         raise ValueError(f"vectorized knn_join supports euclidean/cosine, not {metric!r}")
 
@@ -268,8 +277,11 @@ def knn_join_vectorized(
                 d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ qmat.T) + q_sq[None, :]
                 dist = np.sqrt(np.maximum(d2, 0.0))  # (n, nq)
             else:
-                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                dn = np.linalg.norm(m, axis=1, keepdims=True)
+                mn = m / np.where(dn == 0.0, 1.0, dn)  # zero-norm guard (see above)
                 dist = -(mn @ q_norm.T)  # negated similarity: smaller = better
+                # any residual non-finites rank worst, deterministically
+                dist = np.where(np.isfinite(dist), dist, np.inf)
             top = min(k, dist.shape[0])
             sel = np.argpartition(dist, top - 1, axis=0)[:top]  # (top, nq)
             for qi in range(nq):
@@ -339,8 +351,23 @@ def knn_join_blocked(
     spark = data.sparkSession
     q_proj = queries.select(query_id_col, query_vec_col)
     it = q_proj.toLocalIterator(prefetchPartitions=True)
+
+    def chunk_iter():
+        while chunk := list(itertools.islice(it, chunk_size)):
+            yield chunk
+
+    ci = chunk_iter()
+    first = next(ci, None)
+    second = next(ci, None)  # one-chunk lookahead: memory stays <= 2 chunks
+    # the data side is scanned once per chunk — cache it when there IS more
+    # than one chunk and the caller hasn't already (ContextCleaner drops the
+    # cache once the result plan is unreferenced)
+    if second is not None and not data.is_cached:
+        data = data.persist()
     outs = []
-    while chunk := list(itertools.islice(it, chunk_size)):
+    for chunk in itertools.chain(
+        (c for c in (first, second) if c is not None), ci
+    ):
         qdf = spark.createDataFrame(chunk, q_proj.schema)
         outs.append(
             knn_join_vectorized(

@@ -496,7 +496,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines work on md5-hashed shingle sets (never shingle strings) —
     collisions fold identically, so parity is exact."""
     docs = load(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND)
+    return DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND, max_df=None)
 
 
 def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.3, k: int = 3) -> str:
@@ -1345,7 +1345,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with a recursive CTE (transitive closure + min). Exercises
     the engine's iterative-algorithm path end to end."""
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND)
+    pairs = DD.ngram_jaccard_pairs(docs, k=3, threshold=0.3, round_to=ROUND, max_df=None)
     return DD.connected_components(pairs)
 
 
@@ -1698,25 +1698,13 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: single keyed aggregate with map-side partials; the distinct-
     fingerprint count is the one expensive leg (per-source distinct =
-    Expand + two-phase agg) — at 100 TB swap in approx_count_distinct
-    (documented trade)."""
-    docs = load(spark, sf_dir, "documents")
-    p = docs.select(
-        "source",
-        "n_chars",
-        T.token_count(F.col("text")).alias("n_tok"),
-        T.fingerprint(F.col("text")).alias("fp"),
-        F.round(T.quality_score(F.col("text")) * 1_000_000, 0).cast("long").alias("q_int"),
-    )
-    n = F.count(F.lit(1))
-    return p.groupBy("source").agg(
-        n.alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
-        F.count_distinct(F.col("fp")).alias("n_distinct"),
-        F.round(F.lit(1.0) - F.count_distinct(F.col("fp")) / n, ROUND).alias("dup_frac"),
-        F.round((F.sum("q_int") / n) / F.lit(1_000_000.0), ROUND).alias("mean_quality"),
-        F.round(F.sum("n_chars") / n, 1).alias("mean_chars"),
-    )
+    Expand + two-phase agg) — at 100 TB the operator's
+    approx_distinct=True (HyperLogLog++) variant is the one-pass
+    constant-memory form (corpus.source_stats docstring; sketch values are
+    engine-specific, so the gate pins the exact form)."""
+    from neighborly_spark.operators.corpus import source_stats
+
+    return source_stats(load(spark, sf_dir, "documents"), round_to=ROUND)
 
 
 @register(

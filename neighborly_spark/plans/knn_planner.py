@@ -67,6 +67,7 @@ def knn_join_auto(
     dim: int,
     radius_for_lsh: float = 2.5,
     id_col: str = "id",
+    vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
     data_count: int | None = None,
@@ -82,13 +83,13 @@ def knn_join_auto(
     nq = query_count if query_count is not None else queries.count()
     plan = plan_knn_join(nd, nq, dim, allow_approx=allow_approx)
     if plan.strategy == "exact":
-        out = knn_join(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
+        out = knn_join(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     elif plan.strategy == "vectorized":
-        out = knn_join_vectorized(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
+        out = knn_join_vectorized(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     elif plan.strategy == "blocked":
-        out = knn_join_blocked(data, queries, k, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
+        out = knn_join_blocked(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     else:
         out = approx_knn_join(
-            data, queries, k, radius_for_lsh, id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col, dim=dim
+            data, queries, k, radius_for_lsh, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col, dim=dim
         )
     return out, plan

@@ -168,6 +168,53 @@ class SearchService:
 
         return threshold_filter(out, threshold, self.dim)
 
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_embedding",
+        require_exact_floats: bool = False,
+        allow_approx: bool = True,
+        data_count: int | None = None,
+        query_count: int | None = None,
+    ) -> DataFrame:
+        """Batch k-NN join — THE default multi-query entry point, routed
+        through the cardinality planner (plans.knn_planner): declarative
+        folds for tiny work, the BLAS kernel for collectible query sides,
+        the driver-chunked blocked path for the 100k-1M exact band, and the
+        LSH-bucketed join beyond that (recall-gated). Pass
+        ``require_exact_floats=True`` to pin the sequential-fold oracle
+        path; ``allow_approx=False`` to forbid the LSH tier (the planner
+        then degrades to blocked). Counts can come from table stats to skip
+        the planner's count() jobs."""
+        from neighborly_spark.plans.knn_planner import KnnJoinPlan, knn_join_auto
+
+        if require_exact_floats:
+            from neighborly_spark.operators.knn import knn_join as exact_knn_join
+
+            out = exact_knn_join(
+                self.df, queries, k, id_col=self.id_col, vec_col=self.vec_col,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+            )
+            plan = KnnJoinPlan("exact", "caller requires sequential-fold float semantics")
+        else:
+            out, plan = knn_join_auto(
+                self.df.select(self.id_col, self.vec_col),
+                queries,
+                k,
+                self.dim,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                data_count=data_count,
+                query_count=query_count,
+                allow_approx=allow_approx,
+            )
+        self.last_join_plan = plan
+        return out
+
     def range_search(
         self,
         query_vec: list[float] | None = None,

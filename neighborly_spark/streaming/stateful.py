@@ -55,9 +55,13 @@ def _make_dedup_fn(state_ttl_ms: int | None):
         total = 0
         for pdf in pdfs:
             total += len(pdf)
-            if seen == 0 and first_rows is None and len(pdf) > 0:
-                # deterministic representative: min id within the batch group
-                first_rows = pdf.sort_values("id").head(1)
+            if seen == 0 and len(pdf) > 0:
+                # deterministic representative: min id across ALL Arrow
+                # chunks of this batch group — a fingerprint group can span
+                # chunks, so the first non-empty chunk's min is not enough
+                head = pdf.sort_values("id").head(1)
+                if first_rows is None or head["id"].iloc[0] < first_rows["id"].iloc[0]:
+                    first_rows = head
         state.update((seen + total,))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
@@ -71,6 +75,135 @@ def _make_dedup_fn(state_ttl_ms: int | None):
             )
 
     return _dedup_fn
+
+
+_SPARK_TO_STATE = {
+    "bigint": LongType(),
+    "string": StringType(),
+}
+
+
+def streaming_asof_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "us",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Streaming BACKWARD as-of join: each left row picks up the latest
+    right row at or before it per key — the streaming twin of
+    operators.joins.asof_join (the Flink temporal-join capability).
+
+    Formulation: union both sides tagged (exactly the batch operator's
+    no-join-node shape), groupBy key, applyInPandasWithState. Per batch the
+    group's rows resolve with a vectorized pd.merge_asof; keyed state
+    carries the LATEST right row forward so matches survive micro-batch
+    boundaries. Equal timestamps match (allow_exact_matches), mirroring the
+    batch operator's right-sorts-before-left tiebreak.
+
+    Contracts and bounds:
+    - ``ts_col`` is an epoch-microsecond long (streams carry longs; the
+      batch twin accepts either).
+    - inner semantics: unmatched left rows are dropped (how='inner').
+    - state is ONE right row per key — O(keys) memory, the streaming
+      analogue of the window's running `last(...)`. Cross-batch correctness
+      therefore assumes per-key in-order arrival ACROSS batches (a left row
+      must not arrive in a later batch than a right row that precedes it in
+      event time) — the same in-order contract a watermarked stream
+      provides. Within a batch, order is irrelevant (merge_asof sorts).
+    - forward as-of is deliberately absent in streaming: a forward match
+      can lie arbitrarily far in the future, so it cannot be emitted from
+      bounded state; run the batch operator instead.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right_stream.columns if c not in (on, ts_col)]
+    left_cols = [c for c in left_stream.columns if c not in (on, ts_col)]
+    l_types = dict(left_stream.dtypes)
+    r_types = dict(right_stream.dtypes)
+    for c in [on, ts_col] + right_cols:
+        if r_types[c] not in _SPARK_TO_STATE and c != on:
+            raise ValueError(f"streaming_asof_join supports long/string columns, got {c}: {r_types[c]}")
+
+    r = right_stream.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left_cols],
+    )
+    l = left_stream.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in right_cols],
+        *[F.col(c) for c in left_cols],
+    )
+    tagged = r.unionByName(l)
+
+    state_schema = StructType(
+        [StructField(ts_col, LongType(), False)]
+        + [StructField(c, _SPARK_TO_STATE[r_types[c]], True) for c in right_cols]
+    )
+    out_fields = (
+        f"{on} {l_types[on]}, {ts_col} long, "
+        + ", ".join(f"{c} {l_types[c]}" for c in left_cols)
+        + (", " if left_cols else "")
+        + f"{prefix}{ts_col} long, "
+        + ", ".join(f"{prefix}{c} {r_types[c]}" for c in right_cols)
+    )
+
+    rename = {ts_col: prefix + ts_col, **{c: prefix + c for c in right_cols}}
+
+    # the union's null padding upcasts each side's long columns to float64
+    # in the other side's rows; restore exact ints after subsetting (state
+    # holds LongType — feeding numpy floats corrupts the round-trip)
+    r_ints = {c: "int64" for c in [ts_col] + right_cols if r_types.get(c, "bigint") == "bigint"}
+    l_ints = {c: "int64" for c in [ts_col] + left_cols if l_types.get(c, "bigint") == "bigint"}
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rights = pdf[pdf["_side"] == 0][[ts_col] + right_cols].astype(r_ints)
+        if state.exists:
+            prev = pd.DataFrame([tuple(state.get)], columns=[ts_col] + right_cols)
+            rights = pd.concat([prev, rights], ignore_index=True)
+        rights = rights.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        if len(rights):
+            state.update(tuple(rights.iloc[-1]))
+        lefts = (
+            pdf[pdf["_side"] == 1][[ts_col] + left_cols]
+            .astype(l_ints)
+            .sort_values(ts_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if not len(lefts) or not len(rights):
+            return
+        merged = pd.merge_asof(
+            lefts,
+            rights.rename(columns=rename),
+            left_on=ts_col,
+            right_on=prefix + ts_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        matched = merged[merged[prefix + ts_col].notna()].copy()
+        if not len(matched):
+            return
+        matched.insert(0, on, key[0])
+        # merge_asof promotes unmatched ints to float NaN; matched rows cast back
+        matched[prefix + ts_col] = matched[prefix + ts_col].astype("int64")
+        for c in right_cols:
+            if r_types[c] == "bigint":
+                matched[prefix + c] = matched[prefix + c].astype("int64")
+        yield matched
+
+    return tagged.groupBy(on).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_dedup(

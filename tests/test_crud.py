@@ -80,6 +80,22 @@ def test_resolve_tags(spark, tiny_vectors):
     assert names["v4"] == []
 
 
+def test_resolve_tags_preserves_duplicate_rows(spark):
+    """The surrogate-row-key regroup keeps fully identical input rows as
+    separate output rows (a groupBy-all-columns formulation collapses them)."""
+    dim = spark.createDataFrame([(1, "alpha")], "tag_id smallint, tag string")
+    df = spark.createDataFrame(
+        [("d", [1]), ("d", [1]), ("e", [])],
+        "id string, tags array<smallint>",
+    )
+    out = crud.resolve_tags(df.withColumn("tags", F.col("tags").cast("array<smallint>")), dim)
+    rows = out.collect()
+    assert len(rows) == 3  # both duplicates survive
+    assert sorted((r.id, tuple(r.tag_names)) for r in rows) == [
+        ("d", ("alpha",)), ("d", ("alpha",)), ("e", ()),
+    ]
+
+
 def test_hash_sample_stable_and_disjoint(spark, tiny_vectors):
     from neighborly_spark.functions.splits import hash_sample
 

@@ -73,18 +73,23 @@ def test_jaccard_max_df_prunes_only_candidates(spark):
     from neighborly_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()}
     pruned = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=50).collect()}
+    auto = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
     assert set(pruned) <= set(exact)  # pruning can only lose pairs
     for pair, j in pruned.items():
         assert j == exact[pair]  # surviving pairs score exactly
+    # the default is now the auto-derived prune: same laws hold
+    assert set(auto) <= set(exact)
+    for pair, j in auto.items():
+        assert j == exact[pair]
 
 
 def test_dedup_survivors_from_pairs(spark):
     from neighborly_spark.operators.dedup import dedup_survivors_from_pairs, ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_df=None)
     kept = dedup_survivors_from_pairs(docs, pairs)
     # every cluster keeps exactly its min-id member; unpaired docs all kept
     n_pairs_members = pairs.select("id_a").union(pairs.select("id_b")).distinct().count()

@@ -47,6 +47,29 @@ def test_knn_join_blocked_matches_exact(spark):
     assert empty.count() == 0 and empty.columns == ["query_id", "id", "dist"]
 
 
+def test_knn_join_vectorized_cosine_zero_norm_guard(spark):
+    """Zero-magnitude vectors must not poison the BLAS cosine path with NaN:
+    they rank deterministically worst (similarity 0 / -inf rerank), matching
+    the declarative path's NaN-is-worst contract."""
+    from neighborly_spark.operators.knn import knn_join_vectorized
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1]), (4, [-1.0, 0.0])]
+    data = spark.createDataFrame(rows, "id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (9, [0.0, 0.0])], "query_id long, query_embedding array<float>"
+    )
+    out = knn_join_vectorized(data, queries, k=4, metric="cosine")
+    rows_out = out.collect()
+    assert all(r.dist == r.dist for r in rows_out)  # no NaN anywhere
+    per_q = {}
+    for r in rows_out:
+        per_q.setdefault(r.query_id, []).append((r.dist, r.id))
+    # best-first for the real query; the zero data vector ranks last
+    ids_q0 = [i for _, i in sorted(per_q[0], key=lambda t: (-t[0], t[1]))]
+    assert ids_q0[0] == 1 and ids_q0[-1] in (2, 4)  # 2 (zero) or 4 (opposite) last
+    assert {i for _, i in per_q[9]} == {1, 2, 3, 4}  # zero query: all similarity 0
+
+
 def test_knn_join_auto_executes_chosen_strategy(spark):
     emb = (
         spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -67,6 +90,48 @@ def test_knn_join_auto_executes_chosen_strategy(spark):
     assert {(r.query_id, r.id) for r in out2.collect()} == {
         (r.query_id, r.id) for r in rows
     }
+
+
+def test_search_service_knn_join_routes_through_planner(spark):
+    """SearchService.knn_join is the planner-routed default entry: the
+    chosen strategy lands in last_join_plan and every tier agrees with the
+    exact path on this fixture."""
+    from neighborly_spark.search_service import SearchService
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+    )
+    svc = SearchService(emb, dim=64)
+    queries = emb.limit(20).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    exact = {
+        (r.query_id, r.id)
+        for r in svc.knn_join(queries, k=3, require_exact_floats=True).collect()
+    }
+    assert svc.last_join_plan.strategy == "exact"
+    routed = {(r.query_id, r.id) for r in svc.knn_join(queries, k=3).collect()}
+    # 500x20 work with |Q|=20<=64 -> planner picks the declarative tier here;
+    # force the counts upward to exercise vectorized + blocked routing too
+    assert svc.last_join_plan.strategy == "exact"
+    assert routed == exact
+    vec = {
+        (r.query_id, r.id)
+        for r in svc.knn_join(queries, k=3, query_count=100).collect()
+    }
+    assert svc.last_join_plan.strategy == "vectorized"
+    assert vec == exact
+    blocked = {
+        (r.query_id, r.id)
+        for r in svc.knn_join(
+            queries, k=3, query_count=200_000, allow_approx=False
+        ).collect()
+    }
+    assert svc.last_join_plan.strategy == "blocked"
+    assert blocked == exact
+    svc.knn_join(queries, k=3, query_count=200_000)
+    assert svc.last_join_plan.strategy == "lsh"
 
 
 def test_salted_agg_matches_direct(spark):

@@ -162,3 +162,20 @@ def test_funnel_hand_case(spark):
     assert got[1] == (us(0), us(20), us(30), 3, True)
     assert got[2] == (us(50), None, None, 1, False)
     assert got[3] == (None, None, None, 0, False)
+
+
+def test_source_stats_approx_variant(spark):
+    """The HLL tier of source_stats: approx distinct within the sketch's
+    documented error of the exact count; every non-sketch column identical."""
+    from neighborly_spark.operators.corpus import source_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.source: r for r in source_stats(docs).collect()}
+    approx = {r.source: r for r in source_stats(docs, approx_distinct=True).collect()}
+    assert exact.keys() == approx.keys()
+    for src, e in exact.items():
+        a = approx[src]
+        assert (e.n_docs, e.total_tokens, e.mean_quality, e.mean_chars) == (
+            a.n_docs, a.total_tokens, a.mean_quality, a.mean_chars
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.1 * e.n_distinct)

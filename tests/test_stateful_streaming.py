@@ -1,10 +1,13 @@
 """applyInPandasWithState streaming dedup: first occurrence emitted once,
 replays dropped — within a batch (normalization collisions) and across
-micro-batch runs (checkpointed state)."""
+micro-batch runs (checkpointed state). Plus the streaming as-of join's
+batch-equality twin."""
 
 from __future__ import annotations
 
-from neighborly_spark.streaming.stateful import streaming_dedup
+from pyspark.sql import functions as F
+
+from neighborly_spark.streaming.stateful import streaming_asof_join, streaming_dedup
 
 SCHEMA = "id string, text string"
 
@@ -59,3 +62,84 @@ def test_streaming_dedup_within_and_across_batches(spark, tmp_path):
         assert len(all_emitted) == 3  # each fingerprint exactly once
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+LEFT_SCHEMA = "event_id long, user_id long, us long"
+RIGHT_SCHEMA = "user_id long, us long, click_event_id long"
+
+
+def test_streaming_asof_join_matches_batch(spark, tmp_path):
+    """streaming_asof_join twin: the union+state formulation emits exactly
+    the batch asof_join's matched rows — within one micro-batch AND across
+    a checkpoint restart where the match's right row arrived in the earlier
+    batch (state carry-over)."""
+    from neighborly_spark.operators.joins import asof_join
+    from neighborly_spark.parity import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "us", F.unix_micros(F.col("ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    batch = asof_join(
+        purchases, clicks, on="user_id", ts_col="us",
+        right_cols=["click_event_id"], how="inner",
+    )
+    expected = {
+        (r.user_id, r.us, r.event_id, r.r_us, r.r_click_event_id)
+        for r in batch.collect()
+    }
+    assert expected  # fixture sanity: the join is non-trivial
+
+    # stage each side in two TIME phases (per-key in-order across batches —
+    # the operator's documented contract), one file per phase = one
+    # micro-batch per run
+    mid = ev.select(F.percentile_approx("us", 0.5).alias("m")).first().m
+    lland, rland = tmp_path / "left", tmp_path / "right"
+    lland.mkdir(), rland.mkdir()
+
+    def stage(phase, pred):
+        purchases.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(lland / f"p{phase}")
+        )
+        clicks.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(rland / f"c{phase}")
+        )
+
+    def run():
+        ls = spark.readStream.schema(LEFT_SCHEMA).parquet(str(lland / "*"))
+        rs = spark.readStream.schema(RIGHT_SCHEMA).parquet(str(rland / "*"))
+        out = streaming_asof_join(ls, rs, on="user_id", ts_col="us",
+                                  right_cols=["click_event_id"])
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / "out")).collect()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stage(0, F.col("us") < mid)
+        first = run()
+        stage(1, F.col("us") >= mid)
+        rows = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {
+        (r.user_id, r.us, r.event_id, r.r_us, r.r_click_event_id) for r in rows
+    }
+    assert len(first) < len(rows)  # both runs emitted
+    assert got == expected
