@@ -120,16 +120,25 @@ def ngram_jaccard_pairs(
     max_df: drop shingles appearing in more than max_df documents from
     CANDIDATE GENERATION (the standard stop-shingle prune — a shingle in d
     docs contributes d^2 candidate pairs, so ONE hot shingle detonates the
-    self-join at corpus scale: the exact path is O(sum df^2)). Jaccard is
-    still computed on the FULL sets, but pairs whose only shared shingles
-    are pruned are missed — with pruning the operator is a documented
+    self-join at corpus scale: the exact path is O(sum df^2)). Surviving
+    pairs still score EXACTLY: the intersection count splits into a
+    kept-shingle part (the candidate-generating count join itself) plus a
+    hot-shingle part recovered from the hot postings (small by
+    construction — only heavy hitters are hot), so no full-set
+    re-intersection is ever needed. Pairs whose shared shingles are ALL
+    hot are missed — with pruning the operator is a documented
     approximation, the skew-proof contract for web-scale corpora.
 
     "auto" (default): max_df = greatest(max_df_floor, max_df_frac * n_docs),
     derived INSIDE the plan (the doc count rides in as a broadcast 1-row
     aggregate — no extra driver action), so the prune scales with the corpus
-    instead of needing hand-tuning. None = exact (the oracle path; use for
-    parity checks and small corpora). An int pins the cutoff.
+    instead of needing hand-tuning. When nothing exceeds the cutoff the
+    plan degenerates to the exact path plus one small frequency aggregate.
+    None = exact (the oracle path). An int pins the cutoff.
+
+    Broadcast safety: only the HOT shingle set is broadcast (bounded — at
+    most n_docs/max_df entries carry df>max_df); the kept set, which grows
+    with the vocabulary, never is.
 
     materialize=True localCheckpoints the hashed sets (several consumers:
     index, sizes, verification). Eager action; leave False for pure plans.
@@ -139,73 +148,77 @@ def ngram_jaccard_pairs(
         sh = sh.localCheckpoint()
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
-    if max_df is not None:
-        freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-        if max_df == "auto":
-            n_docs = sh.select(F.count(F.lit(1)).alias("_ndocs"))
-            cutoff = F.greatest(
-                F.lit(int(max_df_floor)).cast("double"),
-                F.lit(float(max_df_frac)) * F.col("_ndocs"),
-            )
-            keep = (
-                freq.crossJoin(F.broadcast(n_docs))
-                .filter(F.col("_df") <= cutoff)
-                .select("_s")
-            )
-        else:
-            keep = freq.filter(F.col("_df") <= int(max_df)).select("_s")
-        inv = inv.join(F.broadcast(keep), "_s")
-    if max_df is None:
-        # exact path: the inverted index both generates candidates AND counts
-        # intersections in one aggregation
-        pairs = (
-            inv.alias("a")
-            .join(inv.alias("b"), on="_s")
+
+    def count_pairs(index: DataFrame) -> DataFrame:
+        """Candidate pairs + shared-shingle counts in ONE aggregation."""
+        return (
+            index.alias("a")
+            .join(index.alias("b"), on="_s")
             .filter(F.col("a._id") < F.col("b._id"))
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("_common"))
         )
-        out = (
-            pairs.join(F.broadcast(sizes).withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-            .join(F.broadcast(sizes).withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("_common").cast("double")
-                    / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
-                    round_to,
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-        return out
 
-    # pruned path: the (pruned) index only GENERATES candidates; jaccard is
-    # recomputed on the full shingle sets so surviving pairs score exactly
-    cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), on="_s")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-    verified = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
-        .withColumn("_common", F.size(F.array_intersect("_sha", "_shb")))
+    if max_df is None:
+        pairs = count_pairs(inv)
+    else:
+        # adaptive peek (one frequency aggregate, driver-side): find the hot
+        # shingles ONCE; with none — the common no-skew case — the plan
+        # degenerates to the exact path, paying only this planning pass.
+        # The hot set is bounded (<= postings/cutoff entries) so the
+        # collect is safe by construction.
+        if max_df == "auto":
+            # ndocs from the raw df: a count needing no shingling; docs with
+            # zero shingles inflate it marginally — a cutoff heuristic, fine
+            cutoff = max(int(max_df_floor), int(max_df_frac * df.count()))
+        else:
+            cutoff = int(max_df)
+        freq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        hot_rows = freq.filter(F.col("_df") > cutoff).select("_s").collect()
+        if not hot_rows:
+            pairs = count_pairs(inv)
+        else:
+            hot = inv.sparkSession.createDataFrame(
+                [(r._s,) for r in hot_rows], "_s long"
+            )
+            inv_kept = inv.join(F.broadcast(hot), "_s", "left_anti")
+            inv_hot = inv.join(F.broadcast(hot), "_s")
+            kept_pairs = count_pairs(inv_kept)
+            # hot-part of each candidate's intersection: match the pair's
+            # two docs through the hot postings (|pairs| x hot/doc)
+            hot_a = inv_hot.select(F.col("_id").alias("id_a"), "_s")
+            hot_b = inv_hot.select(F.col("_id").alias("id_b"), "_s")
+            hot_common = (
+                kept_pairs.select("id_a", "id_b")
+                .join(hot_a, "id_a")
+                .join(hot_b, ["id_b", "_s"])
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("_hot"))
+            )
+            pairs = (
+                kept_pairs.join(hot_common, ["id_a", "id_b"], "left")
+                .withColumn(
+                    "_common", F.col("_common") + F.coalesce(F.col("_hot"), F.lit(0))
+                )
+                .drop("_hot")
+            )
+
+    # sizes is one row PER DOC — no broadcast hint (unbounded at corpus
+    # scale; AQE still converts to broadcast at runtime when it fits)
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
                 F.col("_common").cast("double")
-                / (F.size("_sha") + F.size("_shb") - F.col("_common")).cast("double"),
+                / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
                 round_to,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 # --- MinHash + LSH -----------------------------------------------------------
