@@ -204,8 +204,12 @@ def unigram_logprob_score(
     Scale: token frequencies aggregate with map-side partial combine; the
     doc↔frequency join shuffles on the token key (AQE broadcasts the
     frequency side when the vocabulary is small); the per-doc sum shuffles
-    on the doc key. No driver-side state — the corpus total is a 1-row
-    broadcast aggregate.
+    on the doc key. The corpus total derives from the frequency table
+    (sum of tf — a vocabulary-sized aggregate), NOT a third corpus scan,
+    so the text tokenizes twice, not three times. (Measured dead end: a
+    single-tokenize (doc, token) pre-aggregation trades the saved regex
+    pass for an extra full-width shuffle and loses ~40% — scans pipeline,
+    exchanges don't.)
     """
     s = int(scale)
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
@@ -213,8 +217,8 @@ def unigram_logprob_score(
     lp = freqs.withColumn(
         "_lp", F.round(F.log(F.col("_tf").cast("double")) * s, 0).cast("long")
     )
-    total = toks.select(
-        F.round(F.log(F.count(F.lit(1)).cast("double")) * s, 0).cast("long").alias("_ln_n")
+    total = freqs.select(
+        F.round(F.log(F.sum("_tf").cast("double")) * s, 0).cast("long").alias("_ln_n")
     )
     per_doc = (
         toks.join(lp, "_tok")

@@ -1017,19 +1017,22 @@ def _register_rows_only():
     @register("ivf_pq_search", None, tags=["search", "approx"])
     def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         """IVF probe search and PQ ADC search, one labeled union (both
-        k-means-trained, so RNG-bound: rows-only + recall bars)."""
-        from neighborly_spark.operators.ivf import ivf_assign, ivf_search, ivf_train
-        from neighborly_spark.operators.quantization import pq_encode, pq_search, pq_train
+        k-means-trained, so RNG-bound: rows-only + recall bars). Uses the
+        SAMPLED one-pass trainers — the build_index defaults — so the
+        driver's correctness pass pays one collect + driver Lloyd instead
+        of m x iterations MLlib jobs."""
+        from neighborly_spark.operators.ivf import ivf_assign, ivf_search, ivf_train_sampled
+        from neighborly_spark.operators.quantization import pq_encode, pq_search, pq_train_sampled
 
         emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "id")
         qrow = emb.filter(F.col("id") == 0).select("embedding").collect()[0]
         qvec = list(qrow.embedding)
-        ivf_model = ivf_train(emb, nlist=8)
+        ivf_model = ivf_train_sampled(emb, nlist=8)
         assigned = ivf_assign(emb, ivf_model)
         ivf_leg = ivf_search(assigned, ivf_model, qvec, 10, nprobe=4).select(
             F.lit("ivf").alias("variant"), "id", "dist"
         )
-        pq_model = pq_train(emb, dim=64, num_centroids=32)
+        pq_model = pq_train_sampled(emb, dim=64, num_centroids=32)
         enc = pq_encode(emb, pq_model)
         pq_leg = pq_search(enc, pq_model, qvec, 10).select(
             F.lit("pq").alias("variant"), "id", "dist"

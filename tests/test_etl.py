@@ -112,3 +112,48 @@ def test_csv_roundtrip_hostile_text(spark, tmp_path):
     assert got["h2"] == ([2.0], [], 'quo"ted "text" here')
     assert got["h3"] == ([3.0], [2], "line\nbreak inside")
     assert got["h4"][2] == ""
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed by the same key join
+    with ZERO Exchange nodes — the shuffle simply does not exist in the
+    plan. The non-bucketed twin of the same join DOES exchange, proving the
+    bucket layout (not AQE or size) removed it."""
+    from neighborly_spark.sources.etl import read_bucketed, write_bucketed
+
+    import shutil
+
+    for t in ("b_vec", "b_pay"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a previously failed run can leave the managed location without a
+        # catalog entry; saveAsTable refuses to reuse it
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vec = emb.select("vec_id", "embedding")
+    pay = emb.select("vec_id", "label")
+    write_bucketed(vec, "b_vec", "vec_id", n_buckets=8)
+    write_bucketed(pay, "b_pay", "vec_id", n_buckets=8)
+    a, b = read_bucketed(spark, "b_vec"), read_bucketed(spark, "b_pay")
+    # the fixture tables fit under the broadcast threshold, which would
+    # mask the bucket layout (planner picks BHJ and ignores buckets);
+    # disable it to see the plan a 100 TB join would get
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "vec_id")
+        assert joined.count() == emb.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # control: same join off plain parquet shuffles (or broadcasts) — the
+    # point is the bucketed plan needed NEITHER
+    plain = emb.select("vec_id", "embedding").join(
+        emb.select("vec_id", "label").repartition(7), "vec_id"
+    )
+    plain.count()
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plain_plan or "Broadcast" in plain_plan
+    spark.sql("DROP TABLE IF EXISTS b_vec")
+    spark.sql("DROP TABLE IF EXISTS b_pay")

@@ -143,3 +143,69 @@ def test_streaming_asof_join_matches_batch(spark, tmp_path):
     }
     assert len(first) < len(rows)  # both runs emitted
     assert got == expected
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Native stream-stream interval join twin: purchases landing inside
+    click sessions (2h gap) — same rows as the batch bucketized
+    interval_join on the full data."""
+    from neighborly_spark.operators.joins import interval_join
+    from neighborly_spark.operators.sessions import session_stats
+    from neighborly_spark.parity import load
+    from neighborly_spark.streaming.joins import streaming_interval_join
+
+    # sf0.01 + 8h gap: 20 containment matches (sf0.001's 2h sessions
+    # contain zero purchases — too sparse to test anything)
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    intervals = session_stats(
+        ev.filter(F.col("event_type") == "click"), gap_sec=28800, value_col=None
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("start_ts"),
+        F.timestamp_micros(F.col("end_us")).alias("end_ts"),
+        "start_us",
+        "end_us",
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.unix_micros(F.col("ts")).alias("us")
+    )
+    batch = interval_join(
+        points.select("event_id", "user_id", "us"),
+        intervals.select("user_id", "start_us", "end_us"),
+        on="user_id",
+    )
+    expected = {
+        (r.event_id, r.user_id, r.start_us, r.end_us) for r in batch.collect()
+    }
+    assert expected
+
+    (points.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p" / "f0")))
+    (intervals.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "i" / "f0")))
+    ps = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, us long"
+    ).parquet(str(tmp_path / "p" / "*"))
+    is_ = spark.readStream.schema(
+        "user_id long, start_ts timestamp, end_ts timestamp, start_us long, end_us long"
+    ).parquet(str(tmp_path / "i" / "*"))
+    out = streaming_interval_join(
+        ps, is_, on="user_id", point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        watermark="1 hour", max_interval="30 days",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_ij")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {
+        (r.event_id, r.user_id, r.start_us, r.end_us)
+        for r in spark.sql("SELECT * FROM stream_ij").collect()
+    }
+    assert got == expected
