@@ -339,6 +339,58 @@ def source_stats(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    splits: tuple = (0.8, 0.1, 0.1),
+    decontaminate_n: int = 8,
+) -> DataFrame:
+    """The end-to-end training-data curation pass, composed from this
+    engine's operators in the order production pipelines run them:
+
+    1. quality gate  (functions.text.quality_score >= min_quality)
+    2. exact dedup   (min-id fingerprint survivor)
+    3. near-dup dedup (MinHash-banded Jaccard >= jaccard_threshold,
+       cluster min-id survivor)
+    4. decontamination (drop docs sharing any n-gram with `bench`)
+    5. deterministic split assignment (content-stable train/val/test)
+
+    Returns the surviving docs with (quality, split) attached. Everything
+    is DataFrame-in/DataFrame-out and lazily composed — ONE job when the
+    caller writes the result. Each stage is individually oracle-checked by
+    its own gate query; this composition is the integration artifact.
+
+    Scale shape: the quality gate is a scan-stage filter (prunes before
+    any shuffle); both dedups shuffle slim (fingerprint/id) projections;
+    decontamination broadcasts the benchmark shingle set; the split is a
+    pure projection.
+    """
+    from neighborly_spark.functions import text as T
+    from neighborly_spark.functions.splits import deterministic_split
+    from neighborly_spark.operators import dedup as DD
+
+    scored = docs.withColumn("quality", F.round(T.quality_score(F.col(text_col)), 6)).filter(
+        F.col("quality") >= min_quality
+    )
+    survivors = DD.exact_dedup(scored, id_col=id_col, text_col=text_col)
+    pairs = DD.minhash_lsh_pairs(
+        survivors.select(id_col, text_col), threshold=jaccard_threshold
+    )
+    near_survivors = DD.dedup_survivors_from_pairs(survivors, pairs, id_col=id_col)
+    if bench is not None:
+        contaminated = decontaminate(
+            near_survivors, bench, id_col=id_col, text_col=text_col, n=decontaminate_n
+        ).select(id_col)
+        near_survivors = near_survivors.join(contaminated, id_col, "left_anti")
+    return deterministic_split(
+        near_survivors, id_col, list(splits), ["train", "val", "test"]
+    )
+
+
 def vocab_topk_duckdb_sql(
     k: int = 100,
     min_count: int = 1,

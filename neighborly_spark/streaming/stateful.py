@@ -112,9 +112,9 @@ def streaming_asof_join(
       must not arrive in a later batch than a right row that precedes it in
       event time) — the same in-order contract a watermarked stream
       provides. Within a batch, order is irrelevant (merge_asof sorts).
-    - forward as-of is deliberately absent in streaming: a forward match
-      can lie arbitrarily far in the future, so it cannot be emitted from
-      bounded state; run the batch operator instead.
+    - forward as-of lives in streaming_asof_join_forward: it must BUFFER
+      unmatched left rows (a forward match can lie arbitrarily far in the
+      future), where backward only carries one right row per key.
     """
     if right_cols is None:
         right_cols = [c for c in right_stream.columns if c not in (on, ts_col)]
@@ -196,6 +196,132 @@ def streaming_asof_join(
             if r_types[c] == "bigint":
                 matched[prefix + c] = matched[prefix + c].astype("int64")
         yield matched
+
+    return tagged.groupBy(on).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_asof_join_forward(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "us",
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+    max_buffer: int = 100_000,
+) -> DataFrame:
+    """Streaming FORWARD as-of join: each left row picks up the EARLIEST
+    right row at or after it per key (the batch operator's
+    direction='forward').
+
+    Unlike backward (one right row of state per key), forward must BUFFER
+    unmatched left rows — their match can arrive in any later batch. Keyed
+    state is therefore (array-typed) columns of the buffered lefts: a left
+    row is emitted the moment a right row with ts >= its ts exists, and
+    removed from state; under the per-key in-order arrival contract the
+    first such right IS the earliest overall, so emissions are final.
+
+    Bounds: state per key = its currently-unmatched lefts, capped at
+    ``max_buffer`` rows (oldest dropped with a lost match — the explicit
+    trade a production temporal join makes; size it to the worst expected
+    left-burst between rights). Lefts with no future right ever remain
+    buffered — drain-style runs simply never emit them (inner semantics).
+    """
+    import numpy as np
+
+    if right_cols is None:
+        right_cols = [c for c in right_stream.columns if c not in (on, ts_col)]
+    left_cols = [c for c in left_stream.columns if c not in (on, ts_col)]
+    l_types = dict(left_stream.dtypes)
+    r_types = dict(right_stream.dtypes)
+    for c in [ts_col] + right_cols + left_cols:
+        t = r_types.get(c, l_types.get(c))
+        if t not in _SPARK_TO_STATE:
+            raise ValueError(f"streaming_asof_join_forward supports long/string columns, got {c}: {t}")
+
+    r = right_stream.select(
+        F.col(on), F.col(ts_col), F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_cols],
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left_cols],
+    )
+    l = left_stream.select(
+        F.col(on), F.col(ts_col), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in right_cols],
+        *[F.col(c) for c in left_cols],
+    )
+    tagged = r.unionByName(l)
+
+    from pyspark.sql.types import ArrayType
+
+    lbuf_cols = [ts_col] + left_cols
+    rlast_cols = [ts_col] + right_cols
+    # state = buffered unmatched lefts (array columns) + the latest right
+    # row (scalar columns) — the latter covers the equal-timestamp boundary
+    # where a left arrives in a later batch than its same-ts right
+    state_schema = StructType(
+        [StructField("_b_" + c, ArrayType(_SPARK_TO_STATE[l_types[c]]), True) for c in lbuf_cols]
+        + [StructField("_r_" + c, _SPARK_TO_STATE[r_types[c]], True) for c in rlast_cols]
+    )
+    out_fields = (
+        f"{on} {l_types[on]}, {ts_col} long, "
+        + ", ".join(f"{c} {l_types[c]}" for c in left_cols)
+        + (", " if left_cols else "")
+        + f"{prefix}{ts_col} long, "
+        + ", ".join(f"{prefix}{c} {r_types[c]}" for c in right_cols)
+    )
+    rename = {ts_col: prefix + ts_col, **{c: prefix + c for c in right_cols}}
+    r_ints = {c: "int64" for c in [ts_col] + right_cols if r_types[c] == "bigint"}
+    l_ints = {c: "int64" for c in lbuf_cols if l_types[c] == "bigint"}
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        lefts = pdf[pdf["_side"] == 1][lbuf_cols].astype(l_ints)
+        last_right = None
+        if state.exists:
+            prev = state.get
+            buf = pd.DataFrame({c: np.asarray(arr) for c, arr in zip(lbuf_cols, prev)})
+            lefts = pd.concat([buf.astype(l_ints), lefts], ignore_index=True)
+            if prev[len(lbuf_cols)] is not None:
+                last_right = tuple(prev[len(lbuf_cols):])
+        lefts = lefts.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        rights = pdf[pdf["_side"] == 0][[ts_col] + right_cols].astype(r_ints)
+        if last_right is not None:
+            prev_r = pd.DataFrame([last_right], columns=[ts_col] + right_cols)
+            rights = pd.concat([prev_r.astype(r_ints), rights], ignore_index=True)
+        rights = rights.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        if len(rights) and len(lefts):
+            merged = pd.merge_asof(
+                lefts,
+                rights.rename(columns=rename),
+                left_on=ts_col,
+                right_on=prefix + ts_col,
+                direction="forward",
+                allow_exact_matches=True,
+            )
+            hit = merged[prefix + ts_col].notna()
+            matched = merged[hit].copy()
+            remaining = lefts[~hit.values]
+            if len(matched):
+                matched.insert(0, on, key[0])
+                matched[prefix + ts_col] = matched[prefix + ts_col].astype("int64")
+                for c in right_cols:
+                    if r_types[c] == "bigint":
+                        matched[prefix + c] = matched[prefix + c].astype("int64")
+                yield matched
+        else:
+            remaining = lefts
+        remaining = remaining.tail(max_buffer)
+        new_last = (
+            tuple(rights.iloc[-1]) if len(rights) else (None,) * len(rlast_cols)
+        )
+        state.update(
+            tuple(remaining[c].tolist() for c in lbuf_cols) + new_last
+        )
 
     return tagged.groupBy(on).applyInPandasWithState(
         fn,

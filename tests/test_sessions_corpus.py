@@ -179,3 +179,44 @@ def test_source_stats_approx_variant(spark):
             a.n_docs, a.total_tokens, a.mean_quality, a.mean_chars
         )
         assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.1 * e.n_distinct)
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """Integration: quality gate -> exact dedup -> near-dup dedup ->
+    decontamination -> split, composed lazily; invariants checked against
+    the individual (oracle-checked) stages."""
+    from pyspark.sql import functions as F
+
+    from neighborly_spark.functions.text import quality_score
+    from neighborly_spark.operators.corpus import curation_pipeline
+    from neighborly_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # synthesize exact dups + a benchmark slice so every stage fires
+    dups = docs.filter(F.col("doc_id") < 30).withColumn("doc_id", F.col("doc_id") + 100000)
+    full = docs.unionByName(dups)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+    out = curation_pipeline(full, bench=bench, min_quality=0.5, jaccard_threshold=0.8)
+    rows = out.collect()
+    assert rows
+
+    # 1) every survivor passes the quality gate
+    assert all(r.quality >= 0.5 for r in rows)
+    # 2) no exact duplicates survive (fingerprint-unique)
+    q = full.withColumn("quality", F.round(quality_score(F.col("text")), 6)).filter(
+        F.col("quality") >= 0.5
+    )
+    exact_ids = {r.doc_id for r in exact_dedup(q).select("doc_id").collect()}
+    out_ids = {r.doc_id for r in rows}
+    assert out_ids <= exact_ids
+    # 3) nothing from the benchmark's own doc ids survives decontamination
+    #    (a bench doc's full text shares all its 8-grams with itself)
+    bench_ids = {r.doc_id for r in bench.collect()}
+    assert not (out_ids & bench_ids)
+    # 4) split labels complete and content-stable across recomputation
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    again = {r.doc_id: r.split for r in curation_pipeline(
+        full, bench=bench, min_quality=0.5, jaccard_threshold=0.8
+    ).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)

@@ -209,3 +209,83 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_ij").collect()
     }
     assert got == expected
+
+
+def test_streaming_asof_join_forward_matches_batch(spark, tmp_path):
+    """Forward streaming as-of twin: signups pick up the NEXT purchase.
+    Lefts whose match arrives in the LATER batch must buffer in state and
+    emit on the second run — the forward-specific capability."""
+    from neighborly_spark.operators.joins import asof_join
+    from neighborly_spark.parity import load
+    from neighborly_spark.streaming.stateful import streaming_asof_join_forward
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "us", F.unix_micros(F.col("ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("next_purchase_id"))
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "us"
+    )
+    batch = asof_join(
+        signups, purchases, on="user_id", ts_col="us",
+        right_cols=["next_purchase_id"], how="inner", direction="forward",
+    )
+    expected = {
+        (r.user_id, r.us, r.event_id, r.r_us, r.r_next_purchase_id)
+        for r in batch.collect()
+    }
+    assert expected
+
+    mid = ev.select(F.percentile_approx("us", 0.5).alias("m")).first().m
+    lland, rland = tmp_path / "left", tmp_path / "right"
+    lland.mkdir(), rland.mkdir()
+
+    def stage(phase, pred):
+        signups.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(lland / f"s{phase}")
+        )
+        purchases.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(rland / f"p{phase}")
+        )
+
+    def run():
+        ls = spark.readStream.schema("event_id long, user_id long, us long").parquet(
+            str(lland / "*")
+        )
+        rs = spark.readStream.schema(
+            "user_id long, us long, next_purchase_id long"
+        ).parquet(str(rland / "*"))
+        out = streaming_asof_join_forward(
+            ls, rs, on="user_id", ts_col="us", right_cols=["next_purchase_id"]
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / "out")).collect()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stage(0, F.col("us") < mid)
+        first = run()
+        stage(1, F.col("us") >= mid)
+        rows = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {
+        (r.user_id, r.us, r.event_id, r.r_us, r.r_next_purchase_id) for r in rows
+    }
+    # cross-batch buffering actually exercised: run 2 emitted new matches
+    assert len(first) < len(rows)
+    assert got == expected
