@@ -60,6 +60,20 @@ def magnitude(a: Column) -> Column:
     return F.sqrt(_fold_sum(F.transform(a, lambda x: _d(x) * _d(x))))
 
 
+def normalize(a: Column) -> Column:
+    """L2-normalize an embedding array (zero vectors pass through
+    unchanged — dividing by 0 would NaN-poison downstream math).
+
+    The cosine bridge to every euclidean-only ANN structure (MLlib
+    BRP-LSH, IVF, BQ): on unit vectors ``||a-b||^2 = 2 - 2*cos(a,b)``, so
+    euclidean ranking over normalized vectors IS cosine ranking. Normalize
+    the table once at index build, normalize each query, search euclidean.
+    """
+    m = magnitude(a)
+    safe = F.when(m == 0.0, F.lit(1.0)).otherwise(m)
+    return F.transform(a, lambda x: (_d(x) / safe).cast("float"))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine *similarity* — dot/(|a||b|).
 

@@ -229,3 +229,25 @@ def test_ivf_train_sampled_recall_and_determinism(emb, query):
     # expression-path assignment stays JVM-side (no Python in the scan)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_cosine_ann_via_normalization(spark, emb, query):
+    """The cosine bridge: euclidean ANN (IVF and LSH) over L2-normalized
+    vectors ranks by cosine — recall measured against brute-force cosine."""
+    from neighborly_spark.functions.distance import normalize
+    from neighborly_spark.operators.knn import knn
+
+    normed = emb.select("id", normalize(F.col("embedding")).alias("embedding")).cache()
+    normed.count()
+    qrow = normed.filter(F.col("id") == 7).collect()[0]
+    qn = list(qrow.embedding)
+    exact_cos = [r.id for r in knn(emb, query, K, metric="cosine").collect()]
+
+    ivf_model = IVF.ivf_train(normed, nlist=4)
+    assigned = IVF.ivf_assign(normed, ivf_model)
+    ivf_ids = [r.id for r in IVF.ivf_search(assigned, ivf_model, qn, K, nprobe=2).collect()]
+    assert _recall(ivf_ids, exact_cos) >= 0.8
+
+    lsh_ids = [r.id for r in LSH.lsh_knn(normed, qn, K, num_hash_tables=10).collect()]
+    assert _recall(lsh_ids, exact_cos) >= 0.8
+    normed.unpersist()

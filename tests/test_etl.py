@@ -157,3 +157,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "Exchange" in plain_plan or "Broadcast" in plain_plan
     spark.sql("DROP TABLE IF EXISTS b_vec")
     spark.sql("DROP TABLE IF EXISTS b_pay")
+
+
+def test_webdataset_roundtrip_and_wide(spark, tmp_path):
+    """WebDataset tar shards: write from long rows, read back identical
+    members, pivot to one row per sample with binary columns."""
+    from neighborly_spark.sources.webdataset import (
+        read_webdataset, samples_wide, write_webdataset,
+    )
+
+    rows = []
+    for i in range(20):
+        key = f"{i:06d}"
+        rows.append((key, "img", bytes([i]) * (i + 1)))
+        rows.append((key, "txt", f"caption {i}".encode()))
+        if i % 3 == 0:
+            rows.append((key, "json", b'{"label": %d}' % i))
+    df = spark.createDataFrame(rows, "key string, ext string, data binary")
+    out = str(tmp_path / "shards")
+    n = write_webdataset(df.repartitionByRange(3, "key"), out)
+    assert n == 3
+
+    back = read_webdataset(spark, f"{out}/*.tar")
+    got = {(r.key, r.ext): bytes(r.data) for r in back.collect()}
+    assert got == {(k, e): d for k, e, d in rows}
+
+    wide = samples_wide(back, ["img", "txt", "json"])
+    w = {r.key: r for r in wide.collect()}
+    assert len(w) == 20
+    assert bytes(w["000004"].img) == bytes([4]) * 5
+    assert w["000004"].json is None and w["000003"].json is not None
+    # samples are contiguous inside each shard (key-ordered members)
+    import tarfile as tfmod
+
+    shard0 = sorted(__import__("os").listdir(out))[0]
+    with tfmod.open(f"{out}/{shard0}") as tf:
+        names = [m.name for m in tf]
+    keys_in_order = [n.split(".", 1)[0] for n in names]
+    assert keys_in_order == sorted(keys_in_order)
