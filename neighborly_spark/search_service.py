@@ -107,6 +107,87 @@ class SearchService:
         for m in ("lsh", "bq", "pq", "ivf"):
             self.build_index(m)
 
+    # --- snapshot persistence (the reference's save/load database story,
+    # VectorDatabase.cs:642-730: vectors + every built index artifact) ----
+
+    def save(self, path: str) -> None:
+        """Persist vectors + every BUILT index artifact + a manifest:
+        vectors as parquet; LSH as the MLlib model; BQ as its trained
+        threshold + the materialized code table; IVF as centroids (JSON)
+        + the cluster-partitioned assignment layout; PQ as its codebooks
+        (JSON) + the encoded table. load() restores a SearchService that
+        serves every built method without re-training."""
+        import json
+
+        from neighborly_spark.sources.etl import save_database
+
+        models = {"lsh": self._lsh_model} if self._lsh_model is not None else {}
+        save_database(self.df, path, self.dim, models=models)
+        extras: dict = {
+            "id_col": self.id_col, "vec_col": self.vec_col, "text_col": self.text_col,
+        }
+        if self._bq_codes is not None:
+            self._bq_codes.write.mode("overwrite").parquet(f"{path}/indexes/bq_codes")
+            extras["bq_threshold"] = self._bq_threshold
+        if self._ivf_model is not None:
+            IVF.ivf_write(self._ivf_assigned, f"{path}/indexes/ivf")
+            extras["ivf"] = {
+                "nlist": self._ivf_model.nlist,
+                "centroids": self._ivf_model.centroids,
+            }
+        if self._pq_model is not None:
+            self._pq_encoded.write.mode("overwrite").parquet(f"{path}/indexes/pq_encoded")
+            m = self._pq_model
+            extras["pq"] = {
+                "m": m.m, "sub_dim": m.sub_dim, "num_centroids": m.num_centroids,
+                "centroids": m.centroids,
+            }
+        with open(f"{path}/service.json", "w") as f:
+            json.dump(extras, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SearchService":
+        """Restore a saved SearchService: vectors, manifest, and every
+        persisted index artifact (no re-training, no re-encoding)."""
+        import json
+
+        import numpy as np
+
+        from neighborly_spark.operators.ivf import IVFModel, _ArrayCentroids
+        from neighborly_spark.operators.quantization import PQModel, _ArrayKMeansModel
+        from neighborly_spark.sources.etl import load_database
+
+        df, manifest = load_database(spark, path)
+        with open(f"{path}/service.json") as f:
+            extras = json.load(f)
+        svc = cls(
+            df, dim=manifest["dim"], id_col=extras["id_col"],
+            vec_col=extras["vec_col"], text_col=extras["text_col"],
+        )
+        if "lsh" in manifest.get("indexes", []):
+            from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+            svc._lsh_model = BucketedRandomProjectionLSHModel.load(f"{path}/indexes/lsh")
+        if "bq_threshold" in extras:
+            svc._bq_threshold = extras["bq_threshold"]
+            codes = spark.read.parquet(f"{path}/indexes/bq_codes").cache()
+            codes.count()
+            svc._bq_codes = codes
+        if "ivf" in extras:
+            svc._ivf_model = IVFModel(
+                _ArrayCentroids(np.asarray(extras["ivf"]["centroids"])),
+                extras["ivf"]["nlist"],
+            )
+            svc._ivf_assigned = IVF.ivf_read(spark, f"{path}/indexes/ivf")
+        if "pq" in extras:
+            p = extras["pq"]
+            svc._pq_model = PQModel(
+                [_ArrayKMeansModel(np.asarray(c)) for c in p["centroids"]],
+                p["m"], p["sub_dim"], p["num_centroids"],
+            )
+            svc._pq_encoded = spark.read.parquet(f"{path}/indexes/pq_encoded")
+        return svc
+
     # --- queries -------------------------------------------------------------
 
     def search(

@@ -251,3 +251,27 @@ def test_cosine_ann_via_normalization(spark, emb, query):
     lsh_ids = [r.id for r in LSH.lsh_knn(normed, qn, K, num_hash_tables=10).collect()]
     assert _recall(lsh_ids, exact_cos) >= 0.8
     normed.unpersist()
+
+
+def test_search_service_save_load_roundtrip(spark, emb, query, tmp_path):
+    """Snapshot story: build every index, save, load — the restored
+    service serves every method with the SAME results and no re-training
+    (the artifacts, not the data, answer)."""
+    svc = SearchService(emb, dim=64)
+    svc.build_all_indexes()
+    before = {
+        m: [(r.id, round(r.dist, 6)) for r in svc.search(query_vec=query, k=5, method=m).collect()]
+        for m in ("linear", "lsh", "bq", "pq", "ivf")
+    }
+    svc.save(str(tmp_path / "db"))
+
+    loaded = SearchService.load(spark, str(tmp_path / "db"))
+    after = {
+        m: [(r.id, round(r.dist, 6)) for r in loaded.search(query_vec=query, k=5, method=m).collect()]
+        for m in ("linear", "lsh", "bq", "pq", "ivf")
+    }
+    assert after == before
+    # the loaded service answers from artifacts: models restored, not refit
+    assert loaded._bq_threshold == svc._bq_threshold
+    assert loaded._pq_model.centroids == svc._pq_model.centroids
+    assert loaded._ivf_model.centroids == svc._ivf_model.centroids
