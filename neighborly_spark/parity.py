@@ -415,8 +415,14 @@ def text_knn_long_short(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - long leg: >=20-char query -> no prefix union, caller-supplied threshold;
     - short leg: default threshold (0.8) + case-insensitive prefix-match
-      union (SearchService.cs:121-127)."""
-    v = _doc_vectors(spark, sf_dir)
+      union (SearchService.cs:121-127).
+
+    The embedded doc table is localCheckpointed: the two legs (and the
+    short leg's knn + prefix-union branches) would otherwise each re-run
+    the md5 hash embedding over every document — one materialized pass
+    serves all consumers. Values are unchanged (same deterministic
+    embedder), so the oracle is unaffected."""
+    v = _doc_vectors(spark, sf_dir).localCheckpoint()
     long_leg = TS.text_search(
         v, _LONG_QUERY, k=5, dim=EMBED_DIM, threshold=8.0, round_to=ROUND
     ).select(F.lit("long").alias("q"), "id", "original_text", "dist")
