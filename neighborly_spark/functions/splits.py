@@ -117,3 +117,56 @@ def stratified_hash_sample(
     for stratum, frac in sorted(fractions.items()):
         thresh = F.when(F.col(strata_col) == stratum, F.lit(float(frac))).otherwise(thresh)
     return df.filter(u < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture sampling: select documents so each group contributes
+    ~weights[g] * total_tokens tokens — the data-mixing step every
+    pretraining run configures (domain weights over web/code/books/...).
+
+    Deterministic and content-stable: within each group, docs rank by
+    (hash32(key), key) — the same layout-independent rank the stratified
+    sampler uses — and the running token total cuts at the group's budget.
+    The cut INCLUDES the first doc that crosses the budget (so a group
+    with any data always contributes, and budgets are met, not
+    undershot-by-one). Groups missing from `weights` are dropped; a group
+    exhausting its data contributes everything it has (under-budget,
+    reported by the caller comparing sums — sampling cannot mint data).
+
+    Plan: one window per group partition (rank + running sum), one filter —
+    a single shuffle by group; skew follows the group histogram, exactly
+    like the sessionization/stratified operators.
+
+    tokens_col: pre-computed token counts; None derives whitespace counts
+    from text_col (functions.text.token_count).
+    """
+    from pyspark.sql.window import Window
+
+    from neighborly_spark.functions.text import token_count
+
+    toks = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    key = F.col(key_col).cast("string")
+    budget = F.lit(None).cast("double")
+    for g, w in sorted(weights.items()):
+        budget = F.when(F.col(group_col) == g, F.lit(float(w) * total_tokens)).otherwise(budget)
+    w_rank = Window.partitionBy(group_col).orderBy(hash32(key).asc(), key.asc())
+    out = (
+        df.withColumn("_tok", toks)
+        .withColumn("_budget", budget)
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("_cum", F.sum("_tok").over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        # keep docs whose PRECEDING mass is under budget (first crosser kept)
+        .filter(F.col("_cum") - F.col("_tok") < F.col("_budget"))
+        .drop("_budget")
+        .withColumnRenamed("_tok", "n_tokens_sampled")
+        .withColumnRenamed("_cum", "cum_tokens")
+    )
+    return out

@@ -139,3 +139,26 @@ def test_stratified_hash_sample_rates(spark):
     out = stratified_hash_sample(df, "stratum", "id", {"keep": 1.0})
     got = {(r.id, r.stratum) for r in out.collect()}
     assert got == {(i, "keep") for i in range(100) if i % 2}  # default 0.0 drops the rest
+
+
+def test_mixture_sample_budgets_and_stability(spark):
+    """Domain-mixture sampling: per-group token sums land within one doc of
+    the budget, membership is layout-independent, unlisted groups drop."""
+    from neighborly_spark.functions.splits import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"src1": 0.6, "src2": 0.4}
+    total = 1_000  # each source holds ~1.2k tokens, so both budgets are met
+    out = mixture_sample(docs, weights, total).cache()
+    got = {r.source: r for r in out.groupBy("source").agg(
+        F.sum("n_tokens_sampled").alias("toks"), F.max("n_tokens_sampled").alias("maxdoc")
+    ).collect()}
+    assert set(got) == set(weights)  # both weighted sources present in data
+    for g, r in got.items():
+        budget = weights[g] * total
+        # budget met and overshoot smaller than one doc (first-crosser rule)
+        assert budget <= r.toks < budget + r.maxdoc, (g, r.toks, budget)
+    # content-stable: same membership after repartitioning
+    again = mixture_sample(docs.repartition(13), weights, total)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    out.unpersist()
