@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from neighborly_spark.sources import etl
 
@@ -195,3 +196,38 @@ def test_webdataset_roundtrip_and_wide(spark, tmp_path):
         names = [m.name for m in tf]
     keys_in_order = [n.split(".", 1)[0] for n in names]
     assert keys_in_order == sorted(keys_in_order)
+
+
+def test_webdataset_to_multimodal_features(spark, tmp_path):
+    """End-to-end multimodal path: tar shards -> wide samples -> asset rows
+    -> Arrow-batched feature extraction. The full ingestion a multimodal
+    training pipeline runs, with the decode slot on the deterministic fake."""
+    from neighborly_spark.operators import multimodal as MM
+    from neighborly_spark.sources.webdataset import (
+        read_webdataset, samples_wide, write_webdataset,
+    )
+
+    rows = []
+    for i in range(12):
+        key = f"{i:06d}"
+        rows.append((key, "img", bytes([i % 7]) * (50 + i)))
+        rows.append((key, "txt", f"caption {i}".encode()))
+    df = spark.createDataFrame(rows, "key string, ext string, data binary")
+    out = str(tmp_path / "shards")
+    write_webdataset(df.repartitionByRange(2, "key"), out)
+
+    wide = samples_wide(read_webdataset(spark, f"{out}/*.tar"), ["img", "txt"])
+    assets = wide.select(
+        F.col("key").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("img").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = MM.extract_features(assets, dim=8, fake=True).collect()
+    assert len(feats) == 12
+    assert all(len(r.features) == 8 and r.n_bytes >= 50 for r in feats)
+    # determinism: the same shard bytes give the same features
+    again = {r.asset_id: r.features for r in MM.extract_features(assets, dim=8, fake=True).collect()}
+    assert all(again[r.asset_id] == r.features for r in feats)
