@@ -483,6 +483,61 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_pairs_approx(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+    num_hash_tables: int = 10,
+) -> DataFrame:
+    """THE SCALE PATH for embedding near-dup: LSH-bucketed candidate pairs
+    instead of cosine_neardup_pairs' quadratic crossJoin.
+
+    Exact geometry bridge: L2-normalize, then ``cos(a,b) >= t`` is
+    EXACTLY ``||a'-b'|| <= sqrt(2-2t)`` on the unit vectors — so MLlib's
+    euclidean approxSimilarityJoin at that radius finds cosine-threshold
+    pairs. Candidates are verified with the TRUE cosine on the original
+    vectors (same rounding contract as the exact operator), so emitted
+    pairs are never false positives; recall is bucket-bound like every
+    LSH operator (num_hash_tables trades it against shuffle fan-in).
+
+    Cost shape: one normalize projection, bucket-equality self-join
+    (shuffle fans in same-bucket pairs only), verification on the
+    candidate set.
+    """
+    import math
+
+    from neighborly_spark.functions.distance import normalize
+    from neighborly_spark.operators.lsh import approx_similarity_join
+
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * float(threshold))) + 1e-9
+    normed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        normalize(F.col(vec_col)).alias("embedding"),
+    )
+    dim = len(df.select(vec_col).first()[0])  # 1-row planner probe
+    cand = approx_similarity_join(
+        normed, normed, radius, num_hash_tables=num_hash_tables, dim=dim
+    )
+    pairs = (
+        cand.select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.col("datasetA._v").alias("_va"),
+            F.col("datasetB._v").alias("_vb"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 # --- near-dup clustering -------------------------------------------------------
 
 

@@ -275,3 +275,27 @@ def test_search_service_save_load_roundtrip(spark, emb, query, tmp_path):
     assert loaded._bq_threshold == svc._bq_threshold
     assert loaded._pq_model.centroids == svc._pq_model.centroids
     assert loaded._ivf_model.centroids == svc._ivf_model.centroids
+
+
+def test_cosine_neardup_approx_vs_exact(spark):
+    """The embedding near-dup SCALE path: LSH-bucketed candidates at the
+    exact geometric radius sqrt(2-2t), verified with true cosine — no
+    false positives by construction, recall measured vs the brute-force
+    exact operator."""
+    from neighborly_spark.operators.dedup import (
+        cosine_neardup_pairs, cosine_neardup_pairs_approx,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_neardup_pairs_approx(emb, threshold=0.4, num_hash_tables=10).collect()
+    }
+    assert set(approx) <= set(exact)          # verification kills false positives
+    for pair, sim in approx.items():
+        assert sim == exact[pair]             # scores identical (same contract)
+    assert len(approx) / len(exact) >= 0.8    # recall bar
