@@ -1696,7 +1696,7 @@ WITH p AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       sum(n_tok) AS total_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        count(DISTINCT fp) AS n_distinct,
        round(1.0 - count(DISTINCT fp) / count(*), {ROUND}) AS dup_frac,
        round((sum(q_int) / count(*)) / 1000000.0, {ROUND}) AS mean_quality,

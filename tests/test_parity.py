@@ -42,6 +42,31 @@ def _canon(rows, cols):
     return sorted(tuple(_normalize(r[i]) for i in order) for r in rows)
 
 
+def _repr_cell(v):
+    """Driver-faithful cell representation: both sides go through pandas, so
+    a DuckDB HUGEINT that pandas widens to float64 reprs as '39517.0' while
+    Spark's bigint reprs as '39517' — exactly the mismatch the round-2 driver
+    hash caught on corpus_source_stats (VERDICT r2 'What's wrong #1')."""
+    import numpy as np
+
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, np.integer):
+        v = int(v)
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_repr_cell(x) for x in v) + "]"
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return repr(v)
+
+
+def _canon_pandas(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(tuple(_repr_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None))
+
+
 ORACLE_QUERIES = sorted(n for n, pq in REGISTRY.items() if pq.oracle is not None)
 
 
@@ -59,6 +84,13 @@ def test_parity(spark, ddb, name):
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     assert _canon(srows, scols) == _canon(drows, dcols), f"{name}: value mismatch"
+
+    # Driver-faithful pass: both sides through pandas, repr-level equality
+    # (catches integer-vs-float64 representation drift the Python-native
+    # comparison above cannot see).
+    spdf = sdf.toPandas()
+    dpdf = ddb.sql(pq.oracle).df()
+    assert _canon_pandas(spdf) == _canon_pandas(dpdf), f"{name}: pandas-repr mismatch"
 
 
 def test_rows_only_queries_run(spark):
