@@ -428,6 +428,41 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*code_cols))
 
 
+def pq_search_rerank(
+    df: DataFrame,
+    encoded: DataFrame,
+    model: PQModel,
+    query_vec: list[float],
+    k: int,
+    shortlist: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC shortlist -> exact rerank: take the `shortlist` ADC-closest codes
+    (pq_search), then point-lookup their float vectors and rank by true
+    euclidean distance. The reference's PQ stops at pure ADC
+    (ProductQuantization.cs:330-380, "rerank optional" per SURVEY Q10); the
+    rerank tier is what makes PQ clear the reference's own recall bar
+    (Tests/HNSWBenchmarkTests.cs:169, >= 0.8) on hard/unclustered data —
+    pure ADC on uniform vectors measures ~0.4-0.7 (docs/RECALL.md).
+
+    Scan shape at 100 TB: the ADC pass reads only the m-byte code table
+    (dim*4/m compression); the float table is touched for `shortlist` rows
+    via an id join AQE converts to broadcast. No window, no full-float scan.
+    """
+    if shortlist is None:
+        shortlist = max(5 * k, 50)
+    cand = pq_search(encoded, model, query_vec, shortlist, id_col, code_col).select(id_col)
+    joined = df.join(cand, id_col)
+    d = euclidean(F.col(vec_col), F.lit(query_vec).cast("array<float>"))
+    return (
+        joined.withColumn("dist", d)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_search(
     encoded: DataFrame,
     model: PQModel,
