@@ -97,31 +97,40 @@ def build_tag_dim(df: DataFrame, tag_text_col: str = "tag") -> DataFrame:
 
 def resolve_tags(df: DataFrame, tag_dim: DataFrame, tags_col: str = "tags") -> DataFrame:
     """P8 GetRangeAsString: attach `tag_names: array<string>` via the
-    broadcast dictionary. The id array is resolved ELEMENT-WISE with a
-    map lookup (transform over a map literal-from-dataframe would need a
-    collect), so instead: explode -> broadcast-join -> regroup BY A
-    SURROGATE ROW KEY. Grouping by every original column (the previous
-    formulation) silently collapses fully-identical input rows into one
-    output row and breaks on non-groupable (map-typed) columns; the
-    surrogate key preserves row multiplicity and arbitrary column types."""
-    keyed = df.withColumn("_rk", F.monotonically_increasing_id())
-    pos = keyed.select("_rk", F.posexplode_outer(F.col(tags_col)).alias("_pos", "_tag_id"))
+    broadcast dictionary. The id array is resolved ELEMENT-WISE over the
+    DISTINCT tag arrays — explode -> broadcast-join -> regroup keyed by
+    the array VALUE itself — then joined back onto the rows by that value.
+
+    Why this shape: a surrogate monotonically_increasing_id row key (the
+    previous formulation) is nondeterministic — evaluated independently on
+    the two sides of its self-join, any shuffle/retry/AQE reorder can
+    assign different ids and silently mis-pair tag_names with rows
+    (round-2 ADVICE crud.py:107). The array value is a deterministic key,
+    row multiplicity is preserved (every duplicate row joins its array's
+    resolution), and the explode/regroup work shrinks to |distinct arrays|
+    instead of |rows|. Null arrays resolve to [] (posexplode_outer's
+    behavior in the original)."""
+    arrs = df.select(F.col(tags_col).alias("_arr")).filter(F.col("_arr").isNotNull()).distinct()
+    pos = arrs.select("_arr", F.posexplode_outer("_arr").alias("_pos", "_tag_id"))
     joined = pos.join(
         F.broadcast(tag_dim.withColumnRenamed("tag_id", "_tag_id")), on="_tag_id", how="left"
     )
-    regrouped = joined.groupBy("_rk").agg(
+    regrouped = joined.groupBy("_arr").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("_pos").alias("pos"), F.col("tag").alias("tag")))
         ).alias("_ordered")
     )
-    names = regrouped.withColumn(
-        "tag_names",
+    resolved = regrouped.select(
+        "_arr",
         F.transform(
             # posexplode_outer emits one null-pos row for empty arrays -> drop it
             F.filter(F.col("_ordered"), lambda s: s["pos"].isNotNull()), lambda s: s["tag"]
-        ),
-    ).select("_rk", "tag_names")
-    return keyed.join(names, "_rk").drop("_rk")
+        ).alias("tag_names"),
+    )
+    out = df.join(resolved, df[tags_col] == resolved["_arr"], "left").drop("_arr")
+    return out.withColumn(
+        "tag_names", F.coalesce(F.col("tag_names"), F.lit([]).cast("array<string>"))
+    )
 
 
 # --- tag filtering (P9) -----------------------------------------------------------

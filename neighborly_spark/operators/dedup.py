@@ -495,9 +495,14 @@ def cosine_neardup_pairs_approx(
     threshold: float = 0.95,
     round_to: int = 6,
     num_hash_tables: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """THE SCALE PATH for embedding near-dup: LSH-bucketed candidate pairs
     instead of cosine_neardup_pairs' quadratic crossJoin.
+
+    Pass ``dim`` (callers know it) to keep plan construction action-free;
+    without it a 1-row probe runs — which also raises a clear error on
+    empty input instead of first()'s None TypeError.
 
     Exact geometry bridge: L2-normalize, then ``cos(a,b) >= t`` is
     EXACTLY ``||a'-b'|| <= sqrt(2-2t)`` on the unit vectors — so MLlib's
@@ -522,7 +527,14 @@ def cosine_neardup_pairs_approx(
         F.col(vec_col).alias("_v"),
         normalize(F.col(vec_col)).alias("embedding"),
     )
-    dim = len(df.select(vec_col).first()[0])  # 1-row planner probe
+    if dim is None:
+        probe = df.select(vec_col).first()  # 1-row planner probe (fallback)
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "cosine_neardup_pairs_approx: cannot infer dim from an empty "
+                "input — pass dim= explicitly"
+            )
+        dim = len(probe[0])
     cand = approx_similarity_join(
         normed, normed, radius, num_hash_tables=num_hash_tables, dim=dim
     )

@@ -91,6 +91,15 @@ def write_webdataset(
     Repartition/sort upstream to control shard count and sample placement:
     ``members.repartitionByRange(n, "key")`` gives n roughly equal shards
     with co-located samples.
+
+    Write protocol: each task writes ``.<name>.inprogress`` then
+    os.rename()s into place on completion, so a task that dies mid-write
+    never leaves a truncated tar that counts as output, and a retry of the
+    same partition simply re-renames over its own finished shard
+    (idempotent per partition). The write itself is a side effect of
+    executing the returned manifest plan ONCE — this function triggers
+    that execution and returns the count; callers must not re-execute the
+    plan (non-transactional, run-once semantics).
     """
     os.makedirs(out_dir, exist_ok=True)
 
@@ -98,17 +107,22 @@ def write_webdataset(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows = pd.concat(list(batches), ignore_index=True) if batches else None
-        frames = [] if rows is None or not len(rows) else [rows]
+        # materialize before concat: an empty partition yields an empty
+        # iterator, and pd.concat([]) raises ValueError
+        frames = [b for b in batches if len(b)]
         if not frames:
             return
-        pdf = frames[0].sort_values(["key", "ext"], kind="mergesort")
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["key", "ext"], kind="mergesort"
+        )
         path = os.path.join(out_dir, f"{prefix}-{pid:06d}.tar")
-        with tarfile.open(path, "w") as tf:
+        tmp = os.path.join(out_dir, f".{prefix}-{pid:06d}.tar.inprogress")
+        with tarfile.open(tmp, "w") as tf:
             for _, r in pdf.iterrows():
                 info = tarfile.TarInfo(name=f"{r['key']}.{r['ext']}")
                 info.size = len(r["data"])
                 tf.addfile(info, io.BytesIO(bytes(r["data"])))
+        os.rename(tmp, path)
         yield pd.DataFrame({"shard": [os.path.basename(path)], "n_members": [len(pdf)]})
 
     manifest = members.select("key", "ext", "data").mapInPandas(

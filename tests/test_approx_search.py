@@ -293,7 +293,7 @@ def test_cosine_neardup_approx_vs_exact(spark):
     }
     approx = {
         (r.id_a, r.id_b): r.cos_sim
-        for r in cosine_neardup_pairs_approx(emb, threshold=0.4, num_hash_tables=10).collect()
+        for r in cosine_neardup_pairs_approx(emb, threshold=0.4, num_hash_tables=10, dim=64).collect()
     }
     assert set(approx) <= set(exact)          # verification kills false positives
     for pair, sim in approx.items():

@@ -198,6 +198,25 @@ def test_webdataset_roundtrip_and_wide(spark, tmp_path):
     assert keys_in_order == sorted(keys_in_order)
 
 
+def test_webdataset_write_with_empty_partitions(spark, tmp_path):
+    """repartition(n) > rows leaves empty partitions; the writer must skip
+    them instead of crashing in pd.concat([]) (round-2 ADVICE), and no
+    .inprogress temp files may survive the commit rename."""
+    import os
+
+    from neighborly_spark.sources.webdataset import read_webdataset, write_webdataset
+
+    df = spark.createDataFrame(
+        [("a", "txt", b"x"), ("b", "txt", b"y")], "key string, ext string, data binary"
+    )
+    out = str(tmp_path / "sparse_shards")
+    n = write_webdataset(df.repartition(8), out)
+    assert 1 <= n <= 2
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+    back = {(r.key, r.ext): bytes(r.data) for r in read_webdataset(spark, f"{out}/*.tar").collect()}
+    assert back == {("a", "txt"): b"x", ("b", "txt"): b"y"}
+
+
 def test_webdataset_to_multimodal_features(spark, tmp_path):
     """End-to-end multimodal path: tar shards -> wide samples -> asset rows
     -> Arrow-batched feature extraction. The full ingestion a multimodal
