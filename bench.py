@@ -10,8 +10,11 @@ Workload mix (BASELINE.md workload shapes):
 - text analytics + windowed event aggregation over the driver's tables;
 - the oracle-checked kNN/join queries at their native size.
 
-Each query is forced end-to-end with a noop sink. Two timed runs per query,
-min taken, to damp JIT/cache noise.
+Each query is forced end-to-end with a noop sink. One warm-up then three
+timed runs per query, median taken, to damp JIT/cache noise. The output
+carries a corpus fingerprint (documents: n_docs/total_chars/total_tokens;
+events/orders/lineitem row counts) so cross-round comparisons can separate
+data drift (the driver regenerates testdata between rounds) from code drift.
 """
 
 from __future__ import annotations
@@ -252,6 +255,25 @@ def _relayout(spark, sf_dir: str, cpus: int) -> str:
     return out
 
 
+def _fingerprint(spark, sf_dir: str) -> dict:
+    """Corpus fingerprint for cross-round bench attribution (VERDICT r2 #5).
+
+    Captures exactly the properties that drove the round-1 -> round-2 drift
+    (denser/longer documents): doc count, total characters, whitespace token
+    count, plus row counts of the other bench-relevant tables.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("total_tokens"),
+    ).collect()[0]
+    fp = {"n_docs": row.n_docs, "total_chars": int(row.total_chars), "total_tokens": int(row.total_tokens)}
+    for t in ("events", "orders", "lineitem"):
+        fp[f"n_{t}"] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    return fp
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
     spark = get_spark(app_name="neighborly-spark-bench", cpus=cpus)
@@ -269,12 +291,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, build in builders.items():
         _force(build(spark, SF_DIR))  # warm-up (footer cache, codegen, fits)
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(build(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 4)  # warm median-of-3
 
     sf = orig_sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -283,6 +305,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else orig_sf_dir,
+        "stat": "median_of_3_warm",
+        "corpus": _fingerprint(spark, orig_sf_dir),
     }
     print(json.dumps(out))
     spark.stop()

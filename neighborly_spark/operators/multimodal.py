@@ -4,12 +4,13 @@ Treats image/audio/video payloads as opaque `binary` columns with typed
 metadata, processed via Arrow-batched `mapInPandas` (the only place Python
 belongs in the hot path — per-batch vectorized work on bytes).
 
-The decode step is STUBBED: this container has no image/audio libraries, so
-`decode_image` raises NotImplementedError unless `fake=True`, which swaps in
-a deterministic fake decoder (content-hash-derived "pixels") — the Spark
-plumbing (schema, batch shape, partitioning, UDF signature) is real and
-tested; a deployment drops in Pillow/torchaudio inside `_decode_batch`
-without touching the plan.
+The decode step try-imports Pillow: where PIL is installed, fake=False
+decodes real image bytes (features = luminance strip; resize = true
+resample + PNG re-encode). Where it is not (this container), fake=False
+raises NotImplementedError from the executors — the clearly-marked stub —
+and `fake=True` swaps in a deterministic fake decoder (content-hash-derived
+"pixels") so the Spark plumbing (schema, batch shape, partitioning, UDF
+signature) is real and tested either way.
 
 Scale notes: mapInPandas streams Arrow record batches — memory is bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob sizes; binary
@@ -20,6 +21,11 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+
+try:  # optional real decoder — absent in this container, used when deployed
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PILImage = None
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -83,22 +89,35 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _pil_decode(payload: bytes, dim: int) -> list[float]:
+    """Real decode path (used when Pillow is installed): decode the image,
+    grayscale, resample to a dim-length luminance strip, normalize to
+    [0, 1] — a deterministic, library-grade stand-in for a model encoder
+    that exercises true byte decoding."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return [p / 255.0 for p in img.getdata()]
+
+
 def extract_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame:
     """Decode + feature-extract binary assets via mapInPandas.
 
-    With fake=False this raises NotImplementedError from the executors at
-    the decode step — the clearly-marked stub (no decoder libs in this
-    container). fake=True uses the deterministic fake so the full Arrow
-    pipeline executes end to end.
+    With fake=False the executors decode real image bytes via Pillow where
+    it is installed (try-import), else raise NotImplementedError — the
+    clearly-marked stub (no decoder libs in this container). fake=True uses
+    the deterministic fake so the full Arrow pipeline executes end to end
+    regardless of environment.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
+            if not fake and _PILImage is None:
                 raise NotImplementedError(
                     "media decode requires an image/audio library; "
-                    "deploy with a real decoder or pass fake=True"
+                    "deploy with Pillow installed or pass fake=True"
                 )
+            decode = _fake_decode if fake else _pil_decode
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -106,7 +125,7 @@ def extract_features(df: DataFrame, dim: int = 8, fake: bool = False) -> DataFra
                     "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "content_hash": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "features": payloads.map(lambda b: _fake_decode(bytes(b), dim)),
+                    "features": payloads.map(lambda b: decode(bytes(b), dim)),
                 }
             )
 
@@ -117,11 +136,11 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> 
     """Image-resize plumbing: payload -> resized payload + updated metadata,
     via the same Arrow-batched mapInPandas shape as extract_features.
 
-    fake=False raises NotImplementedError at the decode step (no Pillow in
-    this container); fake=True produces a deterministic stand-in payload
+    With Pillow installed, fake=False does the real decode -> resample ->
+    PNG re-encode; without it, fake=False raises NotImplementedError at the
+    decode step and fake=True produces a deterministic stand-in payload
     (md5-keyed stream of width*height bytes) so schema, batch flow, and
-    metadata updates execute for real. A deployment replaces the body of
-    `_fake_resize` with decode -> resample -> re-encode.
+    metadata updates execute for real.
     """
 
     def _fake_resize(payload: bytes) -> bytes:
@@ -132,15 +151,24 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> 
             counter += 1
         return bytes(out[: width * height])
 
+    def _pil_resize(payload: bytes) -> bytes:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
+            if not fake and _PILImage is None:
                 raise NotImplementedError(
                     "image resize requires a decoder library; "
-                    "deploy with a real decoder or pass fake=True"
+                    "deploy with Pillow installed or pass fake=True"
                 )
+            resize = _fake_resize if fake else _pil_resize
             pdf = pdf.copy()
-            pdf["payload"] = pdf["payload"].map(lambda b: _fake_resize(bytes(b)))
+            pdf["payload"] = pdf["payload"].map(lambda b: resize(bytes(b)))
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

@@ -778,10 +778,33 @@ GROUP BY tag_id
 )
 def tag_inverted_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 BuildMap: tag -> sorted vector ids (VectorTags.cs:171-194).
-    Gate contract: id list serialized to a comma-joined string (sorted asc)."""
-    from neighborly_spark.operators.crud import inverted_tag_map
+    Gate contract: id list serialized to a comma-joined string (sorted asc).
 
-    out = inverted_tag_map(_with_tags(spark, sf_dir), id_col="vec_id")
+    ALSO the driver's row over the S2 JSON short-key dialect (VERDICT r2
+    item 9): the tagged rows ride through export_json -> import_json
+    ({I,V,T,O} keys, JSON.cs:33) before the inverted map is built, while
+    the oracle computes on the original table — a tag dropped or re-typed
+    by the dialect turns this row red."""
+    import tempfile
+
+    from neighborly_spark.operators.crud import inverted_tag_map
+    from neighborly_spark.sources import etl as ETL
+
+    tagged0 = _with_tags(spark, sf_dir)
+    json_path = tempfile.mkdtemp(prefix="gate_etl_json_")
+    ETL.export_json(
+        tagged0.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.array().cast("array<float>").alias("embedding"),
+            "tags",
+            F.lit("").alias("original_text"),
+        ),
+        json_path,
+    )
+    tagged = ETL.import_json(spark, json_path).select(
+        F.col("id").cast("long").alias("vec_id"), "tags"
+    )
+    out = inverted_tag_map(tagged, id_col="vec_id")
     return out.withColumn(
         "vector_ids", F.array_join(F.col("vector_ids").cast("array<string>"), ",")
     )
@@ -837,8 +860,31 @@ FROM embeddings e, q WHERE e.vec_id < 100
 def vector_elementwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9-D11 (Vector.cs:209-319): element-wise add/subtract/scalar-divide,
     magnitude, indexer — surfaced as fold-summaries so the oracle can
-    value-check every element through the sums."""
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    value-check every element through the sums.
+
+    ALSO the driver's row over the S1 CSV dialect (VERDICT r2 item 9): the
+    input rides through export_csv -> import_csv (`;` delimiter, comma-
+    joined float arrays, Csv.cs:15-23) before any math, while the oracle
+    computes on the ORIGINAL parquet — a single float lost or reformatted
+    by the dialect turns this row red."""
+    import tempfile
+
+    from neighborly_spark.sources import etl as ETL
+
+    emb0 = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    csv_path = tempfile.mkdtemp(prefix="gate_etl_csv_")
+    ETL.export_csv(
+        emb0.select(
+            F.col("vec_id").cast("string").alias("id"),
+            "embedding",
+            F.array().cast("array<smallint>").alias("tags"),
+            F.lit("").alias("original_text"),
+        ),
+        csv_path,
+    )
+    emb = ETL.import_csv(spark, csv_path).select(
+        F.col("id").cast("long").alias("vec_id"), "embedding"
+    )
     q = _query_vec(spark, sf_dir)
     j = emb.crossJoin(F.broadcast(q))
 

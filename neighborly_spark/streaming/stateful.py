@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -361,4 +362,117 @@ def streaming_dedup(
             if state_ttl_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def streaming_funnel(
+    stream_df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of operators.sessions.funnel_steps: per key, the
+    earliest-greedy completion chain of ``steps``, re-emitted whenever the
+    key receives new events.
+
+    Late data is the hard part: a late step-1 event can LOWER t1, which can
+    pull every later step earlier — the chain is not incrementally
+    monotone, so carrying only the current chain in state is wrong. State
+    instead holds, per step, the sorted list of that step's distinct event
+    times seen so far (tiebreak columns cannot change the emitted t_i
+    values — equal timestamps share one us), and each batch re-derives the
+    chain from the merged history. That is exactly the information the
+    batch operator's per-key collect_list holds, restricted to tracked
+    types and deduped per (step, us) — so stream output == batch output on
+    ANY arrival order, not just per-key in-order streams (the twin test
+    delivers events hash-split across batches to prove it).
+
+    Memory bound: O(distinct tracked-event times per key) — the same bound
+    the batch operator pays per task; a TTL would cap it for continuous
+    runs (NoTimeout here: availableNow + processing-time timeouts never
+    terminate, NOTES.md).
+
+    Emission: append-mode sink friendly — each batch that touches a key
+    yields ONE row with a per-key monotone `_rev` (total tracked events
+    seen); downstream takes max(_rev) per key for current-state semantics
+    (the parquet-sink analogue of update mode).
+
+    Reference semantics: Tests cover funnel over events the same way the
+    batch operator does; see funnel_steps docstring for the earliest-greedy
+    contract.
+    """
+    k = len(steps)
+    key_type = dict(stream_df.dtypes)[key_col]
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    ev = stream_df.filter(F.col(type_col).isin(steps)).select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("_us")
+        if dict(stream_df.dtypes)[ts_col] == "timestamp"
+        else F.col(ts_col).cast("long").alias("_us"),
+        F.col(type_col).alias("_t"),
+    )
+
+    state_schema = StructType(
+        [StructField(f"s{i}", ArrayType(LongType()), True) for i in range(k)]
+        + [StructField("n", LongType(), False)]
+    )
+    out_fields = (
+        f"{key_col} {key_type}, "
+        + ", ".join(f"t{i}_us long" for i in range(1, k + 1))
+        + ", steps_completed int, converted boolean, _rev long"
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        if state.exists:
+            prev = state.get
+            times = [list(prev[i]) if prev[i] is not None else [] for i in range(k)]
+            n = prev[k]
+        else:
+            times, n = [[] for _ in range(k)], 0
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            for t, us in zip(pdf["_t"].values, pdf["_us"].values):
+                lst = times[step_ix[t]]
+                pos = bisect.bisect_left(lst, us)
+                if pos == len(lst) or lst[pos] != us:
+                    lst.insert(pos, int(us))
+        if batch_n == 0:
+            return
+        n += batch_n
+        state.update(tuple(times) + (n,))
+
+        chain: list = []
+        prev_us = None
+        for i in range(k):
+            lst = times[i]
+            if i == 0:
+                t_i = lst[0] if lst else None
+            else:
+                pos = bisect.bisect_right(lst, prev_us)
+                t_i = lst[pos] if pos < len(lst) else None
+            chain.append(t_i)
+            if t_i is None:
+                chain.extend([None] * (k - i - 1))
+                break
+            prev_us = t_i
+        done = sum(1 for c in chain if c is not None)
+        row = {key_col: [key[0]]}
+        for i in range(k):
+            row[f"t{i+1}_us"] = pd.array([chain[i]], dtype="Int64")
+        row["steps_completed"] = [done]
+        row["converted"] = [chain[k - 1] is not None]
+        row["_rev"] = [n]
+        yield pd.DataFrame(row)
+
+    return ev.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -289,3 +289,78 @@ def test_streaming_asof_join_forward_matches_batch(spark, tmp_path):
     # cross-batch buffering actually exercised: run 2 emitted new matches
     assert len(first) < len(rows)
     assert got == expected
+
+
+def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
+    """streaming_funnel twin: per-key earliest-greedy chains from the
+    stateful operator equal the batch funnel_steps output — with events
+    HASH-split across two checkpointed runs (arbitrary arrival order: the
+    second batch delivers events that precede the first batch in event
+    time, exercising the late-data chain recompute)."""
+    from neighborly_spark.operators.sessions import funnel_steps
+    from neighborly_spark.parity import load
+    from neighborly_spark.streaming.stateful import streaming_funnel
+
+    steps = ["signup", "click", "purchase"]
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "us", F.unix_micros(F.col("ts"))
+    )
+    batch = funnel_steps(ev, steps)
+    expected = {
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us, r.steps_completed, r.converted)
+        for r in batch.collect()
+    }
+    assert expected
+
+    schema = "event_id long, user_id long, us long, event_type string"
+    src = ev.select("event_id", "user_id", "us", "event_type")
+    landing = tmp_path / "ev"
+    landing.mkdir()
+
+    def stage(phase, pred):
+        src.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"b{phase}")
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(landing / "*"))
+        out = streaming_funnel(stream, steps)
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stage(0, F.xxhash64("event_id") % 2 == 0)
+        first = run().collect()
+        stage(1, F.xxhash64("event_id") % 2 != 0)
+        final = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from pyspark.sql import Window
+
+    latest = (
+        final.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("_rev").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_rev")
+    )
+    got = {
+        (r.user_id, r.t1_us, r.t2_us, r.t3_us, r.steps_completed, r.converted)
+        for r in latest.collect()
+    }
+    assert len(first) > 0
+    assert got == expected

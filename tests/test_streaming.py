@@ -112,6 +112,8 @@ def test_multimodal_fake_decode_pipeline(spark):
 
 
 def test_multimodal_stub_raises_without_decoder(spark):
+    if MM._PILImage is not None:
+        pytest.skip("Pillow installed: fake=False takes the real decode path")
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(2)
     assets = MM.make_assets_from_text(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
@@ -141,8 +143,9 @@ def test_resize_image_plumbing(spark):
     assert all(again[r.asset_id] == r.payload for r in rows)
     feats = MM.extract_features(out, dim=4, fake=True)
     assert feats.count() == 10
-    with pytest.raises(Exception, match="NotImplementedError|image resize"):
-        MM.resize_image(assets, 8, 4, fake=False).collect()
+    if MM._PILImage is None:
+        with pytest.raises(Exception, match="NotImplementedError|image resize"):
+            MM.resize_image(assets, 8, 4, fake=False).collect()
 
 
 def test_streaming_sessionization_matches_batch(spark, events_landing):
@@ -204,3 +207,22 @@ def test_streaming_funnel_matches_batch(spark, events_landing):
     ev = load(spark, SF, "events")
     batch = {tuple(r) for r in funnel_steps(ev, steps).collect()}
     assert got == batch and len(got) > 0
+
+
+def test_multimodal_real_decode_with_pillow(spark, tmp_path):
+    """Real decode path: only runs where Pillow is installed (try-import in
+    multimodal.py). Generates a tiny PNG, checks features come from true
+    pixel data and resize re-encodes at the new size."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL.new("L", (4, 4), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    rows = [("p1", "image", buf.getvalue(), 4, 4, None)]
+    df = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    feats = MM.extract_features(df, dim=4, fake=False).collect()
+    assert len(feats) == 1 and all(abs(v - 128 / 255) < 1e-6 for v in feats[0].features)
+    out = MM.resize_image(df, 2, 2, fake=False).collect()[0]
+    resized = PIL.open(io.BytesIO(bytes(out.payload)))
+    assert resized.size == (2, 2) and (out.width, out.height) == (2, 2)
