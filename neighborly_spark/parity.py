@@ -1094,17 +1094,26 @@ def _recall_flag(variant: str, approx: DataFrame, exact: DataFrame) -> DataFrame
 SELECT 'lsh_knn' AS variant, {_ANN_K} AS k, {_ANN_NQ} AS n_queries, true AS recall_ok
 UNION ALL
 SELECT 'lsh_join', {_ANN_K}, {_ANN_NQ}, true
+UNION ALL
+SELECT 'hnsw_graph', {_ANN_K}, {_ANN_NQ}, true
 """.strip(),
     tags=["search", "approx", "join"],
 )
 def lsh_ann_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate over both LSH ANN paths (Q7/Q8): single-query lsh_knn
-    (MLlib BRP-LSH, seed 42, reference auto-param neighborhood) and the
+    """Recall gate over the ANN paths (Q7/Q8): single-query lsh_knn
+    (MLlib BRP-LSH, seed 42, reference auto-param neighborhood), the
     LSH-bucketed batch kNN join — the beyond-broadcast scale tier of the
-    knn_join planner. Each variant's candidates are compared against the
-    in-Spark exact top-k; the oracle is the literal 'recall >= 0.8' row
-    (Search/LSHSearch.cs:51-235; bar Tests/HNSWBenchmarkTests.cs:154-170).
-    Measured on this data: both legs at recall 1.00 (docs/RECALL.md)."""
+    knn_join planner — and the TRUE partitioned HNSW graph
+    (operators.hnsw: Malkov-Yashunin per shard, reference config
+    Search/HNSWConfig.cs M=16/MaxM0=32/efC=200/seed 42, batch search =
+    one shard rehydration for all queries). Each variant's candidates are
+    compared against the in-Spark exact top-k; the oracle is the literal
+    'recall >= 0.8' row (Search/LSHSearch.cs:51-235, Search/HNSW.cs:97-304;
+    bar Tests/HNSWBenchmarkTests.cs:154-170). Deterministic: seeded
+    hyperplanes, hash partitioning + per-shard seeded level RNG,
+    ascending-id insertion. Measured on this data: all legs at recall
+    1.00 (docs/RECALL.md)."""
+    from neighborly_spark.operators.hnsw import hnsw_build, hnsw_search_batch
     from neighborly_spark.operators.lsh import approx_knn_join, fit_lsh, lsh_knn
 
     emb, qvecs, queries, exact = _ann_recall_inputs(spark, sf_dir, _ANN_NQ)
@@ -1119,8 +1128,14 @@ def lsh_ann_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = approx_knn_join(
         emb, queries, k=_ANN_K, radius=2.1, num_hash_tables=10
     ).select("query_id", "id")
-    return _recall_flag("lsh_knn", single, exact).unionByName(
-        _recall_flag("lsh_join", joined, exact)
+    graph = hnsw_build(emb, dim=64, num_partitions=4)
+    hn = hnsw_search_batch(
+        graph, list(enumerate(qvecs)), k=_ANN_K
+    ).select("query_id", "id")
+    return (
+        _recall_flag("lsh_knn", single, exact)
+        .unionByName(_recall_flag("lsh_join", joined, exact))
+        .unionByName(_recall_flag("hnsw_graph", hn, exact))
     )
 
 

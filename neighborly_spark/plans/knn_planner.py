@@ -12,6 +12,9 @@ Python planner over the three physical strategies (no Catalyst extension):
 |              | not allowed (exact results required)   | ceil(|Q|/chunk) scans of (cached) data |
 | `lsh`        | |Q| too big to collect/broadcast, or   | bucket join; approximate (recall-gated) |
 |              | |D|x|Q| beyond the flop budget          |            |
+| `hnsw`       | a prebuilt shard-graph index exists,   | |Q| beam searches per shard — |
+|              | |Q| collectible, approx allowed, work  | independent of |D| scans |
+|              | beyond the exact-fold budget           |            |
 
 Thresholds are deliberately coarse — at these break-evens the strategies
 differ by orders of magnitude, so the exact constants don't matter.
@@ -43,6 +46,7 @@ def plan_knn_join(
     dim: int,
     require_exact_floats: bool = False,
     allow_approx: bool = True,
+    has_hnsw_index: bool = False,
 ) -> KnnJoinPlan:
     work = data_count * query_count
     if require_exact_floats:
@@ -55,6 +59,11 @@ def plan_knn_join(
         )
     if work <= EXACT_WORK_LIMIT and query_count <= 64:
         return KnnJoinPlan("exact", f"|D|x|Q|={work} small enough for declarative folds")
+    if has_hnsw_index and allow_approx:
+        # an already-built graph answers |Q| beam searches per shard without
+        # rescanning |D| — beats both the BLAS matmul and a fresh LSH join
+        # whenever the index exists and exactness is not required
+        return KnnJoinPlan("hnsw", f"prebuilt shard graphs serve |Q|={query_count} without a |D| scan")
     if work * dim <= VECTORIZED_WORK_LIMIT or not allow_approx:
         return KnnJoinPlan("vectorized", f"BLAS matmul over |D|x|Q|={work} at dim {dim}")
     return KnnJoinPlan("lsh", f"|D|x|Q|x dim={work * dim} beyond exact budget — prune candidates")
@@ -73,17 +82,27 @@ def knn_join_auto(
     data_count: int | None = None,
     query_count: int | None = None,
     allow_approx: bool = True,
+    hnsw_graph: DataFrame | None = None,
 ) -> tuple[DataFrame, KnnJoinPlan]:
     """Plan and execute; returns (result, plan). Counts may be passed from
-    table stats to avoid the count() jobs."""
+    table stats to avoid the count() jobs. Pass a prebuilt shard-graph
+    artifact (operators.hnsw.hnsw_build output) to enable the index tier."""
     from neighborly_spark.operators.knn import knn_join, knn_join_blocked, knn_join_vectorized
     from neighborly_spark.operators.lsh import approx_knn_join
 
     nd = data_count if data_count is not None else data.count()
     nq = query_count if query_count is not None else queries.count()
-    plan = plan_knn_join(nd, nq, dim, allow_approx=allow_approx)
+    plan = plan_knn_join(nd, nq, dim, allow_approx=allow_approx, has_hnsw_index=hnsw_graph is not None)
     if plan.strategy == "exact":
         out = knn_join(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
+    elif plan.strategy == "hnsw":
+        from neighborly_spark.operators.hnsw import hnsw_search_batch
+
+        qrows = queries.select(query_id_col, query_vec_col).collect()  # bounded: planner
+        # routes here only when |Q| <= MAX_COLLECTED_QUERIES
+        out = hnsw_search_batch(
+            hnsw_graph, [(r[0], list(r[1])) for r in qrows], k
+        ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
     elif plan.strategy == "vectorized":
         out = knn_join_vectorized(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     elif plan.strategy == "blocked":

@@ -9,7 +9,9 @@ SearchAlgorithm enum Search/SearchAlgorithm.cs:9-19):
 Mapping (SURVEY §2.4): BallTree/KDTree/Linear are all EXACT k-NN — the trees
 are single-node pruning structures; a distributed scan engine answers them
 with the same TakeOrderedAndProject plan (Q1 == Q4 == Q6 result sets).
-LSH -> MLlib BRP-LSH; HNSW -> capability-equivalent batch ANN (recall bar);
+LSH -> MLlib BRP-LSH; HNSW -> a TRUE partitioned Malkov-Yashunin graph
+(operators.hnsw, reference config M=16/MaxM0=32/efC=200/seed 42) once
+build_index('hnsw') has run, else the capability-mapped batch ANN;
 Range -> radius search; BQ/PQ -> operators.quantization.
 
 Like the reference, `search(text=...)` embeds first (hash embedder default)
@@ -70,6 +72,7 @@ class SearchService:
         self._bq_codes: DataFrame | None = None
         self._ivf_model = None
         self._ivf_assigned = None
+        self._hnsw_graph: DataFrame | None = None
 
     # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
 
@@ -98,13 +101,22 @@ class SearchService:
             # instead of iterations x scans
             self._ivf_model = IVF.ivf_train_sampled(self.df, vec_col=self.vec_col)
             self._ivf_assigned = IVF.ivf_assign(self.df, self._ivf_model, self.vec_col).cache()
-        elif method in EXACT_METHODS or method in ("hnsw", "range"):
-            pass  # exact paths need no artifact; hnsw maps to lsh/exact lazily
+        elif method == "hnsw":
+            # true partitioned graph (operators.hnsw): requires a numeric
+            # id (graph adjacency serializes neighbor ids as bigint). Built
+            # eagerly and cached — the shard graphs are the index artifact.
+            from neighborly_spark.operators import hnsw as HN
+
+            graph = HN.hnsw_build(self.df, self.dim, self.id_col, self.vec_col).cache()
+            graph.count()
+            self._hnsw_graph = graph
+        elif method in EXACT_METHODS or method == "range":
+            pass  # exact paths need no artifact
         else:
             raise ValueError(f"unknown index method {method!r}")
 
     def build_all_indexes(self) -> None:
-        for m in ("lsh", "bq", "pq", "ivf"):
+        for m in ("lsh", "bq", "pq", "ivf", "hnsw"):
             self.build_index(m)
 
     # --- snapshot persistence (the reference's save/load database story,
@@ -142,6 +154,13 @@ class SearchService:
                 "m": m.m, "sub_dim": m.sub_dim, "num_centroids": m.num_centroids,
                 "centroids": m.centroids,
             }
+        if self._hnsw_graph is not None:
+            # shard graphs as parquet partitioned by shard: a search that
+            # targeted one shard would partition-prune (S9 for the graph)
+            self._hnsw_graph.write.mode("overwrite").partitionBy("part_id").parquet(
+                f"{path}/indexes/hnsw_graph"
+            )
+            extras["hnsw"] = True
         with open(f"{path}/service.json", "w") as f:
             json.dump(extras, f)
 
@@ -186,6 +205,8 @@ class SearchService:
                 p["m"], p["sub_dim"], p["num_centroids"],
             )
             svc._pq_encoded = spark.read.parquet(f"{path}/indexes/pq_encoded")
+        if extras.get("hnsw"):
+            svc._hnsw_graph = spark.read.parquet(f"{path}/indexes/hnsw_graph")
         return svc
 
     # --- queries -------------------------------------------------------------
@@ -228,7 +249,20 @@ class SearchService:
         elif method == "lsh":
             out = LSH.lsh_knn(self.df, query_vec, k, self.vec_col, model=self._lsh_model)
         elif method == "hnsw":
-            out = LSH.hnsw_equivalent_knn(self.df, query_vec, k, self.vec_col, self.id_col)
+            if self._hnsw_graph is not None:
+                from neighborly_spark.operators import hnsw as HN
+
+                hits = HN.hnsw_search(self._hnsw_graph, query_vec, k)
+                # rejoin payload columns so the schema matches the exact
+                # path (k-row broadcast join; AQE picks broadcast)
+                out = (
+                    self.df.withColumn(self.id_col, F.col(self.id_col).cast("long"))
+                    .join(F.broadcast(hits.withColumnRenamed("id", self.id_col)), self.id_col)
+                    .select(*self.df.columns, "dist")
+                )
+            else:
+                # not built: capability-mapped batch ANN (SURVEY §7.2 ph. 5)
+                out = LSH.hnsw_equivalent_knn(self.df, query_vec, k, self.vec_col, self.id_col)
         elif method in ("bq", "binaryquantization"):
             if self._bq_codes is None:
                 self.build_index("bq")
@@ -292,6 +326,7 @@ class SearchService:
                 data_count=data_count,
                 query_count=query_count,
                 allow_approx=allow_approx,
+                hnsw_graph=self._hnsw_graph,
             )
         self.last_join_plan = plan
         return out

@@ -1,0 +1,90 @@
+"""Partitioned HNSW graph (operators/hnsw.py) — the reference's own
+acceptance bar: recall >= 0.8 vs exact (Tests/HNSWBenchmarkTests.cs:154-170),
+deterministic builds under the fixed seed (HNSWConfig.cs seed=42), and the
+LSH-suite edge cases (k > N, single vector) applied to the graph path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators.hnsw import hnsw_build, hnsw_search
+from neighborly_spark.operators.knn import knn
+from neighborly_spark.parity import load
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def graph(spark, emb):
+    g = hnsw_build(emb, dim=64, num_partitions=4).cache()
+    g.count()
+    return g
+
+
+def test_recall_vs_exact(spark, emb, graph):
+    queries = [list(r.embedding) for r in emb.orderBy(F.xxhash64("id")).limit(10).collect()]
+    hits = total = 0
+    for q in queries:
+        exact = {r.id for r in knn(emb, q, 10).collect()}
+        got = {r.id for r in hnsw_search(graph, q, 10).collect()}
+        assert len(got) == 10
+        hits += len(exact & got)
+        total += 10
+    assert hits / total >= 0.8  # HNSWBenchmarkTests.cs:169 bar
+
+
+def test_build_deterministic(spark, emb, graph):
+    g2 = hnsw_build(emb, dim=64, num_partitions=4)
+    a = sorted(map(str, graph.select("part_id", "id", "level", "neighbors").collect()))
+    b = sorted(map(str, g2.select("part_id", "id", "level", "neighbors").collect()))
+    assert a == b
+
+
+def test_degree_bounds(graph):
+    """Adjacency respects MaxM0 at layer 0 and M above (HNSWConfig.cs)."""
+    for r in graph.collect():
+        assert len(r.neighbors) == r.level + 1
+        assert len(r.neighbors[0]) <= 32
+        for layer in r.neighbors[1:]:
+            assert len(layer) <= 16
+
+
+def test_k_exceeds_n_and_single_vector(spark):
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 2.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    g = hnsw_build(df, dim=2, num_partitions=1)
+    got = hnsw_search(g, [0.0, 0.0], k=10).collect()
+    assert [r.id for r in got] == [1, 2, 3]  # all rows, (dist, id) order
+    one = hnsw_build(df.limit(1), dim=2, num_partitions=1)
+    assert [r.id for r in hnsw_search(one, [1.0, 1.0], k=5).collect()] == [1]
+
+
+def test_service_integration_and_snapshot(spark, emb, tmp_path):
+    from neighborly_spark.search_service import SearchService
+
+    svc = SearchService(emb, dim=64)
+    q = list(emb.first().embedding)
+    svc.build_index("hnsw")
+    out = svc.search(query_vec=q, k=5, method="hnsw")
+    assert out.columns == ["id", "embedding", "dist"]
+    before = [(r.id, round(r.dist, 6)) for r in out.collect()]
+    assert len(before) == 5
+
+    path = str(tmp_path / "snap")
+    svc.save(path)
+    svc2 = SearchService.load(spark, path)
+    after = [
+        (r.id, round(r.dist, 6))
+        for r in svc2.search(query_vec=q, k=5, method="hnsw").collect()
+    ]
+    assert after == before

@@ -157,3 +157,35 @@ def test_salted_agg_matches_direct(spark):
 
     counts = {r.l_returnflag: r.n for r in salted_count(df, ["l_returnflag"]).collect()}
     assert sum(counts.values()) == df.count()
+
+
+def test_planner_hnsw_tier(spark):
+    """With a prebuilt shard-graph index, the planner prefers the graph
+    over BLAS/LSH for non-exact joins with a collectible query side, and
+    the executed join's neighbors match exact kNN at the recall bar."""
+    from neighborly_spark.operators.knn import knn_join
+    from neighborly_spark.parity import load
+    from neighborly_spark.plans.knn_planner import plan_knn_join
+    from neighborly_spark.search_service import SearchService
+
+    assert plan_knn_join(10_000_000, 1_000, 64, has_hnsw_index=True).strategy == "hnsw"
+    # exact still wins tiny work; huge |Q| still goes to LSH (graph needs collect)
+    assert plan_knn_join(1_000, 10, 64, has_hnsw_index=True).strategy == "exact"
+    assert plan_knn_join(10_000_000, 200_000, 64, has_hnsw_index=True).strategy == "lsh"
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    svc = SearchService(emb, dim=64)
+    svc.build_index("hnsw")
+    queries = emb.limit(100).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = svc.knn_join(queries, k=5)
+    assert svc.last_join_plan.strategy == "hnsw"
+    got_pairs = {(r.query_id, r.id) for r in got.collect()}
+    exact_pairs = {
+        (r.query_id, r.id) for r in knn_join(emb, queries, k=5).select("query_id", "id").collect()
+    }
+    assert len(got_pairs) == 500
+    assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.8
