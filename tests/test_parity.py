@@ -130,3 +130,29 @@ def test_dedup_survivors_from_pairs(spark):
     comps = connected_components(pairs)
     n_clusters = comps.select("component").distinct().count()
     assert kept.count() == docs.count() - (n_pairs_members - n_clusters)
+
+
+def test_jaccard_hot_recovery_exact_on_forced_hot_shingles(spark):
+    """Drive the hot-shingle RECOVERY path with a cutoff low enough that
+    shared shingles actually cross it (the corpus fixtures have max df ~25,
+    so the default cutoffs leave the hot set empty): surviving pairs must
+    still score exactly, including their hot-overlap component."""
+    from neighborly_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over"  # shared 3-shingles go hot
+    rows = [(i, f"{base} unique{i} tail{i} words{i} end{i}") for i in range(30)]
+    # two near-dup docs sharing hot AND kept shingles
+    rows += [(100, base + " alpha beta gamma delta"), (101, base + " alpha beta gamma epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, max_df=None).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, max_df=10).collect()
+    }
+    assert (100, 101) in pruned  # the near-dup pair survives the prune
+    assert set(pruned) <= set(exact)
+    for pair, j in pruned.items():
+        assert j == exact[pair]
