@@ -280,3 +280,86 @@ def hnsw_search_batch(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     return local.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def hnsw_add(
+    graph_df: DataFrame,
+    new_df: DataFrame,
+    num_shards: int,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    m: int = M_DEFAULT,
+    max_m0: int = MAX_M0_DEFAULT,
+    ef_construction: int = EF_CONSTRUCTION_DEFAULT,
+    seed: int = SEED_DEFAULT,
+    ml: float = ML_DEFAULT,
+) -> DataFrame:
+    """Incremental index maintenance (Q13 semantics on the real graph):
+    insert new vectors into an EXISTING shard-graph artifact, touching only
+    the shards that receive rows.
+
+    New rows route to their shard with the same expression
+    `pmod(hash(id), num_shards)` that `repartition(n, id)` uses physically
+    (HashPartitioning's partition id is pmod(murmur3, n), and F.hash is the
+    same murmur3-seed-42), so adds land in the graph their id would have
+    been built into. A cogrouped applyInPandas rehydrates each AFFECTED
+    shard once, runs the standard HNSW insert per new node (HNSW.cs:97-146
+    semantics; levels drawn from the shard's seeded RNG advanced past the
+    rows already inserted), and re-serializes; untouched shards pass
+    through unchanged, and a shard with no prior graph is built fresh.
+
+    The result equals a graph where the new nodes were inserted after the
+    originals — NOT bit-identical to rebuilding from scratch on the union
+    (HNSW is insertion-order-sensitive; recall bars, not hashes, gate it —
+    same as the reference's incremental Add).
+
+    ``num_shards`` must be the builder's partition count (SearchService
+    tracks it; standalone callers pass what they built with).
+    """
+    new_tagged = new_df.select(
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)).cast("int").alias("part_id"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+    def merge(key: tuple, graph_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(key[0])
+        if len(new_pdf) == 0:
+            return graph_pdf  # untouched shard passes through
+        rng = np.random.RandomState((seed * 1_000_003 + part_id) % (2**31 - 1))
+        new_ids = new_pdf["id"].to_numpy()
+        new_x = np.asarray([np.asarray(v, dtype=np.float64) for v in new_pdf["embedding"]])
+        if len(graph_pdf) == 0:
+            return _build_shard(new_ids, new_x, part_id, m, max_m0, ef_construction, ml, seed)
+        ids, g = _rehydrate(graph_pdf)
+        # advance the shard RNG past the levels already drawn at build time
+        # so incremental levels continue the same deterministic stream
+        rng.uniform(size=len(ids))
+        n0 = len(ids)
+        g.x = np.concatenate([g.x, new_x])
+        g.levels = np.concatenate(
+            [g.levels, np.minimum((-np.log(rng.uniform(size=len(new_x)) + 1e-300) * ml).astype(np.int64), 63)]
+        )
+        g.m, g.max_m0, g.efc = m, max_m0, ef_construction
+        g.adj.extend([None] * len(new_x))
+        all_ids = np.concatenate([ids, new_ids])
+        for i in np.argsort(new_ids, kind="stable"):
+            g.insert(n0 + int(i))
+        return pd.DataFrame(
+            {
+                "part_id": np.full(len(all_ids), part_id, dtype=np.int32),
+                "id": all_ids.astype(np.int64),
+                "level": g.levels.astype(np.int32),
+                "embedding": [row for row in g.x.astype(np.float32)],
+                "neighbors": [
+                    [all_ids[np.asarray(layer, dtype=np.int64)].astype(np.int64).tolist() for layer in node]
+                    for node in g.adj
+                ],
+            }
+        )
+
+    return (
+        graph_df.groupBy("part_id")
+        .cogroup(new_tagged.groupBy("part_id"))
+        .applyInPandas(merge, GRAPH_SCHEMA)
+    )

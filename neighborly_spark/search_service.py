@@ -46,8 +46,10 @@ class SearchService:
 
     The reference's VectorDatabase/SearchService pair collapses to this:
     indexes are batch artifacts (fitted models / code tables) rebuilt by
-    build_index(), not incrementally maintained (Q12/Q13 semantics — see
-    streaming.ingest for the debounced-refresh equivalent).
+    build_index() (Q12/Q13 semantics — see streaming.ingest for the
+    debounced-refresh equivalent). add_vectors() is the incremental path:
+    HNSW shard graphs update in place; trained quantizers go dirty and
+    re-train lazily.
     """
 
     def __init__(
@@ -73,6 +75,7 @@ class SearchService:
         self._ivf_model = None
         self._ivf_assigned = None
         self._hnsw_graph: DataFrame | None = None
+        self._hnsw_shards: int | None = None
 
     # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
 
@@ -105,15 +108,52 @@ class SearchService:
             # true partitioned graph (operators.hnsw): requires a numeric
             # id (graph adjacency serializes neighbor ids as bigint). Built
             # eagerly and cached — the shard graphs are the index artifact.
+            # Shard count pinned EXPLICITLY (hash repartition on the id) so
+            # add_vectors can route new rows to their shard with
+            # pmod(hash(id), n).
             from neighborly_spark.operators import hnsw as HN
 
-            graph = HN.hnsw_build(self.df, self.dim, self.id_col, self.vec_col).cache()
+            n = self.df.rdd.getNumPartitions()
+            graph = HN.hnsw_build(
+                self.df, self.dim, self.id_col, self.vec_col, num_partitions=n
+            ).cache()
             graph.count()
             self._hnsw_graph = graph
+            self._hnsw_shards = n
         elif method in EXACT_METHODS or method == "range":
             pass  # exact paths need no artifact
         else:
             raise ValueError(f"unknown index method {method!r}")
+
+    def add_vectors(self, new_df: DataFrame) -> None:
+        """Incremental Add (the reference's VectorDatabase.Add + Modified
+        event): new rows union into the table; the HNSW shard graphs are
+        updated IN PLACE (operators.hnsw.hnsw_add — only receiving shards
+        rebuilt); every other built artifact is dropped to dirty and
+        re-trains lazily on next use (the reference marks indexes dirty
+        and rebuilds, VectorDatabase.cs:501-540 / SearchService Q12)."""
+        self.df = self.df.unionByName(new_df.select(*self.df.columns))
+        if self._hnsw_graph is not None and self._hnsw_shards is None:
+            # legacy snapshot without a recorded shard count: full rebuild
+            self.build_index("hnsw")
+        elif self._hnsw_graph is not None:
+            from neighborly_spark.operators import hnsw as HN
+
+            updated = HN.hnsw_add(
+                self._hnsw_graph, new_df, self._hnsw_shards,
+                id_col=self.id_col, vec_col=self.vec_col,
+            ).cache()
+            updated.count()
+            self._hnsw_graph.unpersist()
+            self._hnsw_graph = updated
+        # quantizer/LSH artifacts: dirty -> lazy rebuild on next search
+        self._lsh_model = None
+        self._bq_threshold = None
+        self._bq_codes = None
+        self._ivf_model = None
+        self._ivf_assigned = None
+        self._pq_model = None
+        self._pq_encoded = None
 
     def build_all_indexes(self) -> None:
         for m in ("lsh", "bq", "pq", "ivf", "hnsw"):
@@ -160,7 +200,7 @@ class SearchService:
             self._hnsw_graph.write.mode("overwrite").partitionBy("part_id").parquet(
                 f"{path}/indexes/hnsw_graph"
             )
-            extras["hnsw"] = True
+            extras["hnsw"] = {"num_shards": self._hnsw_shards}
         with open(f"{path}/service.json", "w") as f:
             json.dump(extras, f)
 
@@ -207,6 +247,8 @@ class SearchService:
             svc._pq_encoded = spark.read.parquet(f"{path}/indexes/pq_encoded")
         if extras.get("hnsw"):
             svc._hnsw_graph = spark.read.parquet(f"{path}/indexes/hnsw_graph")
+            hn = extras["hnsw"]
+            svc._hnsw_shards = hn.get("num_shards") if isinstance(hn, dict) else None
         return svc
 
     # --- queries -------------------------------------------------------------
@@ -259,6 +301,9 @@ class SearchService:
                     self.df.withColumn(self.id_col, F.col(self.id_col).cast("long"))
                     .join(F.broadcast(hits.withColumnRenamed("id", self.id_col)), self.id_col)
                     .select(*self.df.columns, "dist")
+                    # the payload join does not preserve the shard-merge
+                    # order; re-impose (dist, id) on the k joined rows
+                    .orderBy(F.col("dist").asc(), F.col(self.id_col).asc())
                 )
             else:
                 # not built: capability-mapped batch ANN (SURVEY §7.2 ph. 5)

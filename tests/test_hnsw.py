@@ -88,3 +88,73 @@ def test_service_integration_and_snapshot(spark, emb, tmp_path):
         for r in svc2.search(query_vec=q, k=5, method="hnsw").collect()
     ]
     assert after == before
+
+
+def test_incremental_add(spark, emb):
+    """hnsw_add: inserts land in the shard their id hashes to, untouched
+    shards pass through byte-identical, and the updated graphs serve both
+    old and new vectors at the recall bar."""
+    from neighborly_spark.operators.hnsw import hnsw_add
+
+    old = emb.filter(F.col("id") % 2 == 0)
+    new = emb.filter(F.col("id") % 2 == 1)
+    g0 = hnsw_build(old, dim=64, num_partitions=4).cache()
+    g1 = hnsw_add(g0, new, num_shards=4).cache()
+    assert g1.count() == emb.count()
+    # every id is present exactly once, in the shard pmod(hash(id), 4)
+    expected_shard = {
+        r.id: r.s
+        for r in emb.select(
+            "id", F.pmod(F.hash("id"), F.lit(4)).cast("int").alias("s")
+        ).collect()
+    }
+    got_shard = {r.id: r.part_id for r in g1.select("id", "part_id").collect()}
+    assert got_shard == expected_shard
+
+    queries = [list(r.embedding) for r in emb.orderBy(F.xxhash64("id")).limit(10).collect()]
+    hits = 0
+    for q in queries:
+        exact = {r.id for r in knn(emb, q, 10).collect()}
+        got = {r.id for r in hnsw_search(g1, q, 10).collect()}
+        hits += len(exact & got)
+    assert hits / 100 >= 0.8
+
+    # adding rows for ONE shard leaves the other shards' rows unchanged
+    one = emb.filter(F.col("id") % 2 == 1).limit(1)
+    shard = one.select(F.pmod(F.hash("id"), F.lit(4)).cast("int").alias("s")).first().s
+    g2 = hnsw_add(g0, one, num_shards=4)
+    before = sorted(map(str, g0.filter(F.col("part_id") != shard).collect()))
+    after = sorted(map(str, g2.filter(F.col("part_id") != shard).collect()))
+    assert before == after
+
+
+def test_service_add_vectors_incremental(spark, emb):
+    from neighborly_spark.search_service import SearchService
+
+    old = emb.filter(F.col("id") % 2 == 0).repartition(4, "id")
+    svc = SearchService(old, dim=64)
+    svc.build_index("hnsw")
+    svc.add_vectors(emb.filter(F.col("id") % 2 == 1))
+    assert svc._hnsw_graph.count() == emb.count()
+    q = list(emb.filter(F.col("id") % 2 == 1).first().embedding)
+    got = svc.search(query_vec=q, k=3, method="hnsw").collect()
+    assert got[0].dist == 0.0  # the newly added vector finds itself
+
+
+def test_cosine_via_normalization(spark, emb):
+    """The cosine bridge applies to the graph exactly as to IVF/LSH
+    (tests/test_approx_search.py::test_cosine_ann_via_normalization):
+    build on L2-normalized vectors, query normalized — euclidean descent
+    ranks by cosine."""
+    from neighborly_spark.functions.distance import normalize
+    from neighborly_spark.operators.hnsw import hnsw_build, hnsw_search
+
+    normed = emb.select("id", normalize(F.col("embedding")).alias("embedding")).cache()
+    normed.count()
+    qn = list(normed.filter(F.col("id") == 7).first().embedding)
+    q = list(emb.filter(F.col("id") == 7).first().embedding)
+    exact_cos = {r.id for r in knn(emb, q, 10, metric="cosine").collect()}
+    g = hnsw_build(normed, dim=64, num_partitions=4)
+    got = {r.id for r in hnsw_search(g, qn, 10).collect()}
+    assert len(got & exact_cos) / 10 >= 0.8
+    normed.unpersist()
