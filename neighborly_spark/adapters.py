@@ -6,8 +6,9 @@ Services/RestServices.cs:15-92) and a Semantic Kernel IMemoryStore adapter
 (Adapters.SemanticKernel/NeighborlyMemoryStore.cs:16-205). Per SURVEY §2.1
 the batch equivalents are DataFrame operations; these classes expose them
 under the reference's METHOD SURFACE so a caller of the reference can map
-every call 1:1. No network layer — the engine is a library; any thin HTTP
-wrapper would delegate to these methods.
+every call 1:1. The thin HTTP wrapper that delegates to these methods
+lives in neighborly_spark.server (RestServer — the reference's six REST
+routes with matching status codes over stdlib http.server).
 
 State model: each mutate returns/installs a NEW immutable DataFrame (the
 reference mutates in place under locks; SURVEY §1.5 maps that to batch set

@@ -476,3 +476,121 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_minhash_neardup(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of operators.dedup.minhash_lsh_pairs: near-duplicate
+    pairs surface AS DOCUMENTS ARRIVE instead of in a batch sweep.
+
+    Same candidate structure as the batch operator — identical MinHash
+    signatures and band keys (the shared Column expressions), bucketed by
+    (band, key) — but the bucket membership lives in keyed state: when a
+    doc lands in a bucket, it verifies exact shingle-set Jaccard against
+    every doc already there (state + earlier arrivals in the same batch)
+    and emits the pairs that clear the threshold. Union of emissions over
+    any arrival order == the batch operator's pairs (the twin test
+    hash-splits arrivals across a checkpoint restart).
+
+    Outputs may repeat across bands exactly like the batch candidate join
+    before its distinct — deduplicate downstream on (id_a, id_b): jaccard
+    is deterministic per pair, so distinct() is exact. The verification
+    division is emitted as integer components and finished in a Spark
+    projection, so rounding matches the batch operator bit-for-bit.
+
+    State = bucket membership (ids + hashed shingle sets) — the same
+    data the batch shuffle groups; a production continuous run would cap
+    it with a timeout like streaming_dedup's TTL.
+    """
+    from neighborly_spark.operators.dedup import hashed_shingle_sets, minhash_sig_expr
+
+    rows_per_band = num_perm // bands
+    sh = hashed_shingle_sets(stream_df, id_col, text_col, k)
+    sigs = sh.select("_id", "_sh", minhash_sig_expr(F.col("_sh"), num_perm).alias("sig"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("_id", "_sh", F.explode(band_arr).alias("bk")).select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_id", "_sh"
+    )
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType()), True),
+            StructField("sets", ArrayType(ArrayType(LongType())), True),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev = state.get
+            ids = list(prev[0]) if prev[0] is not None else []
+            sets = [frozenset(s) for s in prev[1]] if prev[1] is not None else []
+        else:
+            ids, sets = [], []
+        out_a, out_b, out_c, out_na, out_nb = [], [], [], [], []
+        arrived = 0
+        for pdf in pdfs:
+            # deterministic intra-batch order so twin runs agree
+            pdf = pdf.sort_values("_id")
+            for did, sharr in zip(pdf["_id"].values, pdf["_sh"].values):
+                did = int(did)
+                if did in ids:
+                    continue  # replay of a doc already in the bucket
+                new_set = frozenset(int(x) for x in sharr)
+                for oid, oset in zip(ids, sets):
+                    common = len(new_set & oset)
+                    union = len(new_set) + len(oset) - common
+                    if union:  # all components emitted; threshold applied in the plan
+                        a, b = (oid, did) if oid < did else (did, oid)
+                        sa, sb = (oset, new_set) if oid < did else (new_set, oset)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_c.append(common)
+                        out_na.append(len(sa))
+                        out_nb.append(len(sb))
+                ids.append(did)
+                sets.append(new_set)
+                arrived += 1
+        if arrived:
+            state.update(([int(i) for i in ids], [sorted(s) for s in sets]))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "_common": out_c, "_na": out_na, "_nb": out_nb}
+            )
+
+    raw = buckets.groupBy("band", "key").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long, _common long, _na long, _nb long",
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return raw.withColumn(
+        "jaccard",
+        F.round(
+            F.col("_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+            round_to,
+        ),
+    ).filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -59,3 +59,68 @@ def test_memory_store_collections_and_relevance(spark):
     assert ms.df.filter((F.col("collection") == "facts") & (F.col("id") == "a")).count() == 1
     ms.remove("facts", ["a"])
     assert ms.get("facts", ["a"]).count() == 0
+
+
+def test_rest_server_routes_and_status_codes(spark):
+    """S11 wire layer: the six reference REST routes with the reference's
+    status codes (RestServices.cs:15-92), end-to-end over HTTP against a
+    live VectorStore."""
+    import json
+    import urllib.request
+
+    from neighborly_spark.adapters import VectorStore
+    from neighborly_spark.server import RestServer
+
+    rows = [
+        ("a", [0.0, 0.0, 0.0, 0.0], [1], "doc a"),
+        ("b", [1.0, 0.0, 0.0, 0.0], [2], "doc b"),
+        ("c", [0.0, 2.0, 0.0, 0.0], [], "doc c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, embedding array<float>, tags array<smallint>, original_text string"
+    )
+    srv = RestServer(VectorStore(df, dim=4))
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                raw = r.read()
+                return r.status, (json.loads(raw) if raw else None), dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, None, dict(e.headers)
+
+    try:
+        code, dto, _ = call("GET", "/vector/a")
+        assert code == 200 and dto["values"] == [0.0, 0.0, 0.0, 0.0] and dto["tags"] == [1]
+        assert call("GET", "/vector/zzz")[0] == 404
+
+        code, _, headers = call(
+            "POST", "/vector", {"id": "d", "values": [9.0, 9.0, 9.0, 9.0], "tags": [3]}
+        )
+        assert code == 201 and headers["Location"] == "/vector/d"
+        assert call("GET", "/vector/d")[0] == 200
+
+        code, dto, _ = call("PUT", "/vector/d", {"values": [8.0, 8.0, 8.0, 8.0]})
+        assert code == 200
+        assert call("GET", "/vector/d")[1]["values"] == [8.0, 8.0, 8.0, 8.0]
+        assert call("PUT", "/vector/zzz", {"values": [0.0, 0.0, 0.0, 0.0]})[0] == 404
+
+        code, hits, _ = call("POST", "/vectors/searchNearest?k=2", {"values": [0.0, 0.0, 0.0, 0.0]})
+        assert code == 200 and hits[0]["id"] == "a"  # dist 0 clears the 0.5 threshold
+
+        assert call("DELETE", "/vector/d")[0] == 204
+        assert call("GET", "/vector/d")[0] == 404
+        assert call("DELETE", "/vector/d")[0] == 404
+
+        assert call("DELETE", "/db/clear")[0] == 204
+        assert call("GET", "/vector/a")[0] == 404
+    finally:
+        srv.stop()

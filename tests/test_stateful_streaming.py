@@ -364,3 +364,59 @@ def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
     }
     assert len(first) > 0
     assert got == expected
+
+
+def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
+    """streaming_minhash_neardup twin: the union of pair emissions over
+    hash-split arrivals (with a checkpoint restart between them) equals
+    the batch minhash_lsh_pairs output — same candidates, same exact
+    verified jaccard values."""
+    from neighborly_spark.operators.dedup import minhash_lsh_pairs
+    from neighborly_spark.streaming.stateful import streaming_minhash_neardup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert batch  # fixture produces near-dups
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def stage(phase, pred):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"b{phase}")
+        )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing / "*")
+        )
+        out = streaming_minhash_neardup(stream, threshold=0.3)
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stage(0, F.xxhash64("doc_id") % 2 == 0)
+        first = run().count()
+        stage(1, F.xxhash64("doc_id") % 2 != 0)
+        final = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {(r.id_a, r.id_b, r.jaccard) for r in final.distinct().collect()}
+    assert first < final.count() or first == 0
+    assert got == batch
