@@ -363,3 +363,57 @@ def hnsw_add(
         .cogroup(new_tagged.groupBy("part_id"))
         .applyInPandas(merge, GRAPH_SCHEMA)
     )
+
+
+def hnsw_remove(
+    graph_df: DataFrame,
+    remove_ids: list[int],
+    m: int = M_DEFAULT,
+    max_m0: int = MAX_M0_DEFAULT,
+    ef_construction: int = EF_CONSTRUCTION_DEFAULT,
+    seed: int = SEED_DEFAULT,
+    ml: float = ML_DEFAULT,
+) -> DataFrame:
+    """Remove vectors from the shard-graph artifact (RemoveById parity).
+
+    Graph deletions are the one HNSW operation with no good in-place form
+    (dangling edges degrade recall; the literature tombstones and rebuilds).
+    Here the batch shape makes the clean answer cheap: shards CONTAINING a
+    removed id rebuild from their surviving rows (deterministic — same
+    seeded level stream over the survivors), every other shard passes
+    through untouched. Cost is proportional to the affected shards, not
+    the index; removal lists are by-contract small (CRUD, not ETL — bulk
+    rebuilds should use hnsw_build).
+    """
+    gone = F.lit([int(i) for i in remove_ids]).cast("array<bigint>")
+    drop = set(int(i) for i in remove_ids)
+
+    def rebuild(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = pdf[~pdf["id"].astype("int64").isin(drop)]
+        if not len(keep):
+            return pd.DataFrame(
+                {
+                    "part_id": pd.Series(dtype="int32"),
+                    "id": pd.Series(dtype="int64"),
+                    "level": pd.Series(dtype="int32"),
+                    "embedding": pd.Series(dtype="object"),
+                    "neighbors": pd.Series(dtype="object"),
+                }
+            )
+        ids = keep["id"].to_numpy()
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in keep["embedding"]])
+        return _build_shard(ids, x, int(key[0]), m, max_m0, ef_construction, ml, seed)
+
+    hit = (
+        graph_df.groupBy("part_id")
+        .agg(F.max(F.array_contains(gone, F.col("id")).cast("int")).alias("_hit"))
+        .filter(F.col("_hit") == 1)
+        .select("part_id")
+    )
+    untouched = graph_df.join(F.broadcast(hit), "part_id", "left_anti")
+    rebuilt = (
+        graph_df.join(F.broadcast(hit), "part_id")
+        .groupBy("part_id")
+        .applyInPandas(rebuild, GRAPH_SCHEMA)
+    )
+    return untouched.unionByName(rebuilt)

@@ -155,6 +155,27 @@ class SearchService:
         self._pq_model = None
         self._pq_encoded = None
 
+    def remove_vectors(self, ids: list) -> None:
+        """Incremental RemoveById: rows filter out of the table; HNSW
+        rebuilds ONLY the shards that contained a removed id
+        (operators.hnsw.hnsw_remove); other artifacts go dirty like
+        add_vectors."""
+        self.df = self.df.filter(~F.col(self.id_col).isin(ids))
+        if self._hnsw_graph is not None:
+            from neighborly_spark.operators import hnsw as HN
+
+            updated = HN.hnsw_remove(self._hnsw_graph, [int(i) for i in ids]).cache()
+            updated.count()
+            self._hnsw_graph.unpersist()
+            self._hnsw_graph = updated
+        self._lsh_model = None
+        self._bq_threshold = None
+        self._bq_codes = None
+        self._ivf_model = None
+        self._ivf_assigned = None
+        self._pq_model = None
+        self._pq_encoded = None
+
     def build_all_indexes(self) -> None:
         for m in ("lsh", "bq", "pq", "ivf", "hnsw"):
             self.build_index(m)
