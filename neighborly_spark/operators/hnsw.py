@@ -321,9 +321,25 @@ def hnsw_add(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("embedding"),
     )
+    # One sentinel row per shard (level = -1) unioned into the graph side:
+    # a cogroup group whose graph side is EMPTY segfaults PySpark's
+    # arrow_to_pandas on the nested array<array<bigint>> column (worker
+    # crash, no traceback — reproduced on a bare cogroup), so shards being
+    # built fresh must still deliver at least one graph row. merge() strips
+    # them before doing anything.
+    spark = graph_df.sparkSession
+    sentinels = spark.range(num_shards).select(
+        F.col("id").cast("int").alias("part_id"),
+        F.lit(-1).cast("long").alias("id"),
+        F.lit(-1).cast("int").alias("level"),
+        F.array().cast("array<float>").alias("embedding"),
+        F.array().cast("array<array<bigint>>").alias("neighbors"),
+    )
+    graph_with_sentinels = graph_df.unionByName(sentinels)
 
     def merge(key: tuple, graph_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(key[0])
+        graph_pdf = graph_pdf[graph_pdf["level"] >= 0]
         if len(new_pdf) == 0:
             return graph_pdf  # untouched shard passes through
         rng = np.random.RandomState((seed * 1_000_003 + part_id) % (2**31 - 1))
@@ -359,7 +375,7 @@ def hnsw_add(
         )
 
     return (
-        graph_df.groupBy("part_id")
+        graph_with_sentinels.groupBy("part_id")
         .cogroup(new_tagged.groupBy("part_id"))
         .applyInPandas(merge, GRAPH_SCHEMA)
     )

@@ -85,9 +85,18 @@ def start_ingest(
     dim: int = 16,
     refresher: DebouncedIndexRefresher | None = None,
     available_now: bool = True,
+    on_batch=None,
 ):
     """Stream a landing directory of parquet event files into the vectors
-    table. Returns the StreamingQuery (caller awaits/stops)."""
+    table. Returns the StreamingQuery (caller awaits/stops).
+
+    ``on_batch`` (optional ``Callable[[DataFrame], None]``) receives each
+    micro-batch's normalized vector rows AFTER the parquet append — the
+    incremental-index hook: pass ``service.add_vectors`` to keep a live
+    SearchService's HNSW shard graphs current per batch (Q13 with real
+    graph maintenance), where ``refresher`` models the reference's
+    debounced full REBUILD.
+    """
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -95,6 +104,10 @@ def start_ingest(
         if rows.isEmpty():
             return
         rows.write.mode("append").parquet(target_path)
+        if on_batch is not None:
+            # localCheckpoint: the hook may keep the frame past this
+            # micro-batch (the streaming source is not re-readable later)
+            on_batch(rows.localCheckpoint())
         if refresher is not None:
             refresher.mark_modified()
             refresher.maybe_rebuild()

@@ -226,3 +226,34 @@ def test_multimodal_real_decode_with_pillow(spark, tmp_path):
     out = MM.resize_image(df, 2, 2, fake=False).collect()[0]
     resized = PIL.open(io.BytesIO(bytes(out.payload)))
     assert resized.size == (2, 2) and (out.width, out.height) == (2, 2)
+
+
+def test_stream_ingest_incremental_hnsw(spark, events_landing, tmp_path):
+    """Q13 with real graph maintenance: each ingested micro-batch flows
+    into a live SearchService via on_batch=add_vectors — after the stream
+    drains, the HNSW index serves the newly ingested vectors (an ingested
+    embedding finds itself at distance 0)."""
+    from neighborly_spark.search_service import SearchService
+    from neighborly_spark.streaming.ingest import normalize_events_to_vectors
+
+    base = (
+        spark.createDataFrame([], "id string, embedding array<float>, tags array<smallint>, "
+                              "original_text string, priority tinyint, user_id long, org_id long")
+        .repartition(2)
+    )
+    svc = SearchService(base, dim=8)
+    svc.build_index("hnsw")
+    q = start_ingest(
+        spark,
+        events_landing,
+        EVENTS_SCHEMA,
+        str(tmp_path / "vectors"),
+        str(tmp_path / "ckpt"),
+        dim=8,
+        on_batch=svc.add_vectors,
+    )
+    q.awaitTermination(120)
+    assert svc._hnsw_graph.count() == 1000
+    probe = svc.df.limit(1).collect()[0]
+    got = svc.search(query_vec=list(probe.embedding), k=3, method="hnsw").collect()
+    assert got[0].dist == 0.0
