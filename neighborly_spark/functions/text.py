@@ -478,3 +478,54 @@ def shingles_duckdb_sql(t: str, k: int = 3) -> str:
         f"list_sort(list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
         f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))))"
     )
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """MOSS-style winnowing fingerprint set (Schleimer et al., SIGMOD'03):
+    hash every character k-gram of the normalized text, slide a window of
+    w consecutive k-gram hashes, keep each window's minimum, return the
+    distinct minima sorted — array<long>.
+
+    This is the "rolling hash" document fingerprint of plagiarism/near-dup
+    systems. The rolling (Rabin-Karp) hash itself is an O(1)-update trick
+    for serial scanners; in a vectorized engine every k-gram hashes
+    independently inside codegen, which is the same selection function with
+    better parallelism. hash32 (md5-prefix) keeps the values bit-identical
+    in DuckDB (winnow_fingerprints_duckdb_sql), so the guarantee holds
+    cross-engine: any shared substring of length >= w + k - 1 contributes
+    at least one COMMON fingerprint to both documents.
+
+    Shorter-than-k texts yield an empty set; texts shorter than the first
+    full window fall back to one window over whatever k-grams exist.
+    """
+    t = normalize_text(text)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    grams = F.when(n_grams > 0, F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: hash32(t.substr(i, F.lit(k)))
+    )).otherwise(F.array().cast("array<long>"))
+    n_win = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+    mins = F.when(F.size(grams) > 0, F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )).otherwise(F.array().cast("array<long>"))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints_duckdb_sql(t: str, k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of winnow_fingerprints (same md5-derived k-gram hash,
+    same window minima, same distinct+sort)."""
+    norm = normalize_text_duckdb_sql(t)
+    grams = (
+        f"CASE WHEN length({norm}) >= {k} THEN "
+        f"list_transform(range(1, length({norm}) - {k - 1} + 1), "
+        f"i -> {hash32_duckdb_sql(f'substr({norm}, i, {k})')}) "
+        f"ELSE [] END"
+    )
+    return (
+        f"list_sort(list_distinct((SELECT CASE WHEN len(g) > 0 THEN "
+        f"list_transform(range(1, greatest(len(g) - {w - 1}, 1) + 1), "
+        f"j -> list_min(g[j:j+{w - 1}])) ELSE [] END FROM (SELECT {grams} AS g))))"
+    )

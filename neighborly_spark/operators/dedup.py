@@ -675,3 +675,56 @@ def centroid_outliers(
         .withColumn("is_outlier", F.col("dist") > F.col("cutoff"))
         .select(id_col, label_col, "dist", "cutoff", "is_outlier")
     )
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint Jaccard (the MOSS family —
+    functions/text.winnow_fingerprints): candidate pairs from an inverted
+    index over the fingerprint minima, scored by Jaccard of the two
+    fingerprint SETS. Output (id_a, id_b, winnow_jaccard), id_a < id_b.
+
+    Same plan shape as ngram_jaccard_pairs' exact path, but the index is
+    ~2/(w+1) the density of the full shingle index (winnowing keeps only
+    window minima), so candidate generation is proportionally cheaper —
+    the guarantee traded for it: only substring matches of length
+    >= w + k - 1 are certain to collide. Character-level (k-grams of the
+    normalized text), so it catches near-dups word-shingle Jaccard misses
+    (reordered words, punctuation edits) and vice versa.
+    """
+    from neighborly_spark.functions.text import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col).alias("_id"),
+        winnow_fingerprints(F.col(text_col), k, w).alias("_fp"),
+    ).filter(F.size("_fp") > 0)
+    sizes = fps.select("_id", F.size("_fp").alias("_n"))
+    inv = fps.select("_id", F.explode("_fp").alias("_f"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="_f")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "winnow_jaccard",
+            F.round(
+                F.col("_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+                round_to,
+            ),
+        )
+        .filter(F.col("winnow_jaccard") >= threshold)
+        .select("id_a", "id_b", "winnow_jaccard")
+    )

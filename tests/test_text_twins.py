@@ -154,3 +154,56 @@ def test_hybrid_search_rrf_hand_computed(spark):
     assert out[3] == round(1 / 63, 6)
     top = sorted(out.items(), key=lambda t: (-t[1], t[0]))[0][0]
     assert top == 2  # fusion promotes the doc present in both lists
+
+
+def test_winnow_fingerprints_twin_and_guarantee(spark):
+    """Winnowing fingerprints: bit-identical Spark/DuckDB sets on the
+    documents corpus, empty for sub-k texts, and the winnowing guarantee —
+    docs sharing a substring of length >= w + k - 1 share a fingerprint."""
+    from neighborly_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_duckdb_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(F.col("doc_id") < 50)
+    got = {
+        r.doc_id: list(r.fp)
+        for r in docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    con = duckdb.connect()
+    sql = (
+        f"SELECT doc_id, {winnow_fingerprints_duckdb_sql('text')} AS fp "
+        f"FROM '/root/testdata/sf0.01/documents.parquet' "
+        f"WHERE doc_id < 50 ORDER BY doc_id"
+    )
+    oracle = {r[0]: list(r[1]) for r in con.sql(sql).fetchall()}
+    assert got == oracle and len(got) == 50
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "XX the quick brown fox jumps over the lazy dog YY"),
+        (3, "entirely different content with no shared phrasing at all"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {
+        r.doc_id: set(r.fp)
+        for r in df.select("doc_id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert fp[1] & fp[2]          # long shared substring -> common fingerprint
+    assert not (fp[1] & fp[3])    # unrelated -> disjoint
+    assert fp[4] == set()         # shorter than k
+
+
+def test_winnow_neardup_pairs(spark):
+    from neighborly_spark.operators.dedup import winnow_neardup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog by the river bend"),
+        (3, "completely unrelated text talking about something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.winnow_jaccard for r in winnow_neardup_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert all(3 not in pair for pair in got)
