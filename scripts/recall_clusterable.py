@@ -92,11 +92,12 @@ def main() -> None:
         codes.count()
         got = [{r.id for r in QZ.pq_search(codes, pq_model, q, K).collect()} for q in queries]
         rows.append((regime, "pq_adc", "m=16,k=64", recall(got), t_pq))
-        got = [
-            {r.id for r in QZ.pq_search_rerank(vec, codes, pq_model, q, K, shortlist=100).collect()}
-            for q in queries
-        ]
-        rows.append((regime, "pq_adc+rerank", "m=16,k=64,shortlist=100", recall(got), t_pq))
+        for shortlist in (100, 500):
+            got = [
+                {r.id for r in QZ.pq_search_rerank(vec, codes, pq_model, q, K, shortlist=shortlist).collect()}
+                for q in queries
+            ]
+            rows.append((regime, "pq_adc+rerank", f"m=16,k=64,shortlist={shortlist}", recall(got), t_pq))
         codes.unpersist()
         vec.unpersist()
 
