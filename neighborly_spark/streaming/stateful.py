@@ -594,3 +594,93 @@ def streaming_minhash_neardup(
             round_to,
         ),
     ).filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def streaming_simhash_neardup(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming twin of operators.dedup.simhash_pairs — completes the
+    streaming dedup family (exact fingerprint, MinHash, SimHash).
+
+    Same pigeonhole candidate structure as the batch operator: the 32-bit
+    SimHash splits into (max_hamming+1) chunks; any pair within
+    max_hamming Hamming distance agrees on at least one chunk, so keying
+    state by (chunk, chunk_key) and comparing each arrival against the
+    bucket's stored codes finds every true pair incrementally. Emissions
+    may repeat across chunks exactly like the batch candidate join before
+    its distinct — hamming is deterministic per pair, so a downstream
+    distinct() is exact (the twin test proves set equality with batch).
+
+    State = (ids, codes) per bucket — the same rows the batch shuffle
+    groups; a production continuous run would cap it with a timeout like
+    streaming_dedup's TTL.
+    """
+    from neighborly_spark.operators.dedup import SIMHASH_BITS, simhash
+
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    codes = stream_df.select(
+        F.col(id_col).cast("long").alias("_id"), simhash(F.col(text_col)).alias("_code")
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("_code"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1).cast("long"))
+                .alias("key"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    keyed = codes.select("_id", "_code", F.explode(chunks).alias("ck")).select(
+        F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"), "_id", "_code"
+    )
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType()), True),
+            StructField("codes", ArrayType(LongType()), True),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev = state.get
+            ids = list(prev[0]) if prev[0] is not None else []
+            stored = list(prev[1]) if prev[1] is not None else []
+        else:
+            ids, stored = [], []
+        out_a, out_b, out_h = [], [], []
+        arrived = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("_id")
+            for did, code in zip(pdf["_id"].values, pdf["_code"].values):
+                did, code = int(did), int(code)
+                if did in ids:
+                    continue  # replay
+                for oid, ocode in zip(ids, stored):
+                    h = bin(code ^ ocode).count("1")
+                    if h <= max_hamming:
+                        a, b = (oid, did) if oid < did else (did, oid)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
+                ids.append(did)
+                stored.append(code)
+                arrived += 1
+        if arrived:
+            state.update((ids, stored))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    return keyed.groupBy("chunk", "key").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long, hamming int",
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -420,3 +420,57 @@ def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
     got = {(r.id_a, r.id_b, r.jaccard) for r in final.distinct().collect()}
     assert first < final.count() or first == 0
     assert got == batch
+
+
+def test_streaming_simhash_neardup_matches_batch(spark, tmp_path):
+    """streaming_simhash_neardup twin: pair emissions over hash-split
+    arrivals (checkpoint restart between them) equal the batch
+    simhash_pairs output — same pigeonhole candidates, same hamming."""
+    from neighborly_spark.operators.dedup import simhash_pairs
+    from neighborly_spark.streaming.stateful import streaming_simhash_neardup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert batch
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def stage(phase, pred):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"b{phase}")
+        )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing / "*")
+        )
+        out = streaming_simhash_neardup(stream, max_hamming=3)
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stage(0, F.xxhash64("doc_id") % 2 == 0)
+        run()
+        stage(1, F.xxhash64("doc_id") % 2 != 0)
+        final = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {(r.id_a, r.id_b, r.hamming) for r in final.distinct().collect()}
+    assert got == batch
