@@ -5,6 +5,10 @@ level generation HNSW.cs:183-191, SearchLayer beam HNSW.cs:196-248,
 insert + neighbor-select + prune HNSW.cs:97-146,253-304, search with
 ef >= k HNSW.cs:151-178) with the reference's defaults M=16, MaxM0=32,
 efConstruction=200, ef=200, ml=1/ln(2), seed=42 (Search/HNSWConfig.cs:13-105).
+Deliberate deviation: level generation uses the paper's floor(-ln U * ml)
+capped at 63 (Malkov-Yashunin Alg. 1) rather than the reference's geometric
+p=1/Ml capped at 16 — both yield the same expected level distribution;
+recall gates (not structure hashes) are the contract.
 Earlier rounds capability-mapped method='hnsw' to exact/LSH (SURVEY §7.2
 phase 5); this is the real graph, built the way SURVEY §7.3 prescribes for
 Spark: per-partition graphs in an Arrow-batched map, never a single global
@@ -35,7 +39,6 @@ the final k rows.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -48,6 +51,18 @@ EF_CONSTRUCTION_DEFAULT = 200
 EF_DEFAULT = 200
 SEED_DEFAULT = 42
 ML_DEFAULT = 1.0 / math.log(2.0)
+
+#: Auto-sizing target for hnsw_build when the caller passes no shard count.
+#: Per-shard memory during build ~= rows x (dim x 8 B float64 matrix +
+#: ~(MaxM0 + M x E[levels]) x 8 B adjacency) — at 50k rows x 256 dims that
+#: is ~110 MB, comfortably inside one executor task; build time per shard
+#: is the real bound (~15 s per 50k x 64d shard, shards in parallel).
+TARGET_ROWS_PER_SHARD = 50_000
+
+
+def hnsw_shard_count(n_rows: int, target_rows_per_shard: int = TARGET_ROWS_PER_SHARD) -> int:
+    """Shard count for a row count: ceil(n / target), min 1."""
+    return max(1, math.ceil(n_rows / target_rows_per_shard))
 
 GRAPH_SCHEMA = (
     "part_id int, id long, level int, embedding array<float>, "
@@ -117,7 +132,9 @@ class _ShardGraph:
         for layer in range(min(top, l_new), -1, -1):
             cands = self._search_layer(q, ep, self.efc, layer)
             max_conn = self.max_m0 if layer == 0 else self.m
-            neigh = cands[: self.m]
+            # layer 0 connects up to MaxM0 (HNSW.cs Insert:
+            # maxConnections = lc==0 ? MaxM0 : M); upper layers up to M
+            neigh = cands[:max_conn]
             self.adj[i][layer] = list(neigh)
             for v in neigh:
                 lst = self.adj[v][layer]
@@ -179,27 +196,113 @@ def hnsw_build(
     ef_construction: int = EF_CONSTRUCTION_DEFAULT,
     seed: int = SEED_DEFAULT,
     ml: float = ML_DEFAULT,
+    rows_hint: int | None = None,
+    spatial: bool = False,
 ) -> DataFrame:
-    """Build the partitioned HNSW graph artifact. One graph per hash
-    partition of ``id_col``; returns the graph DataFrame (GRAPH_SCHEMA) —
-    cache it or write it to parquet partitionBy('part_id')."""
+    """Build the partitioned HNSW graph artifact. One graph per shard of
+    ``id_col``; returns the graph DataFrame (GRAPH_SCHEMA) — cache it or
+    write it to parquet partitionBy('part_id').
+
+    ``num_partitions=None`` auto-sizes the shard count from the row count
+    (``rows_hint`` skips the count() job — pass it from table stats) at
+    TARGET_ROWS_PER_SHARD rows per shard, so a bad caller pick can't
+    silently build one giant graph (OOM + hours-long sequential insert) or
+    thousands of tiny ones (recall-less brute force per shard).
+
+    Shard assignment:
+    - default (``spatial=False``): ``pmod(murmur3(id), n)`` — exactly the
+      value Spark's HashPartitioning would give ``repartition(n, id)``, so
+      hnsw_add can route new rows to their build shard with the same
+      expression. Hash shards are spatially UNIFORM: probe_shards routing
+      over them cannot discriminate (every shard looks like the whole
+      dataset), so hash graphs should be searched exhaustively.
+    - ``spatial=True``: shards are the cells of a coarse quantizer
+      (ivf_train_sampled, one deterministic sample pass + driver Lloyd,
+      seed 42) — each shard covers a REGION of the space, which is what
+      makes the centroid+radius routing table discriminative and
+      probe_shards-search sublinear (the IVF-cell-per-HNSW-graph layout of
+      DiskANN-style partitioned indexes). Incremental adds to a spatial
+      graph must pass the routing table to hnsw_add (nearest-centroid
+      routing)."""
     src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding"))
-    if num_partitions is not None:
-        src = src.repartition(num_partitions, "id")
+    if num_partitions is None:
+        num_partitions = hnsw_shard_count(rows_hint if rows_hint is not None else src.count())
+    if spatial:
+        from neighborly_spark.operators.ivf import ivf_train_sampled
 
-    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
+        model = ivf_train_sampled(src, nlist=num_partitions, vec_col="embedding")
+        part = _nearest_centroid_expr(model.centroids, "embedding")
+    else:
+        part = F.pmod(F.hash(F.col("id")), F.lit(num_partitions)).cast("int")
+    src = src.withColumn("part_id", part)
 
-        part_id = TaskContext.get().partitionId()
-        parts = [p for p in it if len(p)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        yield _build_shard(ids, x, part_id, m, max_m0, ef_construction, ml, seed)
+        return _build_shard(ids, x, int(key[0]), m, max_m0, ef_construction, ml, seed)
 
-    return src.mapInPandas(build, GRAPH_SCHEMA)
+    return src.groupBy("part_id").applyInPandas(build, GRAPH_SCHEMA)
+
+
+def _nearest_centroid_expr(centroids: list[list[float]], vec_col: str):
+    """argmin-distance Column over broadcast centroid literals — JVM-side,
+    no Python in the scan (same form as ivf_assign's sampled path)."""
+    cents_lit = F.lit(centroids).cast("array<array<double>>")
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+ROUTING_SCHEMA = "part_id int, centroid array<double>, radius double, n long"
+
+
+def hnsw_routing_table(graph_df: DataFrame) -> DataFrame:
+    """Per-shard routing summary `(part_id, centroid, radius, n)` — the
+    IVF-style coarse layer that makes single-query cost SUBLINEAR in shard
+    count (round-3 VERDICT item 1): `radius` is the max distance from any
+    shard vector to the shard centroid, so `max(0, ||q-c|| - radius)` lower-
+    bounds the distance from q to the shard's nearest vector. Probing the
+    top-p shards by that bound recovers the sublinearity of the reference's
+    single-graph descent (HNSW.cs:151-178) at cluster scale: p shards
+    rehydrated per query instead of all of them.
+
+    One aggregate pass over the graph artifact (shard-count rows out);
+    SearchService builds it alongside the graph and caches both."""
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        c = x.mean(axis=0)
+        d = x - c
+        radius = float(np.sqrt(np.einsum("ij,ij->i", d, d)).max())
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "centroid": [c.tolist()],
+                "radius": [radius],
+                "n": [len(x)],
+            }
+        )
+
+    return graph_df.groupBy("part_id").applyInPandas(per_shard, ROUTING_SCHEMA)
+
+
+def _route(routing_rows, q: np.ndarray, probe_shards: int) -> list[int]:
+    """Top-p shard ids for one query: ascending by the ball lower bound
+    max(0, ||q-c|| - r), tie-broken by centroid distance then part_id
+    (deterministic). Driver-side over shard-count rows — bounded by the
+    shard count, never by data size."""
+    scored = []
+    for r in routing_rows:
+        cd = float(np.linalg.norm(q - np.asarray(r["centroid"], dtype=np.float64)))
+        scored.append((max(0.0, cd - float(r["radius"])), cd, int(r["part_id"])))
+    scored.sort()
+    return [pid for _, _, pid in scored[:probe_shards]]
 
 
 def hnsw_search(
@@ -208,14 +311,28 @@ def hnsw_search(
     k: int,
     ef: int = EF_DEFAULT,
     round_to: int | None = None,
+    probe_shards: int | None = None,
+    routing: DataFrame | None = None,
 ) -> DataFrame:
-    """Search every shard graph, merge shard top-k globally.
+    """Search shard graphs, merge shard top-k globally.
 
     Per shard: rebuild the adjacency view from the artifact rows (grouped
     applyInPandas — one Python task per shard), run the standard descent,
     emit k candidates. Global merge is orderBy+limit = TakeOrderedAndProject
-    (no full sort). (dist, id) tiebreak like every search operator."""
+    (no full sort). (dist, id) tiebreak like every search operator.
+
+    ``probe_shards=p`` (with a ``routing`` table from hnsw_routing_table —
+    built on the fly if omitted) descends only the top-p shards by the
+    centroid+radius lower bound instead of ALL shards: the part_id filter
+    partition-prunes an artifact written partitionBy('part_id'), making
+    per-query work O(p) graphs rather than O(num_shards). ``p=None`` keeps
+    the exhaustive all-shards merge (recall ceiling of the graphs
+    themselves); recall-vs-p measured in docs/RECALL.md."""
     q = np.asarray(query_vec, dtype=np.float64)
+    if probe_shards is not None:
+        rt = routing if routing is not None else hnsw_routing_table(graph_df)
+        chosen = _route(rt.collect(), q, probe_shards)
+        graph_df = graph_df.filter(F.col("part_id").isin(chosen))
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, g = _rehydrate(pdf)
@@ -255,25 +372,52 @@ def hnsw_search_batch(
     queries: list[tuple[int, list[float]]],
     k: int,
     ef: int = EF_DEFAULT,
+    probe_shards: int | None = None,
+    routing: DataFrame | None = None,
 ) -> DataFrame:
     """Batch form: every shard answers ALL queries in one task (the graph
     is rehydrated once per shard, not once per query), emitting
     (query_id, id, dist) candidates; per-query top-k is then taken over the
     shard candidates — a row_number over at most shards x k rows per query,
-    bounded by the shard count, never by data size."""
+    bounded by the shard count, never by data size.
+
+    ``probe_shards=p`` routes each query to its own top-p shards (centroid+
+    radius lower bound, per hnsw_search): each shard then answers only the
+    queries routed to it, and shards no query probes are filtered out of
+    the scan entirely — total beam work drops from |Q| x shards to
+    |Q| x p."""
     from pyspark.sql import Window
 
     qlist = [(int(qid), np.asarray(vec, dtype=np.float64)) for qid, vec in queries]
+    shard_qids: dict[int, set[int]] | None = None
+    if probe_shards is not None:
+        rt = routing if routing is not None else hnsw_routing_table(graph_df)
+        rt_rows = rt.collect()
+        shard_qids = {}
+        for qid, q in qlist:
+            for pid in _route(rt_rows, q, probe_shards):
+                shard_qids.setdefault(pid, set()).add(qid)
+        graph_df = graph_df.filter(F.col("part_id").isin(list(shard_qids)))
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(pdf["part_id"].iloc[0])
+        mine = qlist if shard_qids is None else [
+            (qid, q) for qid, q in qlist if qid in shard_qids.get(part_id, ())
+        ]
         ids, g = _rehydrate(pdf)
         out_q, out_id, out_d = [], [], []
-        for qid, q in qlist:
+        for qid, q in mine:
             for i, d in g.search(q, k, ef):
                 out_q.append(qid)
                 out_id.append(int(ids[i]))
                 out_d.append(float(d))
-        return pd.DataFrame({"query_id": out_q, "id": out_id, "dist": out_d})
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "id": pd.Series(out_id, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="float64"),
+            }
+        )
 
     local = graph_df.groupBy("part_id").applyInPandas(
         per_shard, "query_id long, id long, dist double"
@@ -293,10 +437,16 @@ def hnsw_add(
     ef_construction: int = EF_CONSTRUCTION_DEFAULT,
     seed: int = SEED_DEFAULT,
     ml: float = ML_DEFAULT,
+    routing: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental index maintenance (Q13 semantics on the real graph):
     insert new vectors into an EXISTING shard-graph artifact, touching only
     the shards that receive rows.
+
+    For SPATIAL graphs (hnsw_build(spatial=True)) pass the ``routing``
+    table: new rows then route to the nearest-centroid shard instead of the
+    hash shard, preserving the spatial layout probe_shards search depends
+    on.
 
     New rows route to their shard with the same expression
     `pmod(hash(id), num_shards)` that `repartition(n, id)` uses physically
@@ -316,8 +466,27 @@ def hnsw_add(
     ``num_shards`` must be the builder's partition count (SearchService
     tracks it; standalone callers pass what they built with).
     """
+    if routing is not None:
+        rt = sorted(routing.collect(), key=lambda r: int(r["part_id"]))
+        dists = F.transform(
+            F.lit([list(map(float, r["centroid"])) for r in rt]).cast("array<array<double>>"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        pids = F.lit([int(r["part_id"]) for r in rt]).cast("array<int>")
+        part = F.element_at(pids, F.array_position(dists, F.array_min(dists)).cast("int"))
+    else:
+        # Hash the id AFTER the cast to long: hnsw_build shards on
+        # pmod(murmur3(long id), n), and murmur3 of int32/string input
+        # differs from murmur3 of the long value — hashing the raw column
+        # would route non-bigint ids (e.g. string ids from streaming
+        # ingest) to a different shard than the one their id was built into.
+        part = F.pmod(F.hash(F.col(id_col).cast("long")), F.lit(num_shards)).cast("int")
     new_tagged = new_df.select(
-        F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)).cast("int").alias("part_id"),
+        part.alias("part_id"),
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("embedding"),
     )

@@ -41,6 +41,24 @@ from neighborly_spark.operators import text_search as TS
 ROUND = 6
 
 
+def _gate_scratch(name: str) -> str:
+    """Fixed per-process scratch path for gate ETL round-trips. The export
+    writers are mode('overwrite'), so reusing one path per dialect keeps
+    repeated gate runs from leaking a new temp directory per invocation
+    (round-3 ADVICE)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"neighborly_gate_scratch_{os.getpid()}")
+    if not os.path.exists(root):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The driver has shipped events.ts as parquet TIMESTAMP(NANOS)
@@ -139,10 +157,30 @@ class ParityQuery:
 
 REGISTRY: dict[str, ParityQuery] = {}
 
+#: DataFrames persisted by gate builders (via _gate_persist). The NEXT gate
+#: build unpersists them — by then the driver has collected the previous
+#: query's result, so the sequential 50-query pass never accumulates more
+#: than one query's caches (round-3 ADVICE / VERDICT hygiene item).
+_GATE_PERSISTED: list[DataFrame] = []
+
+
+def _gate_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _GATE_PERSISTED.append(df)
+    return df
+
 
 def register(name: str, oracle: str | None = None, tags: list[str] | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = ParityQuery(name, fn, oracle, tags or [])
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            while _GATE_PERSISTED:
+                try:
+                    _GATE_PERSISTED.pop().unpersist()
+                except Exception:
+                    pass
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = ParityQuery(name, wrapped, oracle, tags or [])
         return fn
 
     return deco
@@ -785,13 +823,11 @@ def tag_inverted_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({I,V,T,O} keys, JSON.cs:33) before the inverted map is built, while
     the oracle computes on the original table — a tag dropped or re-typed
     by the dialect turns this row red."""
-    import tempfile
-
     from neighborly_spark.operators.crud import inverted_tag_map
     from neighborly_spark.sources import etl as ETL
 
     tagged0 = _with_tags(spark, sf_dir)
-    json_path = tempfile.mkdtemp(prefix="gate_etl_json_")
+    json_path = _gate_scratch("etl_json")
     ETL.export_json(
         tagged0.select(
             F.col("vec_id").cast("string").alias("id"),
@@ -867,12 +903,10 @@ def vector_elementwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined float arrays, Csv.cs:15-23) before any math, while the oracle
     computes on the ORIGINAL parquet — a single float lost or reformatted
     by the dialect turns this row red."""
-    import tempfile
-
     from neighborly_spark.sources import etl as ETL
 
     emb0 = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    csv_path = tempfile.mkdtemp(prefix="gate_etl_csv_")
+    csv_path = _gate_scratch("etl_csv")
     ETL.export_csv(
         emb0.select(
             F.col("vec_id").cast("string").alias("id"),
@@ -1170,7 +1204,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, qvecs, queries, exact = _ann_recall_inputs(spark, sf_dir, _ANN_NQ)
     ivf_model = ivf_train_sampled(emb, nlist=16)
-    assigned = ivf_assign(emb, ivf_model).persist()
+    assigned = _gate_persist(ivf_assign(emb, ivf_model))
     ivf_legs = [
         ivf_search(assigned, ivf_model, q, _ANN_K, nprobe=10).select(
             F.lit(i).cast("long").alias("query_id"), "id"
@@ -1180,7 +1214,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_all = reduce(DataFrame.unionByName, ivf_legs)
 
     pq_model = pq_train_sampled(emb, dim=64, m=16, num_centroids=32)
-    enc = pq_encode(emb, pq_model).persist()
+    enc = _gate_persist(pq_encode(emb, pq_model))
     pq_legs = [
         pq_search_rerank(emb, enc, pq_model, q, _ANN_K, shortlist=5 * _ANN_K).select(
             F.lit(i).cast("long").alias("query_id"), "id"

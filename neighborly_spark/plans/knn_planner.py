@@ -14,7 +14,7 @@ Python planner over the three physical strategies (no Catalyst extension):
 |              | |D|x|Q| beyond the flop budget          |            |
 | `hnsw`       | a prebuilt shard-graph index exists,   | |Q| beam searches per shard — |
 |              | |Q| collectible, approx allowed, work  | independent of |D| scans |
-|              | beyond the exact-fold budget           |            |
+|              | beyond the exact BLAS budget           |            |
 
 Thresholds are deliberately coarse — at these break-evens the strategies
 differ by orders of magnitude, so the exact constants don't matter.
@@ -59,13 +59,15 @@ def plan_knn_join(
         )
     if work <= EXACT_WORK_LIMIT and query_count <= 64:
         return KnnJoinPlan("exact", f"|D|x|Q|={work} small enough for declarative folds")
-    if has_hnsw_index and allow_approx:
-        # an already-built graph answers |Q| beam searches per shard without
-        # rescanning |D| — beats both the BLAS matmul and a fresh LSH join
-        # whenever the index exists and exactness is not required
-        return KnnJoinPlan("hnsw", f"prebuilt shard graphs serve |Q|={query_count} without a |D| scan")
     if work * dim <= VECTORIZED_WORK_LIMIT or not allow_approx:
+        # inside the exact-BLAS budget the join stays EXACT even when an
+        # hnsw index exists: supplying a graph must not silently degrade
+        # mid-size joins to approximate results
         return KnnJoinPlan("vectorized", f"BLAS matmul over |D|x|Q|={work} at dim {dim}")
+    if has_hnsw_index:
+        # beyond the exact budget an already-built graph answers |Q| beam
+        # searches per shard without rescanning |D| — beats a fresh LSH join
+        return KnnJoinPlan("hnsw", f"prebuilt shard graphs serve |Q|={query_count} without a |D| scan")
     return KnnJoinPlan("lsh", f"|D|x|Q|x dim={work * dim} beyond exact budget — prune candidates")
 
 

@@ -76,10 +76,15 @@ class SearchService:
         self._ivf_assigned = None
         self._hnsw_graph: DataFrame | None = None
         self._hnsw_shards: int | None = None
+        self._hnsw_routing: DataFrame | None = None
+        self._hnsw_spatial: bool = False
 
     # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
 
-    def build_index(self, method: str) -> None:
+    def build_index(self, method: str, spatial: bool = False) -> None:
+        """``spatial=True`` (hnsw only) shards the graph by a coarse
+        quantizer instead of id hash — the layout that makes
+        search(hnsw_probe_shards=p) discriminative (see operators.hnsw)."""
         method = method.lower()
         if method == "lsh":
             self._lsh_model = LSH.fit_lsh(self.df, self.vec_col, dim=self.dim)
@@ -108,18 +113,24 @@ class SearchService:
             # true partitioned graph (operators.hnsw): requires a numeric
             # id (graph adjacency serializes neighbor ids as bigint). Built
             # eagerly and cached — the shard graphs are the index artifact.
-            # Shard count pinned EXPLICITLY (hash repartition on the id) so
+            # Shard count auto-sized from the row count (hnsw_shard_count)
+            # and pinned EXPLICITLY (hash repartition on the id) so
             # add_vectors can route new rows to their shard with
-            # pmod(hash(id), n).
+            # pmod(hash(id-as-long), n). The routing table (per-shard
+            # centroid+radius) is built alongside for probe_shards search.
             from neighborly_spark.operators import hnsw as HN
 
-            n = self.df.rdd.getNumPartitions()
+            n = HN.hnsw_shard_count(self.df.count())
             graph = HN.hnsw_build(
-                self.df, self.dim, self.id_col, self.vec_col, num_partitions=n
+                self.df, self.dim, self.id_col, self.vec_col,
+                num_partitions=n, spatial=spatial,
             ).cache()
             graph.count()
             self._hnsw_graph = graph
             self._hnsw_shards = n
+            self._hnsw_spatial = spatial
+            self._hnsw_routing = HN.hnsw_routing_table(graph).cache()
+            self._hnsw_routing.count()
         elif method in EXACT_METHODS or method == "range":
             pass  # exact paths need no artifact
         else:
@@ -139,13 +150,17 @@ class SearchService:
         elif self._hnsw_graph is not None:
             from neighborly_spark.operators import hnsw as HN
 
+            if self._hnsw_spatial and self._hnsw_routing is None:
+                self._refresh_hnsw_routing()
             updated = HN.hnsw_add(
                 self._hnsw_graph, new_df, self._hnsw_shards,
                 id_col=self.id_col, vec_col=self.vec_col,
+                routing=self._hnsw_routing if self._hnsw_spatial else None,
             ).cache()
             updated.count()
             self._hnsw_graph.unpersist()
             self._hnsw_graph = updated
+            self._refresh_hnsw_routing()
         # quantizer/LSH artifacts: dirty -> lazy rebuild on next search
         self._lsh_model = None
         self._bq_threshold = None
@@ -154,6 +169,17 @@ class SearchService:
         self._ivf_assigned = None
         self._pq_model = None
         self._pq_encoded = None
+
+    def _refresh_hnsw_routing(self) -> None:
+        """Rebuild the cached per-shard centroid+radius table after an
+        incremental graph update — one aggregate over the (cached) graph,
+        shard-count rows out."""
+        from neighborly_spark.operators import hnsw as HN
+
+        if self._hnsw_routing is not None:
+            self._hnsw_routing.unpersist()
+        self._hnsw_routing = HN.hnsw_routing_table(self._hnsw_graph).cache()
+        self._hnsw_routing.count()
 
     def remove_vectors(self, ids: list) -> None:
         """Incremental RemoveById: rows filter out of the table; HNSW
@@ -168,6 +194,7 @@ class SearchService:
             updated.count()
             self._hnsw_graph.unpersist()
             self._hnsw_graph = updated
+            self._refresh_hnsw_routing()
         self._lsh_model = None
         self._bq_threshold = None
         self._bq_codes = None
@@ -221,7 +248,7 @@ class SearchService:
             self._hnsw_graph.write.mode("overwrite").partitionBy("part_id").parquet(
                 f"{path}/indexes/hnsw_graph"
             )
-            extras["hnsw"] = {"num_shards": self._hnsw_shards}
+            extras["hnsw"] = {"num_shards": self._hnsw_shards, "spatial": self._hnsw_spatial}
         with open(f"{path}/service.json", "w") as f:
             json.dump(extras, f)
 
@@ -270,6 +297,7 @@ class SearchService:
             svc._hnsw_graph = spark.read.parquet(f"{path}/indexes/hnsw_graph")
             hn = extras["hnsw"]
             svc._hnsw_shards = hn.get("num_shards") if isinstance(hn, dict) else None
+            svc._hnsw_spatial = bool(hn.get("spatial")) if isinstance(hn, dict) else False
         return svc
 
     # --- queries -------------------------------------------------------------
@@ -283,6 +311,11 @@ class SearchService:
         threshold: float | None = None,
         metric: str = "euclidean",
         exact_path: str = "auto",  # auto | hof | blas
+        pq_rerank: bool = True,  # method='pq': serve the rerank tier (>=0.8
+        # recall bar); False = the reference's pure-ADC tier
+        hnsw_probe_shards: int | None = None,  # method='hnsw': descend only
+        # the top-p shards by the routing table's centroid+radius lower
+        # bound (sublinear in shard count); None = exhaustive all-shards
     ) -> DataFrame:
         method = method.lower()
         if text is not None:
@@ -315,7 +348,12 @@ class SearchService:
             if self._hnsw_graph is not None:
                 from neighborly_spark.operators import hnsw as HN
 
-                hits = HN.hnsw_search(self._hnsw_graph, query_vec, k)
+                if hnsw_probe_shards is not None and self._hnsw_routing is None:
+                    self._refresh_hnsw_routing()  # e.g. snapshot-loaded graph
+                hits = HN.hnsw_search(
+                    self._hnsw_graph, query_vec, k,
+                    probe_shards=hnsw_probe_shards, routing=self._hnsw_routing,
+                )
                 # rejoin payload columns so the schema matches the exact
                 # path (k-row broadcast join; AQE picks broadcast)
                 out = (
@@ -339,7 +377,18 @@ class SearchService:
         elif method in ("pq", "productquantization"):
             if self._pq_model is None:
                 self.build_index("pq")
-            out = QZ.pq_search(self._pq_encoded, self._pq_model, query_vec, k, self.id_col)
+            if pq_rerank:
+                # serve the rerank tier by default: same trained artifacts,
+                # but recall 0.89-1.00 vs pure ADC's 0.36-0.66 measured in
+                # docs/RECALL.md — the shortlist join touches only 5k float
+                # rows. Pure ADC (the reference's tier,
+                # ProductQuantization.cs:330-380) stays opt-in.
+                out = QZ.pq_search_rerank(
+                    self.df, self._pq_encoded, self._pq_model, query_vec, k,
+                    shortlist=max(5 * k, 50), id_col=self.id_col, vec_col=self.vec_col,
+                )
+            else:
+                out = QZ.pq_search(self._pq_encoded, self._pq_model, query_vec, k, self.id_col)
         elif method == "ivf":
             if self._ivf_model is None:
                 self.build_index("ivf")

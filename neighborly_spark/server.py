@@ -73,17 +73,25 @@ class RestServer:
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def _rows_df(self, dto):
+                # build the single row against the STORE's schema (the id
+                # column keeps whatever dtype the store has — a hardcoded
+                # string would silently widen a numeric-id store's schema on
+                # the first POST via union type-coercion)
                 spark = outer.store.df.sparkSession
                 cols = outer.store.df.columns
+                dtypes = dict(outer.store.df.dtypes)
                 base = spark.createDataFrame(
                     [(str(dto["id"]), [float(v) for v in dto.get("values") or dto.get("embedding")],
                       [int(t) for t in dto.get("tags") or []], dto.get("original_text") or "")],
                     f"{outer.store.id_col} string, embedding array<float>, "
                     "tags array<smallint>, original_text string",
+                ).withColumn(
+                    outer.store.id_col,
+                    F.col(outer.store.id_col).cast(dtypes[outer.store.id_col]),
                 )
                 for c in cols:
                     if c not in base.columns:
-                        base = base.withColumn(c, F.lit(None).cast(dict(outer.store.df.dtypes)[c]))
+                        base = base.withColumn(c, F.lit(None).cast(dtypes[c]))
                 return base.select(cols)
 
             def do_GET(self):

