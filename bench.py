@@ -155,6 +155,25 @@ def bench_ivf_150k(spark, sf_dir):
     return ivf_search(assigned, model, QUERY_VEC, 10, nprobe=4)
 
 
+def bench_hnsw_150k(spark, sf_dir):
+    """Flagship graph-ANN entry (round-3 VERDICT item 2): the shard graphs
+    build once untimed (index build, same treatment as the LSH/IVF/BQ
+    fits — auto-sized shard count); the timed query is one shard-merged
+    graph descent."""
+    from neighborly_spark.operators.hnsw import hnsw_build, hnsw_search
+
+    vec = _synth_vectors(spark, sf_dir)
+    if "hnsw" not in _STATE:
+        # 8 shards (19k rows each) rather than the 50k-row auto target:
+        # the build is untimed but still bench wall-clock, and insert cost
+        # per shard is superlinear — 8 parallel shards build ~3x faster
+        # than 3 big ones at identical measured search recall (RECALL.md)
+        g = hnsw_build(vec, dim=64, num_partitions=8).cache()
+        g.count()
+        _STATE["hnsw"] = g
+    return hnsw_search(_STATE["hnsw"], QUERY_VEC, 10)
+
+
 def bench_dedup_minhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import minhash_lsh_pairs
 
@@ -196,6 +215,7 @@ BENCH_LOCAL = {
     "lsh_ann_150k": bench_lsh_ann_150k,
     "ivf_probe_150k": bench_ivf_150k,
     "bq_search_150k": bench_bq_150k,
+    "hnsw_search_150k": bench_hnsw_150k,
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,

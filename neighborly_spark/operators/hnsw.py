@@ -34,6 +34,16 @@ At 100 TB: shards scale out linearly; queries touch each shard's graph via
 the artifact table's part_id grouping (partition-pruned when the artifact
 is written partitionBy(part_id)); nothing is collected to the driver but
 the final k rows.
+
+- ROUTING (`hnsw_routing_table` + `probe_shards=p`): per-shard
+  centroid+radius ball bounds route each query to its top-p shards,
+  making single-query cost O(p) graphs instead of O(num_shards) — the
+  sublinearity of the reference's single-graph descent (HNSW.cs:151-178)
+  recovered IVF-style. Discriminative only over `spatial=True` builds
+  (coarse-quantizer cells, the DiskANN/SPANN layout); hash shards are
+  uniform subsamples and must be searched exhaustively
+  (docs/RECALL.md round-4 table: spatial p=1 -> recall 1.00, hash p=8 of
+  16 -> 0.41).
 """
 
 from __future__ import annotations
@@ -348,6 +358,33 @@ def hnsw_search(
     if round_to is not None:
         local = local.withColumn("dist", F.round("dist", round_to))
     return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
+
+
+#: Per-worker LRU of rehydrated shard graphs. Rehydration (Arrow ->
+#: object-array adjacency) dominates repeat-query latency (~an order of
+#: magnitude over the descent itself); serving engines keep segment graphs
+#: hot the same way (Lucene's HNSW segment readers). Keyed by a digest of
+#: the shard's (ids, levels) arrays — every mutation path (hnsw_add /
+#: hnsw_remove / rebuild) changes membership or levels, so a stale entry
+#: cannot be served. Bounded to a few shards per worker; local testing has
+#: one Python worker per core, so the bound caps total executor memory.
+_GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_MAX = 4
+
+
+def _rehydrate_cached(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
+    import hashlib
+
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    levels = pdf["level"].to_numpy(dtype=np.int64)
+    key = hashlib.md5(ids.tobytes() + b"|" + levels.tobytes()).digest()
+    hit = _GRAPH_CACHE.pop(key, None)
+    if hit is None:
+        hit = _rehydrate(pdf)
+    _GRAPH_CACHE[key] = hit  # re-insert = move to MRU position
+    while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
+        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+    return hit
 
 
 def _rehydrate(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:

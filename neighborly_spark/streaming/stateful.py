@@ -478,6 +478,65 @@ def streaming_funnel(
     )
 
 
+def _set_jaccard_state_fn(set_col: str):
+    """Shared bucket-membership state transition for the set-Jaccard
+    streaming near-dup twins (MinHash buckets, winnowing fingerprint
+    buckets): each arrival verifies exact set Jaccard against every doc
+    already in the bucket (state + earlier same-batch arrivals, processed
+    in ascending-id order so twin runs agree), emitting the integer
+    components; the division/threshold happens in the Spark plan so
+    rounding matches the batch operator bit-for-bit. State = (ids, sets),
+    the same rows the batch shuffle groups."""
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev = state.get
+            ids = list(prev[0]) if prev[0] is not None else []
+            sets = [frozenset(s) for s in prev[1]] if prev[1] is not None else []
+        else:
+            ids, sets = [], []
+        out_a, out_b, out_c, out_na, out_nb = [], [], [], [], []
+        arrived = 0
+        for pdf in pdfs:
+            # deterministic intra-batch order so twin runs agree
+            pdf = pdf.sort_values("_id")
+            for did, sharr in zip(pdf["_id"].values, pdf[set_col].values):
+                did = int(did)
+                if did in ids:
+                    continue  # replay of a doc already in the bucket
+                new_set = frozenset(int(x) for x in sharr)
+                for oid, oset in zip(ids, sets):
+                    common = len(new_set & oset)
+                    union = len(new_set) + len(oset) - common
+                    if union:  # all components emitted; threshold applied in the plan
+                        a, b = (oid, did) if oid < did else (did, oid)
+                        sa, sb = (oset, new_set) if oid < did else (new_set, oset)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_c.append(common)
+                        out_na.append(len(sa))
+                        out_nb.append(len(sb))
+                ids.append(did)
+                sets.append(new_set)
+                arrived += 1
+        if arrived:
+            state.update(([int(i) for i in ids], [sorted(s) for s in sets]))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "_common": out_c, "_na": out_na, "_nb": out_nb}
+            )
+
+    return fn
+
+
+_SET_JACCARD_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType()), True),
+        StructField("sets", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
 def streaming_minhash_neardup(
     stream_df: DataFrame,
     id_col: str = "doc_id",
@@ -534,55 +593,10 @@ def streaming_minhash_neardup(
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_id", "_sh"
     )
 
-    state_schema = StructType(
-        [
-            StructField("ids", ArrayType(LongType()), True),
-            StructField("sets", ArrayType(ArrayType(LongType())), True),
-        ]
-    )
-
-    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            prev = state.get
-            ids = list(prev[0]) if prev[0] is not None else []
-            sets = [frozenset(s) for s in prev[1]] if prev[1] is not None else []
-        else:
-            ids, sets = [], []
-        out_a, out_b, out_c, out_na, out_nb = [], [], [], [], []
-        arrived = 0
-        for pdf in pdfs:
-            # deterministic intra-batch order so twin runs agree
-            pdf = pdf.sort_values("_id")
-            for did, sharr in zip(pdf["_id"].values, pdf["_sh"].values):
-                did = int(did)
-                if did in ids:
-                    continue  # replay of a doc already in the bucket
-                new_set = frozenset(int(x) for x in sharr)
-                for oid, oset in zip(ids, sets):
-                    common = len(new_set & oset)
-                    union = len(new_set) + len(oset) - common
-                    if union:  # all components emitted; threshold applied in the plan
-                        a, b = (oid, did) if oid < did else (did, oid)
-                        sa, sb = (oset, new_set) if oid < did else (new_set, oset)
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_c.append(common)
-                        out_na.append(len(sa))
-                        out_nb.append(len(sb))
-                ids.append(did)
-                sets.append(new_set)
-                arrived += 1
-        if arrived:
-            state.update(([int(i) for i in ids], [sorted(s) for s in sets]))
-        if out_a:
-            yield pd.DataFrame(
-                {"id_a": out_a, "id_b": out_b, "_common": out_c, "_na": out_na, "_nb": out_nb}
-            )
-
     raw = buckets.groupBy("band", "key").applyInPandasWithState(
-        fn,
+        _set_jaccard_state_fn("_sh"),
         outputStructType="id_a long, id_b long, _common long, _na long, _nb long",
-        stateStructType=state_schema,
+        stateStructType=_SET_JACCARD_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -684,3 +698,122 @@ def streaming_simhash_neardup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_winnow_neardup(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of operators.dedup.winnow_neardup_pairs — closes the
+    streaming dedup family (exact, MinHash, SimHash, winnowing; round-3
+    VERDICT item 6).
+
+    Same candidate structure as the batch operator: documents explode into
+    their winnowing fingerprint minima (functions/text.winnow_fingerprints,
+    the MOSS selection — identical Column expression as batch, so the
+    fingerprint values match bit-for-bit); a pair is a candidate iff it
+    shares a fingerprint, and each candidate verifies exact Jaccard of the
+    two docs' full fingerprint SETS. A pair sharing f fingerprints emits up
+    to f times, exactly like the batch inverted-index join before its
+    groupBy — winnow_jaccard is deterministic per pair, so a downstream
+    distinct() is exact (the twin test proves set equality with batch
+    across a checkpoint restart).
+
+    State layout — SHARDED posting lists, not one state group per
+    fingerprint: winnowing emits ~2/(w+1) of the k-gram positions as
+    fingerprints (~100+ per short doc), so keying state by raw fingerprint
+    value explodes into tens of thousands of state groups whose per-group
+    Python invocation overhead dominates (measured: >20 min at 500 docs vs
+    ~3 min for the minhash twin with its 4 bands). Instead the inverted
+    index shards into ``n_buckets`` groups by pmod(fingerprint, n_buckets);
+    each group's state holds its shard of the posting list (fingerprint,
+    id, fingerprint-set) and each arrival compares only against stored
+    entries with the SAME fingerprint. Work and emissions are identical to
+    the per-fingerprint keying — only the group granularity changes (the
+    same trick a production system uses to cap state-store key count). A
+    production continuous run would cap state with a timeout like
+    streaming_dedup's TTL.
+    """
+    from neighborly_spark.functions.text import winnow_fingerprints
+
+    n_buckets = 256
+    fps = stream_df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        winnow_fingerprints(F.col(text_col), k, w).alias("_fp"),
+    ).filter(F.size("_fp") > 0)
+    inv = fps.select(
+        "_id", "_fp", F.explode("_fp").alias("_f")
+    ).withColumn("_bk", F.pmod(F.col("_f"), F.lit(n_buckets)))
+
+    state_schema = StructType(
+        [
+            StructField("fps", ArrayType(LongType()), True),
+            StructField("ids", ArrayType(LongType()), True),
+            StructField("sets", ArrayType(ArrayType(LongType())), True),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        # postings[f] = list of (id, frozenset) already in this shard
+        postings: dict[int, list[tuple[int, frozenset]]] = {}
+        if state.exists:
+            prev = state.get
+            for f, i, s in zip(prev[0] or [], prev[1] or [], prev[2] or []):
+                postings.setdefault(int(f), []).append((int(i), frozenset(int(x) for x in s)))
+        out_a, out_b, out_c, out_na, out_nb = [], [], [], [], []
+        arrived = 0
+        for pdf in pdfs:
+            # deterministic intra-batch order so twin runs agree
+            pdf = pdf.sort_values(["_f", "_id"])
+            for f, did, fparr in zip(pdf["_f"].values, pdf["_id"].values, pdf["_fp"].values):
+                f, did = int(f), int(did)
+                plist = postings.setdefault(f, [])
+                if any(oid == did for oid, _ in plist):
+                    continue  # replay of a posting already stored
+                new_set = frozenset(int(x) for x in fparr)
+                for oid, oset in plist:
+                    common = len(new_set & oset)
+                    union = len(new_set) + len(oset) - common
+                    if union:  # threshold applied in the plan
+                        a, b = (oid, did) if oid < did else (did, oid)
+                        sa, sb = (oset, new_set) if oid < did else (new_set, oset)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_c.append(common)
+                        out_na.append(len(sa))
+                        out_nb.append(len(sb))
+                plist.append((did, new_set))
+                arrived += 1
+        if arrived:
+            flat_f, flat_i, flat_s = [], [], []
+            for f in sorted(postings):
+                for i, s in postings[f]:
+                    flat_f.append(f)
+                    flat_i.append(i)
+                    flat_s.append(sorted(s))
+            state.update((flat_f, flat_i, flat_s))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "_common": out_c, "_na": out_na, "_nb": out_nb}
+            )
+
+    raw = inv.groupBy("_bk").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long, _common long, _na long, _nb long",
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return raw.withColumn(
+        "winnow_jaccard",
+        F.round(
+            F.col("_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+            round_to,
+        ),
+    ).filter(F.col("winnow_jaccard") >= threshold).select("id_a", "id_b", "winnow_jaccard")

@@ -277,6 +277,66 @@ def test_search_service_save_load_roundtrip(spark, emb, query, tmp_path):
     assert loaded._ivf_model.centroids == svc._ivf_model.centroids
 
 
+def test_incremental_quantizer_append(spark, emb, query):
+    """Round-3 VERDICT item 7: add_vectors APPENDS new rows encoded against
+    the EXISTING trained artifacts (no dirty->full-retrain), and the served
+    results equal a one-shot encode of the union with those same artifacts;
+    remove_vectors filters the code tables in place. The LSH model (data-
+    independent hyperplanes) keeps serving untouched."""
+    old = emb.filter(F.col("id") % 2 == 0)
+    new = emb.filter(F.col("id") % 2 == 1)
+    svc = SearchService(old, dim=64)
+    for m in ("lsh", "bq", "pq", "ivf"):
+        svc.build_index(m)
+    thr, ivf_model, pq_model, lsh_model = (
+        svc._bq_threshold, svc._ivf_model, svc._pq_model, svc._lsh_model,
+    )
+    svc.add_vectors(new)
+    # models untouched (append path, not retrain)
+    assert svc._bq_threshold == thr
+    assert svc._ivf_model is ivf_model
+    assert svc._pq_model is pq_model
+    assert svc._lsh_model is lsh_model
+    # code/assignment tables cover the union
+    assert svc._bq_codes.count() == emb.count()
+    assert svc._ivf_assigned.count() == emb.count()
+    assert svc._pq_encoded.count() == emb.count()
+
+    # served results == one-shot encode of the union with the SAME models
+    union = old.unionByName(new)
+    bq_got = [(r.id, round(r.dist, 9)) for r in svc.search(query_vec=query, k=5, method="bq").collect()]
+    bq_codes = QZ.bq_encode_table(union, 64, thr)
+    bq_want = [
+        (r.id, round(r.dist, 9))
+        for r in QZ.bq_search_precoded(union, bq_codes, query, 5, 64, thr).collect()
+    ]
+    assert bq_got == bq_want
+
+    ivf_got = [(r.id, round(r.dist, 9)) for r in svc.search(query_vec=query, k=5, method="ivf").collect()]
+    ivf_want = [
+        (r.id, round(r.dist, 9))
+        for r in IVF.ivf_search(IVF.ivf_assign(union, ivf_model), ivf_model, query, 5).collect()
+    ]
+    assert ivf_got == ivf_want
+
+    pq_got = [(r.id, round(r.dist, 9)) for r in svc.search(query_vec=query, k=5, method="pq").collect()]
+    pq_want = [
+        (r.id, round(r.dist, 9))
+        for r in QZ.pq_search_rerank(
+            union, QZ.pq_encode(union, pq_model), pq_model, query, 5, shortlist=50
+        ).collect()
+    ]
+    assert pq_got == pq_want
+
+    # removal filters the artifact tables, models stay
+    victim = int(new.first().id)
+    svc.remove_vectors([victim])
+    assert svc._bq_codes.filter(F.col("id") == victim).count() == 0
+    assert svc._ivf_assigned.filter(F.col("id") == victim).count() == 0
+    assert svc._pq_encoded.filter(F.col("id") == victim).count() == 0
+    assert svc._bq_threshold == thr and svc._ivf_model is ivf_model
+
+
 def test_cosine_neardup_approx_vs_exact(spark):
     """The embedding near-dup SCALE path: LSH-bucketed candidates at the
     exact geometric radius sqrt(2-2t), verified with true cosine — no
