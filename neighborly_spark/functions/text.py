@@ -500,18 +500,33 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
 
     Shorter-than-k texts yield an empty set; texts shorter than the first
     full window fall back to one window over whatever k-grams exist.
+
+    Evaluation shape: both the normalized text and the gram array are
+    LET-BOUND (the element_at(transform(array(x), body), 1) idiom —
+    Catalyst does not CSE across lambda bodies, so referencing the outer
+    `grams` expression inside the per-window lambda would re-hash EVERY
+    k-gram once per window: O(n^2) md5s per document. Measured at the
+    driver corpus' 300-char docs x 5k rows, the unbound form took the
+    fingerprint pass from seconds to >9 minutes). Values are unchanged —
+    the DuckDB twin stays bit-identical.
     """
-    t = normalize_text(text)
-    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
-    grams = F.when(n_grams > 0, F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: hash32(t.substr(i, F.lit(k)))
-    )).otherwise(F.array().cast("array<long>"))
-    n_win = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
-    mins = F.when(F.size(grams) > 0, F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda j: F.array_min(F.slice(grams, j, w)),
-    )).otherwise(F.array().cast("array<long>"))
-    return F.array_sort(F.array_distinct(mins))
+
+    def over_grams(grams: Column) -> Column:
+        n_win = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+        mins = F.when(F.size(grams) > 0, F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )).otherwise(F.array().cast("array<long>"))
+        return F.array_sort(F.array_distinct(mins))
+
+    def over_text(t: Column) -> Column:
+        n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+        grams = F.when(n_grams > 0, F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: hash32(t.substr(i, F.lit(k)))
+        )).otherwise(F.array().cast("array<long>"))
+        return F.element_at(F.transform(F.array(grams), over_grams), 1)
+
+    return F.element_at(F.transform(F.array(normalize_text(text)), over_text), 1)
 
 
 def winnow_fingerprints_duckdb_sql(t: str, k: int = 8, w: int = 4) -> str:

@@ -151,6 +151,34 @@ def ngram_jaccard_pairs(
         sh = sh.localCheckpoint()
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    return _index_jaccard_pairs(
+        inv, sizes, threshold, round_to, "jaccard",
+        max_df=max_df, max_df_frac=max_df_frac, max_df_floor=max_df_floor,
+        n_docs=n_docs, raw_df=df,
+    )
+
+
+def _index_jaccard_pairs(
+    inv: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    round_to: int,
+    out_col: str,
+    max_df: int | str | None = "auto",
+    max_df_frac: float = 0.01,
+    max_df_floor: int = 100,
+    n_docs: int | None = None,
+    raw_df: DataFrame | None = None,
+) -> DataFrame:
+    """Shared core of the inverted-index Jaccard operators
+    (ngram_jaccard_pairs over word shingles, winnow_neardup_pairs over
+    winnowing fingerprints): candidate pairs from a self-join of the
+    posting list ``inv`` (_id, _s), exact intersection counts with the
+    stop-token prune + bounded hot recovery (see ngram_jaccard_pairs'
+    docstring for the full contract), Jaccard against per-doc set sizes
+    ``sizes`` (_id, _n). ``raw_df`` supplies the in-plan doc count for the
+    'auto' cutoff when ``n_docs`` isn't passed (falls back to counting
+    distinct posting ids when absent)."""
 
     def count_pairs(index: DataFrame) -> DataFrame:
         """Candidate pairs + shared-shingle counts in ONE aggregation."""
@@ -185,7 +213,8 @@ def ngram_jaccard_pairs(
             # in as a broadcast 1-row aggregate of the raw df (a count
             # needing no shingling; docs with zero shingles inflate it
             # marginally — a cutoff heuristic, fine)
-            nd = df.select(F.count(F.lit(1)).alias("_nd"))
+            nd_src = raw_df if raw_df is not None else inv.select("_id").distinct()
+            nd = nd_src.select(F.count(F.lit(1)).alias("_nd"))
             cutoff_col = F.greatest(
                 F.lit(int(max_df_floor)).cast("long"),
                 F.floor(F.lit(float(max_df_frac)) * F.col("_nd")).cast("long"),
@@ -239,15 +268,15 @@ def ngram_jaccard_pairs(
         pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
         .withColumn(
-            "jaccard",
+            out_col,
             F.round(
                 F.col("_common").cast("double")
                 / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
                 round_to,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col(out_col) >= threshold)
+        .select("id_a", "id_b", out_col)
     )
 
 
@@ -605,6 +634,13 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # truncate the upstream pair-generation lineage: each propagation
+        # round joins against edges TWICE, so an expensive pairs plan (e.g.
+        # semantic_dedup's broadcast-centroid argmin) would otherwise be
+        # re-inlined multiplicatively per round — measured to OOM the
+        # driver on plan stringification alone at ~6 rounds. Edges are the
+        # pair list (bounded by the dedup candidate set), safe to pin.
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
     for _ in range(max_iter):
@@ -685,19 +721,36 @@ def winnow_neardup_pairs(
     w: int = 4,
     threshold: float = 0.5,
     round_to: int = 6,
+    max_df: int | str | None = "auto",
+    max_df_frac: float = 0.01,
+    max_df_floor: int = 100,
+    n_docs: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint Jaccard (the MOSS family —
     functions/text.winnow_fingerprints): candidate pairs from an inverted
     index over the fingerprint minima, scored by Jaccard of the two
     fingerprint SETS. Output (id_a, id_b, winnow_jaccard), id_a < id_b.
 
-    Same plan shape as ngram_jaccard_pairs' exact path, but the index is
-    ~2/(w+1) the density of the full shingle index (winnowing keeps only
-    window minima), so candidate generation is proportionally cheaper —
-    the guarantee traded for it: only substring matches of length
-    >= w + k - 1 are certain to collide. Character-level (k-grams of the
-    normalized text), so it catches near-dups word-shingle Jaccard misses
-    (reordered words, punctuation edits) and vice versa.
+    Same plan shape as ngram_jaccard_pairs — including its stop-token
+    prune: a fingerprint appearing in d docs contributes d^2 candidate
+    rows, and on a low-vocabulary corpus the SAME character k-grams (hence
+    the same window minima) recur across most documents, detonating the
+    self-join exactly like a hot shingle (measured: the unpruned form ran
+    >45 min at 5k docs on the driver corpus where the pruned form takes
+    seconds). ``max_df='auto'`` (default) derives the cutoff in-plan like
+    ngram_jaccard_pairs; surviving pairs still score EXACTLY via the
+    bounded hot-set recovery; pairs whose shared fingerprints are ALL hot
+    are missed (documented approximation — ``max_df=None`` is the exact
+    form, which equals the streaming twin's emission set). When no
+    fingerprint exceeds the cutoff the pruned plan IS the exact plan.
+
+    Versus the full shingle index: winnowing keeps ~2/(w+1) of positions,
+    so candidate generation is proportionally cheaper — the guarantee
+    traded for it: only substring matches of length >= w + k - 1 are
+    certain to collide. Character-level (k-grams of the normalized text),
+    so it catches near-dups word-shingle Jaccard misses (reordered words,
+    punctuation edits) and vice versa.
     """
     from neighborly_spark.functions.text import winnow_fingerprints
 
@@ -705,26 +758,127 @@ def winnow_neardup_pairs(
         F.col(id_col).alias("_id"),
         winnow_fingerprints(F.col(text_col), k, w).alias("_fp"),
     ).filter(F.size("_fp") > 0)
+    if materialize:
+        fps = fps.localCheckpoint()
     sizes = fps.select("_id", F.size("_fp").alias("_n"))
-    inv = fps.select("_id", F.explode("_fp").alias("_f"))
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), on="_f")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_common"))
+    inv = fps.select("_id", F.explode("_fp").alias("_s"))
+    return _index_jaccard_pairs(
+        inv, sizes, threshold, round_to, "winnow_jaccard",
+        max_df=max_df, max_df_frac=max_df_frac, max_df_floor=max_df_floor,
+        n_docs=n_docs, raw_df=df,
+    )
+
+
+# --- semantic dedup (SemDeDup: cluster-bounded embedding near-dup) -----------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding near-dup
+    where candidate pairs are generated ONLY within coarse-quantizer
+    clusters — the third scale path for cosine dedup, alongside the exact
+    crossJoin (cosine_neardup_pairs) and the LSH bucketing
+    (cosine_neardup_pairs_approx).
+
+    - cluster: nearest-centroid assignment over ``nlist`` sampled-trained
+      centroids (ivf.ivf_train_sampled, seed 42 — production path) or
+      caller-supplied ``centroids`` literals (deterministic / oracle path).
+      Assignment is the broadcast argmin Column expression of ivf_assign:
+      JVM-side sequential fold, no Python in the scan.
+    - candidates: same-cluster equi-join with id_a < id_b — sum(c_i^2)
+      pairs instead of N^2; at the paper's operating point (nlist ~
+      sqrt(N) -> E[c_i] ~ sqrt(N)) total candidates are ~N^1.5, and the
+      cluster id is a plain shuffle key (a skewed hot cluster is bounded
+      by raising nlist, which shrinks every cell).
+    - verify: exact cosine on candidates (same rounding contract as the
+      exact operator) — emitted pairs are never false positives; recall
+      misses only CROSS-cluster near-dups, the trade the paper makes
+      (near-dup pairs co-assign with high probability since assignment is
+      distance-based).
+
+    Returns (id_a, id_b, cluster, cos_sim); feed to
+    dedup_survivors_from_pairs (min-id exemplar) or
+    semantic_dedup_survivors (the paper's keep-farthest-from-centroid).
+    """
+    import numpy as np
+
+    from neighborly_spark.operators.ivf import (
+        CLUSTER_COL,
+        IVFModel,
+        _ArrayCentroids,
+        ivf_assign,
+        ivf_train_sampled,
+    )
+
+    if centroids is not None:
+        model = IVFModel(_ArrayCentroids(np.asarray(centroids, dtype=np.float64)), len(centroids))
+    elif nlist is not None:
+        model = ivf_train_sampled(df, nlist=nlist, vec_col=vec_col)
+    else:
+        raise ValueError("semantic_dedup_pairs: pass nlist= (train) or centroids= (literal)")
+    assigned = ivf_assign(df.select(id_col, vec_col), model, vec_col)
+    a = assigned.select(
+        F.col(CLUSTER_COL).alias("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col(CLUSTER_COL).alias("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
     )
     return (
-        pairs.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-        .withColumn(
-            "winnow_jaccard",
-            F.round(
-                F.col("_common").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
-                round_to,
-            ),
-        )
-        .filter(F.col("winnow_jaccard") >= threshold)
-        .select("id_a", "id_b", "winnow_jaccard")
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cluster", "cos_sim")
     )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup's exemplar rule: within each near-dup component keep the
+    member with the LOWEST cosine to its cluster centroid (the paper keeps
+    low-similarity exemplars to preserve diversity; id breaks ties).
+    Components come from connected_components over the pairs; centroid
+    similarity is a broadcast element_at + cosine projection — one shuffle
+    (the component groupBy), no Python."""
+    from pyspark.sql import Window
+
+    from neighborly_spark.operators.ivf import CLUSTER_COL, IVFModel, _ArrayCentroids, ivf_assign
+    import numpy as np
+
+    model = IVFModel(_ArrayCentroids(np.asarray(centroids, dtype=np.float64)), len(centroids))
+    assigned = ivf_assign(df, model, vec_col)
+    cents_lit = F.lit([list(map(float, c)) for c in centroids]).cast("array<array<double>>")
+    scored = assigned.withColumn(
+        "_centroid_sim",
+        cosine(F.col(vec_col), F.element_at(cents_lit, F.col(CLUSTER_COL) + 1)),
+    )
+    comps = connected_components(pairs)  # (id, component) — dup members only
+    in_comp = scored.join(comps, scored[id_col] == comps["id"]).drop("id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("_centroid_sim").asc(), F.col(id_col).asc()
+    )
+    keep_dups = (
+        in_comp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col)
+    )
+    non_dups = df.join(
+        comps.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
+    return df.join(keep_dups.unionByName(non_dups), id_col, "left_semi")

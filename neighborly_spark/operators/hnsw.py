@@ -254,9 +254,13 @@ def hnsw_build(
     return src.groupBy("part_id").applyInPandas(build, GRAPH_SCHEMA)
 
 
-def _nearest_centroid_expr(centroids: list[list[float]], vec_col: str):
+def _nearest_centroid_expr(centroids: list[list[float]], vec_col: str, part_ids: list[int] | None = None):
     """argmin-distance Column over broadcast centroid literals — JVM-side,
-    no Python in the scan (same form as ivf_assign's sampled path)."""
+    no Python in the scan (same form as ivf_assign's sampled path).
+
+    ``part_ids`` maps the argmin index through an explicit shard-id list
+    (hnsw_add routing, where centroid order comes from a sorted routing
+    table); omitted, the shard id IS the 0-based argmin index (build)."""
     cents_lit = F.lit(centroids).cast("array<array<double>>")
     dists = F.transform(
         cents_lit,
@@ -266,7 +270,10 @@ def _nearest_centroid_expr(centroids: list[list[float]], vec_col: str):
             lambda a, x: a + x,
         ),
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    pos = F.array_position(dists, F.array_min(dists))  # 1-based
+    if part_ids is None:
+        return (pos - 1).cast("int")
+    return F.element_at(F.lit([int(p) for p in part_ids]).cast("array<int>"), pos.cast("int"))
 
 
 ROUTING_SCHEMA = "part_id int, centroid array<double>, radius double, n long"
@@ -345,7 +352,7 @@ def hnsw_search(
         graph_df = graph_df.filter(F.col("part_id").isin(chosen))
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, g = _rehydrate(pdf)
+        ids, g = _rehydrate_cached(pdf)
         found = g.search(q, k, ef)
         return pd.DataFrame(
             {
@@ -377,7 +384,16 @@ def _rehydrate_cached(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
 
     ids = pdf["id"].to_numpy(dtype=np.int64)
     levels = pdf["level"].to_numpy(dtype=np.int64)
-    key = hashlib.md5(ids.tobytes() + b"|" + levels.tobytes()).digest()
+    # boundary-row embeddings ride in the digest as cheap defense-in-depth
+    # against a hand-built artifact that changes geometry while keeping
+    # (ids, levels) — O(dim) bytes, not O(rows)
+    edge = (
+        np.asarray(pdf["embedding"].iloc[0], dtype=np.float32).tobytes()
+        + np.asarray(pdf["embedding"].iloc[-1], dtype=np.float32).tobytes()
+        if len(pdf)
+        else b""
+    )
+    key = hashlib.md5(ids.tobytes() + b"|" + levels.tobytes() + b"|" + edge).digest()
     hit = _GRAPH_CACHE.pop(key, None)
     if hit is None:
         hit = _rehydrate(pdf)
@@ -441,7 +457,7 @@ def hnsw_search_batch(
         mine = qlist if shard_qids is None else [
             (qid, q) for qid, q in qlist if qid in shard_qids.get(part_id, ())
         ]
-        ids, g = _rehydrate(pdf)
+        ids, g = _rehydrate_cached(pdf)
         out_q, out_id, out_d = [], [], []
         for qid, q in mine:
             for i, d in g.search(q, k, ef):
@@ -505,16 +521,11 @@ def hnsw_add(
     """
     if routing is not None:
         rt = sorted(routing.collect(), key=lambda r: int(r["part_id"]))
-        dists = F.transform(
-            F.lit([list(map(float, r["centroid"])) for r in rt]).cast("array<array<double>>"),
-            lambda c: F.aggregate(
-                F.zip_with(F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
+        part = _nearest_centroid_expr(
+            [list(map(float, r["centroid"])) for r in rt],
+            vec_col,
+            part_ids=[int(r["part_id"]) for r in rt],
         )
-        pids = F.lit([int(r["part_id"]) for r in rt]).cast("array<int>")
-        part = F.element_at(pids, F.array_position(dists, F.array_min(dists)).cast("int"))
     else:
         # Hash the id AFTER the cast to long: hnsw_build shards on
         # pmod(murmur3(long id), n), and murmur3 of int32/string input

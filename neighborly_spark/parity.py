@@ -626,18 +626,55 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cosine_pairs",
     f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH cents AS (SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.embedding, k.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {sql_sq_euclidean('e.embedding', 'k.ce')} ASC, k.c ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents k
+),
+assigned AS (SELECT vec_id, embedding, CAST(c AS INT) AS cluster FROM scored WHERE rn = 1)
+SELECT 'brute' AS leg, a.vec_id AS id_a, b.vec_id AS id_b, CAST(-1 AS INT) AS cluster,
        round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}) >= 0.4
+UNION ALL
+SELECT 'semantic', a.vec_id, b.vec_id, a.cluster,
+       round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND})
+FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}) >= 0.4
 """.strip(),
     tags=["dedup"],
 )
 def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by cosine >= 0.4 (brute-force; LSH is the
-    scale path, see operators.lsh)."""
+    """Embedding near-dup, two legs: 'brute' = exact crossJoin pairs at
+    cosine >= 0.4 (LSH is one scale path, operators.lsh); 'semantic' =
+    SemDeDup cluster-bounded pairs (operators.dedup.semantic_dedup_pairs,
+    Abbas et al. 2023) over 8 literal centroids (the embeddings of
+    vec_id 0..7, collected ordered — deterministic, so the nearest-centroid
+    assignment is recomputed bit-for-bit in DuckDB and BOTH the cluster ids
+    and the within-cluster pair set are hash-checked, not recall-checked).
+    The semantic leg's pair set is the brute leg's minus cross-cluster
+    pairs — exactly the candidate bound SemDeDup trades for sum(c_i^2)
+    instead of N^2 work."""
     emb = load(spark, sf_dir, "embeddings")
-    return DD.cosine_neardup_pairs(emb, threshold=0.4, round_to=ROUND)
+    cents = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    brute = DD.cosine_neardup_pairs(emb, threshold=0.4, round_to=ROUND).select(
+        F.lit("brute").alias("leg"),
+        "id_a",
+        "id_b",
+        F.lit(-1).cast("int").alias("cluster"),
+        "cos_sim",
+    )
+    semantic = DD.semantic_dedup_pairs(
+        emb, threshold=0.4, centroids=cents, id_col="vec_id", round_to=ROUND
+    ).select(F.lit("semantic").alias("leg"), "id_a", "id_b", "cluster", "cos_sim")
+    return brute.unionByName(semantic)
 
 
 # ---------------------------------------------------------------------------

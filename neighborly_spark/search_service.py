@@ -168,11 +168,16 @@ class SearchService:
             self._hnsw_graph = updated
             self._refresh_hnsw_routing()
         if self._bq_codes is not None and self._bq_threshold is not None:
-            appended = self._bq_codes.unionByName(
-                QZ.bq_encode_table(
-                    new_rows, self.dim, self._bq_threshold, self.id_col, self.vec_col
-                )
-            ).cache()
+            # encode the new rows with the bare expression (no intermediate
+            # cache — bq_encode_table would cache+count a table we only read
+            # once here, orphaning it in executor memory on every add)
+            new_codes = new_rows.select(
+                F.col(self.id_col),
+                QZ.bq_encode_expr(
+                    F.col(self.vec_col), self.dim, self._bq_threshold
+                ).alias("code"),
+            )
+            appended = self._bq_codes.unionByName(new_codes).cache()
             appended.count()
             self._bq_codes.unpersist()
             self._bq_codes = appended
@@ -371,6 +376,18 @@ class SearchService:
             if self._hnsw_graph is not None:
                 from neighborly_spark.operators import hnsw as HN
 
+                if hnsw_probe_shards is not None and not self._hnsw_spatial:
+                    # the service KNOWS the layout (the standalone operator
+                    # doesn't): hash shards are spatially uniform, so probe
+                    # routing over them collapses recall (~p/num_shards —
+                    # measured 0.03-0.41 vs the 0.8 bar, docs/RECALL.md
+                    # round-4 table). Refuse rather than silently serve it.
+                    raise ValueError(
+                        "hnsw_probe_shards requires a spatial graph layout: "
+                        "build_index('hnsw', spatial=True). The current hash "
+                        "layout must be searched exhaustively "
+                        "(hnsw_probe_shards=None)."
+                    )
                 if hnsw_probe_shards is not None and self._hnsw_routing is None:
                     self._refresh_hnsw_routing()  # e.g. snapshot-loaded graph
                 hits = HN.hnsw_search(

@@ -731,13 +731,16 @@ def streaming_winnow_neardup(
     Python invocation overhead dominates (measured: >20 min at 500 docs vs
     ~3 min for the minhash twin with its 4 bands). Instead the inverted
     index shards into ``n_buckets`` groups by pmod(fingerprint, n_buckets);
-    each group's state holds its shard of the posting list (fingerprint,
-    id, fingerprint-set) and each arrival compares only against stored
-    entries with the SAME fingerprint. Work and emissions are identical to
-    the per-fingerprint keying — only the group granularity changes (the
-    same trick a production system uses to cap state-store key count). A
-    production continuous run would cap state with a timeout like
-    streaming_dedup's TTL.
+    each group's state holds its shard of the posting list and each arrival
+    compares only against stored entries with the SAME fingerprint. Work
+    and emissions are identical to the per-fingerprint keying — only the
+    group granularity changes (the same trick a production system uses to
+    cap state-store key count). State is NORMALIZED within a bucket: a
+    per-bucket doc table (id -> fingerprint set, serialized ONCE) plus a
+    (fingerprint -> id) posting list — storing the set inline per posting
+    would amplify state ~f-fold for a doc with f fingerprints in the
+    bucket (round-4 ADVICE). A production continuous run would cap state
+    with a timeout like streaming_dedup's TTL.
     """
     from neighborly_spark.functions.text import winnow_fingerprints
 
@@ -752,19 +755,25 @@ def streaming_winnow_neardup(
 
     state_schema = StructType(
         [
-            StructField("fps", ArrayType(LongType()), True),
-            StructField("ids", ArrayType(LongType()), True),
-            StructField("sets", ArrayType(ArrayType(LongType())), True),
+            StructField("post_f", ArrayType(LongType()), True),
+            StructField("post_i", ArrayType(LongType()), True),
+            StructField("doc_ids", ArrayType(LongType()), True),
+            StructField("doc_sets", ArrayType(ArrayType(LongType())), True),
         ]
     )
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        # postings[f] = list of (id, frozenset) already in this shard
-        postings: dict[int, list[tuple[int, frozenset]]] = {}
+        # postings[f] = ids already posted under f in this shard;
+        # doc_sets[id] = the doc's full fingerprint set, stored ONCE per
+        # bucket regardless of how many of its fingerprints land here
+        postings: dict[int, list[int]] = {}
+        doc_sets: dict[int, frozenset] = {}
         if state.exists:
             prev = state.get
-            for f, i, s in zip(prev[0] or [], prev[1] or [], prev[2] or []):
-                postings.setdefault(int(f), []).append((int(i), frozenset(int(x) for x in s)))
+            for f, i in zip(prev[0] or [], prev[1] or []):
+                postings.setdefault(int(f), []).append(int(i))
+            for i, s in zip(prev[2] or [], prev[3] or []):
+                doc_sets[int(i)] = frozenset(int(x) for x in s)
         out_a, out_b, out_c, out_na, out_nb = [], [], [], [], []
         arrived = 0
         for pdf in pdfs:
@@ -773,10 +782,13 @@ def streaming_winnow_neardup(
             for f, did, fparr in zip(pdf["_f"].values, pdf["_id"].values, pdf["_fp"].values):
                 f, did = int(f), int(did)
                 plist = postings.setdefault(f, [])
-                if any(oid == did for oid, _ in plist):
+                if did in plist:
                     continue  # replay of a posting already stored
-                new_set = frozenset(int(x) for x in fparr)
-                for oid, oset in plist:
+                new_set = doc_sets.get(did)
+                if new_set is None:
+                    new_set = frozenset(int(x) for x in fparr)
+                for oid in plist:
+                    oset = doc_sets[oid]
                     common = len(new_set & oset)
                     union = len(new_set) + len(oset) - common
                     if union:  # threshold applied in the plan
@@ -787,16 +799,17 @@ def streaming_winnow_neardup(
                         out_c.append(common)
                         out_na.append(len(sa))
                         out_nb.append(len(sb))
-                plist.append((did, new_set))
+                plist.append(did)
+                doc_sets[did] = new_set
                 arrived += 1
         if arrived:
-            flat_f, flat_i, flat_s = [], [], []
+            flat_f, flat_i = [], []
             for f in sorted(postings):
-                for i, s in postings[f]:
+                for i in postings[f]:
                     flat_f.append(f)
                     flat_i.append(i)
-                    flat_s.append(sorted(s))
-            state.update((flat_f, flat_i, flat_s))
+            d_ids = sorted(doc_sets)
+            state.update((flat_f, flat_i, d_ids, [sorted(doc_sets[i]) for i in d_ids]))
         if out_a:
             yield pd.DataFrame(
                 {"id_a": out_a, "id_b": out_b, "_common": out_c, "_na": out_na, "_nb": out_nb}

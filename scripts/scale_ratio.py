@@ -41,12 +41,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
+    import math
+
     from neighborly_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        semantic_dedup_pairs,
         simhash_pairs,
         winnow_neardup_pairs,
     )
+    from neighborly_spark.operators.ivf import ivf_train_sampled
     from neighborly_spark.operators.hnsw import hnsw_build, hnsw_search
     from neighborly_spark.operators.knn import knn_join_vectorized
 
@@ -75,13 +79,25 @@ def main() -> None:
         )
         n_vec = vec.count()
 
+        # SemDeDup coarse quantizer: sampled trainer (constant cost in N)
+        # runs once per size untimed — the timed op is assign + within-
+        # cluster join + verify; nlist follows the paper's sqrt(N) rule
+        sem_cents = ivf_train_sampled(
+            vec, nlist=max(8, int(math.sqrt(n_vec))), vec_col="embedding"
+        ).centroids
+
         ops = {
             "dedup_minhash": lambda: minhash_lsh_pairs(docs, threshold=0.3, materialize=True),
             "dedup_simhash": lambda: simhash_pairs(docs, max_hamming=3, materialize=True),
             "dedup_jaccard": lambda: ngram_jaccard_pairs(
                 docs, threshold=0.3, materialize=True, n_docs=n_docs
             ),
-            "dedup_winnow": lambda: winnow_neardup_pairs(docs, threshold=0.3),
+            "dedup_winnow": lambda: winnow_neardup_pairs(
+                docs, threshold=0.3, n_docs=n_docs, materialize=True
+            ),
+            "dedup_semantic": lambda: semantic_dedup_pairs(
+                vec, threshold=0.9, centroids=sem_cents, id_col="id"
+            ),
             "knn_join_32q": lambda: knn_join_vectorized(
                 vec,
                 vec.limit(32).select(
@@ -95,7 +111,7 @@ def main() -> None:
             t0 = time.perf_counter()
             out_rows = _force(build())
             sec = time.perf_counter() - t0
-            rows_in = n_docs if op.startswith("dedup") else n_vec
+            rows_in = n_docs if (op.startswith("dedup") and op != "dedup_semantic") else n_vec
             results.append((op, label, rows_in, out_rows, sec))
 
         # HNSW: build timed separately from search (index-build vs query cost);

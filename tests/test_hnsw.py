@@ -379,3 +379,37 @@ def test_reference_benchmark_shapes(spark, n, dim):
     assert build_sec < 120  # the reference asserts <30s single-node; generous CI margin
     g.unpersist()
     emb.unpersist()
+
+
+def test_service_refuses_probe_on_hash_layout(spark, emb):
+    """Round-4 ADVICE: the service knows the graph layout; probe routing
+    over hash shards collapses recall (~p/num_shards, docs/RECALL.md
+    round-4 table), so search(hnsw_probe_shards=p) on a non-spatial build
+    must refuse instead of silently serving 0.03-0.41 recall."""
+    from neighborly_spark.search_service import SearchService
+
+    svc = SearchService(emb, dim=64)
+    svc.build_index("hnsw")  # hash layout
+    q = list(emb.first().embedding)
+    with pytest.raises(ValueError, match="spatial"):
+        svc.search(query_vec=q, k=5, method="hnsw", hnsw_probe_shards=1)
+    # exhaustive search still serves
+    assert svc.search(query_vec=q, k=5, method="hnsw").count() == 5
+
+
+def test_rehydrate_cache_serves_and_invalidates(spark, emb, graph):
+    """Round-4 ADVICE: the per-worker graph LRU is wired into the search
+    paths. Repeat searches hit the cache (same results as a cold run) and
+    a mutated graph (different membership) is never served stale —
+    the digest key covers (ids, levels)."""
+    from neighborly_spark.operators.hnsw import hnsw_remove
+
+    q = list(emb.first().embedding)
+    cold = [(r.id, round(r.dist, 9)) for r in hnsw_search(graph, q, 10).collect()]
+    warm = [(r.id, round(r.dist, 9)) for r in hnsw_search(graph, q, 10).collect()]
+    assert warm == cold
+
+    removed_id = cold[0][0]
+    g2 = hnsw_remove(graph, [removed_id])
+    after = {r.id for r in hnsw_search(g2, q, 10).collect()}
+    assert removed_id not in after  # stale cached shard would still serve it

@@ -156,3 +156,79 @@ def test_jaccard_hot_recovery_exact_on_forced_hot_shingles(spark):
     assert set(pruned) <= set(exact)
     for pair, j in pruned.items():
         assert j == exact[pair]
+
+
+def test_semantic_dedup_semantics(spark):
+    """SemDeDup (operators.dedup.semantic_dedup_pairs): the cluster-bounded
+    pair set is exactly the brute pair set minus cross-cluster pairs, and
+    the survivor rule keeps, per component, the member with the LOWEST
+    cosine to its cluster centroid (Abbas et al. 2023 exemplar choice)."""
+    from neighborly_spark.operators.dedup import (
+        cosine_neardup_pairs,
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+    from neighborly_spark.operators.ivf import CLUSTER_COL, IVFModel, _ArrayCentroids, ivf_assign
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from neighborly_spark.parity import load
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").cache()
+    cents = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    brute = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(emb, threshold=0.3, round_to=6).collect()
+    }
+    sem = semantic_dedup_pairs(emb, threshold=0.3, centroids=cents, round_to=6)
+    sem_rows = sem.collect()
+    sem_pairs = {(r.id_a, r.id_b) for r in sem_rows}
+    assert sem_pairs <= brute  # verify step: never a false positive
+    # every emitted pair really is same-cluster
+    model = IVFModel(_ArrayCentroids(np.asarray(cents, dtype=np.float64)), len(cents))
+    cluster = {
+        r.vec_id: r[CLUSTER_COL] for r in ivf_assign(emb, model).collect()
+    }
+    assert all(cluster[r.id_a] == cluster[r.id_b] == r.cluster for r in sem_rows)
+    # dropped pairs are exactly the cross-cluster ones
+    assert brute - sem_pairs == {
+        (a, b) for a, b in brute if cluster[a] != cluster[b]
+    }
+
+    # survivors: one exemplar per component + all non-dup rows, and each
+    # component's exemplar minimizes centroid cosine (ties -> min id)
+    surv = semantic_dedup_survivors(emb, sem, cents)
+    kept = {r.vec_id for r in surv.select("vec_id").collect()}
+    from neighborly_spark.operators.dedup import connected_components
+
+    comps = connected_components(sem).collect()
+    by_comp: dict = {}
+    for r in comps:
+        by_comp.setdefault(r.component, []).append(r.id)
+    from neighborly_spark.functions.distance import cosine as cos_col
+
+    sim = {
+        r.vec_id: r.s
+        for r in ivf_assign(emb, model)
+        .withColumn(
+            "s",
+            cos_col(
+                F.col("embedding"),
+                F.element_at(
+                    F.lit([list(map(float, c)) for c in cents]).cast("array<array<double>>"),
+                    F.col(CLUSTER_COL) + 1,
+                ),
+            ),
+        )
+        .select("vec_id", "s")
+        .collect()
+    }
+    dup_ids = {i for ids in by_comp.values() for i in ids}
+    for ids in by_comp.values():
+        expect = min(ids, key=lambda i: (sim[i], i))
+        assert set(ids) & kept == {expect}
+    assert kept - dup_ids == {r.vec_id for r in emb.collect()} - dup_ids
+    emb.unpersist()
