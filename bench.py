@@ -200,9 +200,11 @@ def bench_dedup_semantic(spark, sf_dir):
     """SemDeDup (cluster-bounded cosine near-dup) at the documents' native
     size: doc embeddings + sampled-Lloyd centroids build once untimed
     (index-build treatment, like the LSH/IVF/BQ fits); the timed run is
-    nearest-centroid assign + within-cluster equi-join + exact-cosine
-    verify — the sum(c_i^2) candidate shape that replaces the N^2
-    crossJoin."""
+    the BLAS throughput tier — vectorized nearest-centroid assign + one
+    blocked row-normalized matmul per cluster — the sum(c_i^2) candidate
+    shape that replaces the N^2 crossJoin (the exact-HOF tier is the
+    oracle leg of the dedup_cosine_pairs gate; measured ~12x slower here,
+    same pair set — test-gated)."""
     import math
 
     from neighborly_spark.operators.dedup import semantic_dedup_pairs
@@ -220,7 +222,7 @@ def bench_dedup_semantic(spark, sf_dir):
         # within-cluster candidates at ~N^1.5 total
         _STATE["sem_cents"] = ivf_train_sampled(emb, nlist=max(8, int(math.sqrt(n)))).centroids
     return semantic_dedup_pairs(
-        _STATE["sem_emb"], threshold=0.9, centroids=_STATE["sem_cents"]
+        _STATE["sem_emb"], threshold=0.9, centroids=_STATE["sem_cents"], engine="blas"
     )
 
 

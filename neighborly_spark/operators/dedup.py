@@ -780,6 +780,8 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    engine: str = "exact",
+    materialize: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding near-dup
     where candidate pairs are generated ONLY within coarse-quantizer
@@ -790,18 +792,35 @@ def semantic_dedup_pairs(
     - cluster: nearest-centroid assignment over ``nlist`` sampled-trained
       centroids (ivf.ivf_train_sampled, seed 42 — production path) or
       caller-supplied ``centroids`` literals (deterministic / oracle path).
-      Assignment is the broadcast argmin Column expression of ivf_assign:
-      JVM-side sequential fold, no Python in the scan.
-    - candidates: same-cluster equi-join with id_a < id_b — sum(c_i^2)
+    - candidates: same-cluster pairing with id_a < id_b — sum(c_i^2)
       pairs instead of N^2; at the paper's operating point (nlist ~
       sqrt(N) -> E[c_i] ~ sqrt(N)) total candidates are ~N^1.5, and the
       cluster id is a plain shuffle key (a skewed hot cluster is bounded
       by raising nlist, which shrinks every cell).
-    - verify: exact cosine on candidates (same rounding contract as the
-      exact operator) — emitted pairs are never false positives; recall
-      misses only CROSS-cluster near-dups, the trade the paper makes
-      (near-dup pairs co-assign with high probability since assignment is
-      distance-based).
+    - verify: exact cosine on candidates — emitted pairs are never false
+      positives; recall misses only CROSS-cluster near-dups, the trade
+      the paper makes (near-dup pairs co-assign with high probability
+      since assignment is distance-based).
+
+    Two engines over the identical candidate set:
+
+    - ``engine='exact'`` (oracle tier): assignment is the broadcast argmin
+      Column expression of ivf_assign and the verify is the sequential-fold
+      ``cosine`` — both DuckDB-replicable bit-for-bit, the tier the
+      correctness gate hash-checks. Cost is interpreted-HOF: O(nlist*dim)
+      per row assign + O(dim) per candidate pair.
+    - ``engine='blas'`` (throughput tier — the paper's own computation
+      shape): one grouped applyInPandas per cluster does a blocked
+      row-normalized matmul (block x members per step, so peak memory is
+      O(block*c + c*dim), never the c x c similarity matrix) and emits
+      only pairs >= threshold; assignment is ivf_assign_vectorized's
+      mapInPandas argmin-matmul. float32 BLAS values can differ from the
+      fold in the last ulp, so near-threshold boundary pairs may differ
+      from the exact tier (test-gated to agree away from the boundary);
+      measured ~10x the exact tier at sf0.1 and the gap widens with dim.
+
+    ``materialize`` localCheckpoints the assigned table (exact engine) so
+    the argmin scan runs once instead of once per join side.
 
     Returns (id_a, id_b, cluster, cos_sim); feed to
     dedup_survivors_from_pairs (min-id exemplar) or
@@ -814,6 +833,7 @@ def semantic_dedup_pairs(
         IVFModel,
         _ArrayCentroids,
         ivf_assign,
+        ivf_assign_vectorized,
         ivf_train_sampled,
     )
 
@@ -823,7 +843,17 @@ def semantic_dedup_pairs(
         model = ivf_train_sampled(df, nlist=nlist, vec_col=vec_col)
     else:
         raise ValueError("semantic_dedup_pairs: pass nlist= (train) or centroids= (literal)")
+
+    if engine == "blas":
+        return _semantic_pairs_blas(
+            df.select(id_col, vec_col), model, threshold, id_col, vec_col, round_to
+        )
+    if engine != "exact":
+        raise ValueError(f"semantic_dedup_pairs: unknown engine {engine!r}")
+
     assigned = ivf_assign(df.select(id_col, vec_col), model, vec_col)
+    if materialize:
+        assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col(CLUSTER_COL).alias("cluster"),
         F.col(id_col).alias("id_a"),
@@ -841,6 +871,76 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cluster", "cos_sim")
     )
+
+
+def _semantic_pairs_blas(
+    df: DataFrame,
+    model,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    block: int = 1024,
+) -> DataFrame:
+    """BLAS tier of semantic_dedup_pairs: vectorized assign, then ONE
+    grouped applyInPandas per cluster. Within a cluster of c members the
+    UDF normalizes rows once (c x dim float64) and walks the pair
+    upper-triangle in row blocks — each step is a (block x dim)@(dim x c)
+    matmul masked to j > i, so only >=-threshold survivors ever
+    materialize as rows and peak memory is O(block*c + c*dim), independent
+    of the pair count. Cluster size (hence per-task memory) is bounded by
+    raising nlist, which shrinks every cell — the same knob that bounds
+    the candidate count."""
+    import numpy as np
+    import pandas as pd
+
+    from neighborly_spark.operators.ivf import CLUSTER_COL, ivf_assign_vectorized
+
+    assigned = ivf_assign_vectorized(df, model, vec_col)
+    out_schema = "id_a long, id_b long, cluster int, cos_sim double"
+
+    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cluster": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cluster": "int32", "cos_sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((x * x).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine defined 0 vs everything
+        xn = x / norms[:, None]
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = np.round(xn[lo:hi] @ xn.T, round_to)  # (hi-lo) x n
+            # round BEFORE thresholding — the exact tier's filter contract
+            # (a raw 0.8999996 at round_to=6 IS >= 0.9 after rounding)
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = cols > (rows + lo)  # strict upper triangle, absolute index
+            rows, cols = rows[keep], cols[keep]
+            if rows.size:
+                ia, ib = ids[rows + lo], ids[cols]
+                swap = ia > ib  # id_a < id_b contract regardless of row order
+                ia2 = np.where(swap, ib, ia)
+                ib2 = np.where(swap, ia, ib)
+                out_a.append(ia2)
+                out_b.append(ib2)
+                out_s.append(sims[rows, cols])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cluster": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cluster": "int32", "cos_sim": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cluster": np.full(sum(a.size for a in out_a), int(key[0]), dtype=np.int32),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    return assigned.groupBy(CLUSTER_COL).applyInPandas(per_cluster, out_schema)
 
 
 def semantic_dedup_survivors(

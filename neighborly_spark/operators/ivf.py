@@ -124,6 +124,43 @@ def ivf_assign(df: DataFrame, model: IVFModel, vec_col: str = "embedding") -> Da
     )
 
 
+def ivf_assign_vectorized(df: DataFrame, model: IVFModel, vec_col: str = "embedding") -> DataFrame:
+    """Throughput twin of ivf_assign for driver-trained models: mapInPandas
+    argmin over the broadcast centroid matrix — one (batch x dim)@(dim x
+    nlist) matmul per Arrow batch via ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2
+    (||x||^2 is constant per row, dropped). The interpreted-HOF argmin of
+    ivf_assign costs O(nlist*dim) lambda evaluations PER ROW, which at
+    nlist ~ sqrt(N) dominates the scan (measured 2.4 s for 5k rows x 70
+    centroids x dim 64 vs ~0.1 s here); HOF stays the oracle tier (exact
+    sequential-fold floats, DuckDB-replicable). Ties: both argmins take the
+    FIRST minimal index, but last-ulp float differences can flip a
+    near-tie — the approximate tiers that consume this documented that."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cents = np.asarray(model.centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)  # ||c||^2, nlist
+    out_fields = df.schema.fieldNames() + [CLUSTER_COL]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                d = c_sq[None, :] - 2.0 * (x @ cents.T)
+                pdf = pdf.assign(**{CLUSTER_COL: np.argmin(d, axis=1).astype(np.int32)})
+            else:
+                pdf = pdf.assign(**{CLUSTER_COL: pd.Series([], dtype="int32")})
+            yield pdf[out_fields]
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # build a FRESH StructType — StructType.add mutates in place, and
+    # df.schema can be the plan's cached instance
+    schema = StructType(list(df.schema.fields) + [StructField(CLUSTER_COL, IntegerType())])
+    return df.mapInPandas(assign, schema)
+
+
 def ivf_write(df_assigned: DataFrame, path: str) -> None:
     """Materialize the IVF layout: parquet partitioned by cluster id, so a
     cluster filter is partition pruning (zero I/O for unprobed clusters)."""

@@ -232,3 +232,45 @@ def test_semantic_dedup_semantics(spark):
         assert set(ids) & kept == {expect}
     assert kept - dup_ids == {r.vec_id for r in emb.collect()} - dup_ids
     emb.unpersist()
+
+
+def test_semantic_dedup_blas_tier_agrees_with_exact(spark):
+    """The BLAS throughput tier (vectorized assign + per-cluster blocked
+    matmul) emits the same pair set and 6dp values as the exact-HOF oracle
+    tier away from the rounding boundary, and ivf_assign_vectorized agrees
+    with the HOF argmin row-for-row."""
+    from neighborly_spark.operators.dedup import semantic_dedup_pairs
+    from neighborly_spark.operators.ivf import (
+        CLUSTER_COL,
+        ivf_assign,
+        ivf_assign_vectorized,
+        ivf_train_sampled,
+    )
+
+    from neighborly_spark.parity import load
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").cache()
+    model = ivf_train_sampled(emb, nlist=16)
+
+    hof = {r.vec_id: r[CLUSTER_COL] for r in ivf_assign(emb, model).collect()}
+    vec = {r.vec_id: r[CLUSTER_COL] for r in ivf_assign_vectorized(emb, model).collect()}
+    assert hof == vec
+
+    exact = {
+        (r.id_a, r.id_b): (r.cluster, r.cos_sim)
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.3, centroids=model.centroids, materialize=True
+        ).collect()
+    }
+    blas = {
+        (r.id_a, r.id_b): (r.cluster, r.cos_sim)
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.3, centroids=model.centroids, engine="blas"
+        ).collect()
+    }
+    assert set(exact) == set(blas)
+    assert exact  # non-trivial
+    for k, (cl, cs) in exact.items():
+        assert blas[k][0] == cl
+        assert abs(blas[k][1] - cs) <= 2e-6
+    emb.unpersist()
