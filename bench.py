@@ -174,6 +174,41 @@ def bench_hnsw_150k(spark, sf_dir):
     return hnsw_search(_STATE["hnsw"], QUERY_VEC, 10)
 
 
+def bench_pq_150k(spark, sf_dir):
+    """PQ at its serving default (the rerank tier, search_service method
+    'pq'): codebook + code table build once untimed (index artifacts,
+    like the LSH/IVF/BQ fits); the timed query is the ADC pass over the
+    m-byte code table plus the exact rerank of the shortlist via an id
+    join (the only float-table rows touched)."""
+    from neighborly_spark.operators.quantization import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train_sampled,
+    )
+
+    vec = _synth_vectors(spark, sf_dir)
+    if "pq" not in _STATE:
+        model = pq_train_sampled(vec, dim=64, m=8)
+        encoded = pq_encode(vec, model).select("id", "pq_code").cache()
+        encoded.count()
+        _STATE["pq"] = (model, encoded)
+    model, encoded = _STATE["pq"]
+    return pq_search_rerank(vec, encoded, model, QUERY_VEC, 10, shortlist=50)
+
+
+def bench_dedup_winnow(spark, sf_dir):
+    """Winnowing-fingerprint near-dup (MOSS family) — completes the dedup
+    bench family (exact hash dedup is inside the gate timings; minhash /
+    simhash / jaccard / semantic / winnow are each timed here). Auto
+    stop-fingerprint prune with the cached doc count as a stats hint,
+    same treatment as bench_dedup_jaccard."""
+    from neighborly_spark.operators.dedup import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(
+        _docs(spark, sf_dir), threshold=0.3, materialize=True, n_docs=_STATE["n_docs"]
+    )
+
+
 def bench_dedup_minhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import minhash_lsh_pairs
 
@@ -245,11 +280,13 @@ BENCH_LOCAL = {
     "lsh_ann_150k": bench_lsh_ann_150k,
     "ivf_probe_150k": bench_ivf_150k,
     "bq_search_150k": bench_bq_150k,
+    "pq_search_150k": bench_pq_150k,
     "hnsw_search_150k": bench_hnsw_150k,
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,
     "dedup_semantic_docs": bench_dedup_semantic,
+    "dedup_winnow_docs": bench_dedup_winnow,
 }
 
 #: Oracle-checked queries worth timing at their native size.

@@ -982,3 +982,108 @@ def semantic_dedup_survivors(
         comps.select(F.col("id").alias(id_col)), id_col, "left_anti"
     ).select(id_col)
     return df.join(keep_dups.unionByName(non_dups), id_col, "left_semi")
+
+
+# --- cross-document line dedup (C4 / RefinedWeb discipline) ------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated-LINE removal — the C4/RefinedWeb cleanup
+    the page-level dedup family can't express: boilerplate lines (nav
+    menus, cookie banners, license headers) recur across otherwise-unique
+    pages, so they must be removed at line granularity while the documents
+    themselves survive.
+
+    A line is a duplicate when its trimmed text appears in >= ``min_docs``
+    DISTINCT documents. ``keep_first=False`` (RefinedWeb-style) removes
+    every occurrence; ``keep_first=True`` (C4-style "keep one occurrence")
+    retains it in the document with the smallest id. Lines shorter than
+    ``min_line_chars`` after trimming are never removal candidates (and the
+    empty line in particular would otherwise be a mega-hot join key).
+
+    Returns (id_col, text, n_lines, n_removed) with ``text`` rebuilt from
+    the surviving lines in original order — documents whose every line is
+    removed survive with empty text (the caller decides whether to drop
+    them; a length filter downstream is the usual move).
+
+    Scale shape: two shuffles. (1) the per-line-hash aggregate
+    (count-distinct docs + min doc id) with map-side partial aggregation;
+    (2) the doc-key rebuild. The counts table joins back on the line hash
+    — a plain shuffle hash join whose skew (a boilerplate line in millions
+    of docs) is one hot KEY on the build side but count-1 rows, so AQE's
+    skew-join split handles the probe side. Everything is JVM expressions;
+    no Python, no windows.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lh", F.xxhash64(F.trim(F.col("_line"))))
+    eligible = F.length(F.trim(F.col("_line"))) >= min_line_chars
+    counts = (
+        lines.filter(eligible)
+        .groupBy("_lh")
+        .agg(F.count_distinct(F.col("_id")).alias("_ndocs"), F.min("_id").alias("_first"))
+        .filter(F.col("_ndocs") >= min_docs)
+    )
+    # left join: non-candidate lines (no row in counts) always survive
+    tagged = lines.join(counts, "_lh", "left")
+    drop = eligible & F.col("_ndocs").isNotNull()
+    if keep_first:
+        drop = drop & (F.col("_id") != F.col("_first"))
+    rebuilt = (
+        tagged.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(drop.cast("long")).alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~drop, F.struct(F.col("_pos"), F.col("_line")))
+                        )
+                    ),
+                    lambda s: s._line,
+                ),
+            ).alias("text"),
+        )
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col), "text", "n_lines", "n_removed"
+    )
+
+
+def duplicated_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+    top_n: int = 20,
+) -> DataFrame:
+    """Report tier of line_dedup: the ``top_n`` most-duplicated lines with
+    their document frequency and total occurrence count — the audit a
+    pipeline runs before choosing min_docs. One aggregate + top-k
+    (TakeOrderedAndProject); no join back, no rebuild."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    ).select("_id", F.trim(F.col("_line")).alias("line"))
+    return (
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(
+            F.count_distinct(F.col("_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("line").asc())
+        .limit(top_n)
+    )

@@ -830,3 +830,105 @@ def streaming_winnow_neardup(
             round_to,
         ),
     ).filter(F.col("winnow_jaccard") >= threshold).select("id_a", "id_b", "winnow_jaccard")
+
+
+def streaming_semantic_neardup(
+    stream_df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of operators.dedup.semantic_dedup_pairs (SemDeDup) —
+    completes the streaming dedup family (exact, MinHash, SimHash,
+    winnowing, semantic): near-dup pairs surface AS VECTORS ARRIVE.
+
+    Same structure as the batch exact tier: nearest-centroid assignment is
+    the identical broadcast argmin Column expression (ivf_assign over
+    literal centroids — in-plan, so batch and stream assign identically),
+    and the CLUSTER is the state key — the streaming analogue of the batch
+    cluster-key shuffle, bounding comparisons at sum(c_i^2) exactly like
+    the batch candidate join. Each arrival is compared against every
+    member already in its cluster (state + earlier same-batch arrivals in
+    ascending-id order so twin runs agree).
+
+    Float discipline: the stateful fn emits only the PAIR and both stored
+    float32 vectors; cosine + round + threshold run in the Spark plan
+    downstream, so emitted values are bit-identical to the batch exact
+    tier (the same sequential-fold expression) — the same trick the
+    Jaccard twins use by emitting integer components. State per cluster =
+    (ids, vectors), the rows the batch shuffle groups; a production
+    continuous run would cap state with a timeout like streaming_dedup's
+    TTL (here the cluster population is the index itself, so the real
+    bound is nlist — raising it shrinks every cell).
+    """
+    from pyspark.sql.types import FloatType
+
+    from neighborly_spark.functions.distance import cosine
+    from neighborly_spark.operators.ivf import CLUSTER_COL, IVFModel, _ArrayCentroids, ivf_assign
+
+    import numpy as np
+
+    model = IVFModel(_ArrayCentroids(np.asarray(centroids, dtype=np.float64)), len(centroids))
+    assigned = ivf_assign(
+        stream_df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).cast("array<float>").alias("_v"),
+        ),
+        model,
+        "_v",
+    )
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType()), True),
+            StructField("vecs", ArrayType(ArrayType(FloatType())), True),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev = state.get
+            ids = list(prev[0]) if prev[0] is not None else []
+            vecs = [list(v) for v in prev[1]] if prev[1] is not None else []
+        else:
+            ids, vecs = [], []
+        out_a, out_b, out_va, out_vb = [], [], [], []
+        arrived = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("_id")
+            for did, varr in zip(pdf["_id"].values, pdf["_v"].values):
+                did = int(did)
+                if did in ids:
+                    continue  # replay of a vector already in the cluster
+                v = [float(x) for x in varr]
+                for oid, ov in zip(ids, vecs):
+                    a, b = (oid, did) if oid < did else (did, oid)
+                    va, vb = (ov, v) if oid < did else (v, ov)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_va.append(va)
+                    out_vb.append(vb)
+                ids.append(did)
+                vecs.append(v)
+                arrived += 1
+        if arrived:
+            state.update((ids, vecs))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "_va": out_va, "_vb": out_vb})
+
+    raw = assigned.groupBy(CLUSTER_COL).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "id_a long, id_b long, _va array<float>, _vb array<float>"
+        ),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        raw.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -96,7 +96,7 @@ def main() -> None:
                 docs, threshold=0.3, n_docs=n_docs, materialize=True
             ),
             "dedup_semantic": lambda: semantic_dedup_pairs(
-                vec, threshold=0.9, centroids=sem_cents, id_col="id"
+                vec, threshold=0.9, centroids=sem_cents, id_col="id", engine="blas"
             ),
             "knn_join_32q": lambda: knn_join_vectorized(
                 vec,

@@ -529,3 +529,66 @@ def test_streaming_winnow_neardup_matches_batch(spark, tmp_path):
 
     got = {(r.id_a, r.id_b, r.winnow_jaccard) for r in final.distinct().collect()}
     assert got == batch
+
+
+def test_streaming_semantic_neardup_matches_batch(spark, tmp_path):
+    """streaming_semantic_neardup twin (SemDeDup): pair emissions over
+    hash-split arrivals with a checkpoint restart between them equal the
+    batch exact tier — same literal-centroid assignment (shared Column
+    expression), same cluster-bounded comparisons, and bit-identical
+    cos_sim values (cosine+round run in the plan on the stored float32
+    vectors, not in Python)."""
+    from neighborly_spark.operators.dedup import semantic_dedup_pairs
+    from neighborly_spark.streaming.stateful import streaming_semantic_neardup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    batch = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.3, centroids=cents, materialize=True
+        ).collect()
+    }
+    assert batch  # fixture produces near-dups at this threshold
+
+    landing = tmp_path / "vecs"
+    landing.mkdir()
+
+    def stage(phase, pred):
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"b{phase}")
+        )
+
+    def run():
+        stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+            str(landing / "*")
+        )
+        out = streaming_semantic_neardup(stream, cents, threshold=0.3)
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stage(0, F.xxhash64("vec_id") % 2 == 0)
+        run()
+        stage(1, F.xxhash64("vec_id") % 2 != 0)
+        final = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in final.distinct().collect()}
+    assert got == batch
