@@ -181,15 +181,15 @@ def bench_pq_150k(spark, sf_dir):
     m-byte code table plus the exact rerank of the shortlist via an id
     join (the only float-table rows touched)."""
     from neighborly_spark.operators.quantization import (
-        pq_encode,
+        pq_encode_vectorized,
         pq_search_rerank,
         pq_train_sampled,
     )
 
     vec = _synth_vectors(spark, sf_dir)
     if "pq" not in _STATE:
-        model = pq_train_sampled(vec, dim=64, m=8)
-        encoded = pq_encode(vec, model).select("id", "pq_code").cache()
+        model = pq_train_sampled(vec, dim=64, m=8, max_iter=25)
+        encoded = pq_encode_vectorized(vec, model).select("id", "pq_code").cache()
         encoded.count()
         _STATE["pq"] = (model, encoded)
     model, encoded = _STATE["pq"]
@@ -205,7 +205,13 @@ def bench_dedup_winnow(spark, sf_dir):
     from neighborly_spark.operators.dedup import winnow_neardup_pairs
 
     return winnow_neardup_pairs(
-        _docs(spark, sf_dir), threshold=0.3, materialize=True, n_docs=_STATE["n_docs"]
+        _docs(spark, sf_dir),
+        threshold=0.3,
+        materialize=True,
+        n_docs=_STATE["n_docs"],
+        # hashlib tier: bit-identical fingerprints to the expression tier
+        # (test-gated) without the per-k-gram interpreted-HOF overhead
+        engine="python",
     )
 
 

@@ -529,6 +529,72 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     return F.element_at(F.transform(F.array(normalize_text(text)), over_text), 1)
 
 
+def winnow_fingerprints_table(
+    df, id_col: str, text_col: str, k: int = 8, w: int = 4, out_col: str = "_fp"
+):
+    """Throughput twin of the winnow_fingerprints Column expression:
+    mapInPandas computing the SAME selection with the SAME hash — Python
+    hashlib.md5 produces byte-identical digests to Spark's md5, so the
+    fingerprint sets are equal element-for-element (test-gated on the real
+    corpus), unlike the recall-gated vectorized ANN tiers.
+
+    Why it exists: the expression tier evaluates ~len(text) interpreted-HOF
+    lambdas per document, each an md5 + conv — measured 6.7 s of the 10.9 s
+    winnow pass at the 5k-doc bench tier, all of it lambda-interpreter
+    overhead. Here the per-doc loop is a C-speed hashlib call per k-gram
+    plus one numpy sliding-window min — same O(len) work, ~10x less
+    constant. Arrow-batched, no shuffle, embarrassingly parallel: the right
+    shape at 100 TB where fingerprinting is a map-only pass.
+
+    Returns (id_col, out_col array<long>) — one row per input row.
+    """
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    # Java \s == [ \t\n\x0B\f\r]; Python \s is wider (unicode), so spell it out
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def fingerprint_one(text, md5) -> list[int]:
+        if text is None:
+            return []
+        # F.trim strips SPACES only; regexp_replace collapses \s+ runs
+        t = ws.sub(" ", text.lower().strip(" "))
+        n = len(t) - k + 1
+        if n <= 0:
+            return []
+        b = t.encode("utf-8")
+        # ascii fast path: byte offsets == char offsets
+        if len(b) == len(t):
+            hs = [int.from_bytes(md5(b[i : i + k]).digest()[:4], "big") for i in range(n)]
+        else:
+            hs = [int.from_bytes(md5(t[i : i + k].encode("utf-8")).digest()[:4], "big") for i in range(n)]
+        if n <= w:
+            return sorted(set((min(hs),)))
+        arr = np.asarray(hs, dtype=np.int64)
+        mins = np.lib.stride_tricks.sliding_window_view(arr, w).min(axis=1)
+        return np.unique(mins).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [fingerprint_one(t, md5) for t in pdf[text_col]],
+                }
+            )
+
+    schema = StructType(
+        [df.schema[id_col], StructField(out_col, ArrayType(LongType()))]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def winnow_fingerprints_duckdb_sql(t: str, k: int = 8, w: int = 4) -> str:
     """DuckDB twin of winnow_fingerprints (same md5-derived k-gram hash,
     same window minima, same distinct+sort)."""

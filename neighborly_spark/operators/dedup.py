@@ -726,6 +726,7 @@ def winnow_neardup_pairs(
     max_df_floor: int = 100,
     n_docs: int | None = None,
     materialize: bool = False,
+    engine: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint Jaccard (the MOSS family —
     functions/text.winnow_fingerprints): candidate pairs from an inverted
@@ -751,13 +752,27 @@ def winnow_neardup_pairs(
     certain to collide. Character-level (k-grams of the normalized text),
     so it catches near-dups word-shingle Jaccard misses (reordered words,
     punctuation edits) and vice versa.
-    """
-    from neighborly_spark.functions.text import winnow_fingerprints
 
-    fps = df.select(
-        F.col(id_col).alias("_id"),
-        winnow_fingerprints(F.col(text_col), k, w).alias("_fp"),
-    ).filter(F.size("_fp") > 0)
+    Two fingerprint engines over the identical selection function:
+    ``engine='expr'`` (oracle tier) computes the fingerprints as the
+    DuckDB-replicable Column expression; ``engine='python'`` (throughput
+    tier) computes them via winnow_fingerprints_table — hashlib.md5 is
+    byte-identical to Spark's md5, so unlike the ANN vectorized tiers the
+    two engines produce the SAME pairs bit-for-bit (test-gated).
+    """
+    from neighborly_spark.functions.text import winnow_fingerprints, winnow_fingerprints_table
+
+    if engine == "python":
+        fps = winnow_fingerprints_table(df, id_col, text_col, k, w).withColumnRenamed(
+            id_col, "_id"
+        ).filter(F.size("_fp") > 0)
+    elif engine == "expr":
+        fps = df.select(
+            F.col(id_col).alias("_id"),
+            winnow_fingerprints(F.col(text_col), k, w).alias("_fp"),
+        ).filter(F.size("_fp") > 0)
+    else:
+        raise ValueError(f"unknown engine {engine!r} (expected 'expr' or 'python')")
     if materialize:
         fps = fps.localCheckpoint()
     sizes = fps.select("_id", F.size("_fp").alias("_n"))

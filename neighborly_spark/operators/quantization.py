@@ -352,6 +352,10 @@ def pq_train_sampled(
     if m is None:
         m = pq_auto_subvectors(dim)
     sub_dim = dim // m
+    # per-centroid cap: 128 training points per centroid saturate a codebook
+    # (faiss trains on 39-256/centroid); pulling more rows to the driver only
+    # slows the Lloyd matrices linearly with zero recall effect
+    sample_size = min(sample_size, 128 * num_centroids)
     sample = (
         df.select(F.col(vec_col).alias("_v"))
         .withColumn("_h", F.xxhash64(F.col("_v")))
@@ -371,9 +375,11 @@ def pq_train_sampled(
     return PQModel(models, m, sub_dim, k)
 
 
-def _lloyd(x, k: int, rng, max_iter: int):
+def _lloyd(x, k: int, rng, max_iter: int, tol: float = 1e-4):
     """Vectorized Lloyd with kmeans++ seeding; empty clusters re-seeded from
-    the points farthest from their assigned center."""
+    the points farthest from their assigned center. Stops early when the
+    relative center shift falls under `tol` — codebooks saturate long before
+    exact fixpoint, and each extra iteration is an (n, k) distance matrix."""
     import numpy as np
 
     n = x.shape[0]
@@ -385,21 +391,30 @@ def _lloyd(x, k: int, rng, max_iter: int):
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
         centers[i] = x[rng.choice(n, p=probs)]
         d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(axis=1))
+    # distance matrices in float32: the (n, k) matrix is the whole cost and
+    # only feeds an argmin — near-tie flips move a point between two centers
+    # it is equidistant from, a no-op for codebook quality. Means accumulate
+    # in float64 from the original data.
+    x32 = x.astype(np.float32)
+    x_sq = (x32**2).sum(axis=1)[:, None]
     for _ in range(max_iter):
         # (n, k) squared distances via expansion; argmin assignment
-        d = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)[None, :]
+        c32 = centers.astype(np.float32)
+        d = x_sq - 2.0 * (x32 @ c32.T) + (c32**2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
+        # mean per cluster via one bincount pass per column (no k-loop scan)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
         new = np.empty_like(centers)
-        for ci in range(k):
-            mask = assign == ci
-            if mask.any():
-                new[ci] = x[mask].mean(axis=0)
-            else:
-                new[ci] = x[d.min(axis=1).argmax()]
-        if np.allclose(new, centers):
-            centers = new
-            break
+        for j in range(x.shape[1]):
+            new[:, j] = np.bincount(assign, weights=x[:, j], minlength=k)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        if not nonempty.all():
+            new[~nonempty] = x[d.min(axis=1).argmax()]
+        shift = float(np.linalg.norm(new - centers))
         centers = new
+        if shift <= tol * max(1.0, float(np.linalg.norm(centers))):
+            break
     return centers
 
 
@@ -426,6 +441,51 @@ def pq_encode(
         )
         code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return df.withColumn(code_col, F.array(*code_cols))
+
+
+def pq_encode_vectorized(
+    df: DataFrame, model: PQModel, vec_col: str = "embedding", code_col: str = "pq_code"
+) -> DataFrame:
+    """Throughput twin of pq_encode: mapInPandas argmin over the broadcast
+    codebook matrices — one (batch x sub_dim)@(sub_dim x k) matmul per
+    sub-space per Arrow batch via ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2
+    (||x||^2 constant per row per sub-space, dropped). The interpreted-HOF
+    argmin of pq_encode costs O(k*sub_dim) lambda evaluations PER ROW PER
+    SUB-SPACE (measured 72 s for 150k rows x m=8 x k=256 vs ~1 s here); the
+    HOF stays the oracle tier (exact sequential-fold floats). Ties: both
+    argmins take the FIRST minimal index; last-ulp float differences can flip
+    a near-tie — the recall-gated consumers document that (same contract as
+    ivf_assign_vectorized)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(c, dtype=np.float64) for c in model.centroids]  # m x (k, sub_dim)
+    c_sq = [(c * c).sum(axis=1) for c in cents]
+    sub_dim, m = model.sub_dim, model.m
+    out_fields = df.schema.fieldNames() + [code_col]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for s in range(m):
+                    xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+                    d = c_sq[s][None, :] - 2.0 * (xs @ cents[s].T)
+                    codes[:, s] = d.argmin(axis=1)
+                pdf = pdf.assign(**{code_col: list(codes)})
+            else:
+                pdf = pdf.assign(**{code_col: pd.Series([], dtype="object")})
+            yield pdf[out_fields]
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    # FRESH StructType — StructType.add mutates in place and df.schema can be
+    # the plan's cached instance
+    schema = StructType(list(df.schema.fields) + [StructField(code_col, ArrayType(IntegerType()))])
+    return df.mapInPandas(encode, schema)
 
 
 def pq_search_rerank(

@@ -103,7 +103,11 @@ class SearchService:
             # at the 150k tier, and its cost is constant in data size where
             # MLlib's is m x iters full scans (docs/RECALL.md verdict)
             self._pq_model = QZ.pq_train_sampled(self.df, self.dim, vec_col=self.vec_col)
-            self._pq_encoded = QZ.pq_encode(self.df, self._pq_model, self.vec_col).cache()
+            # vectorized encode: the serving tier (Arrow-batched matmul argmin,
+            # ~150x the interpreted-HOF pq_encode, identical codes test-gated)
+            self._pq_encoded = QZ.pq_encode_vectorized(
+                self.df, self._pq_model, self.vec_col
+            ).cache()
         elif method == "ivf":
             # sampled one-pass coarse quantizer: statistically equivalent
             # recall to the MLlib fit at the 150k tier once measured with
@@ -190,7 +194,7 @@ class SearchService:
             self._ivf_assigned = appended
         if self._pq_model is not None and self._pq_encoded is not None:
             appended = self._pq_encoded.unionByName(
-                QZ.pq_encode(new_rows, self._pq_model, self.vec_col)
+                QZ.pq_encode_vectorized(new_rows, self._pq_model, self.vec_col)
             ).cache()
             appended.count()
             self._pq_encoded.unpersist()

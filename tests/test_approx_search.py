@@ -170,6 +170,19 @@ def test_pq_recall(emb, query):
     assert model.compression_ratio(64) == pytest.approx(64 * 4 / model.m)
 
 
+def test_pq_encode_vectorized_matches_hof(emb):
+    """The Arrow-batched matmul encoder (the serving tier — the interpreted-HOF
+    pq_encode costs O(k*sub_dim) lambda evals per row per sub-space, measured
+    72 s vs ~3 s at the 150k bench tier) produces the SAME codes as the HOF
+    oracle tier on real data. Near-ties could flip at last-ulp in principle
+    (documented, same contract as ivf_assign_vectorized); on non-degenerate
+    embeddings the code tables are identical."""
+    model = QZ.pq_train_sampled(emb, dim=64, num_centroids=64)
+    hof = {r.id: list(r.pq_code) for r in QZ.pq_encode(emb, model).select("id", "pq_code").collect()}
+    vec = {r.id: list(r.pq_code) for r in QZ.pq_encode_vectorized(emb, model).select("id", "pq_code").collect()}
+    assert hof == vec
+
+
 def test_search_service_dispatch(emb, query):
     svc = SearchService(emb, dim=64)
     exact = {r.id for r in svc.search(query_vec=query, k=5, method="linear").collect()}

@@ -207,3 +207,48 @@ def test_winnow_neardup_pairs(spark):
     got = {(r.id_a, r.id_b): r.winnow_jaccard for r in winnow_neardup_pairs(df, threshold=0.3).collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.5
     assert all(3 not in pair for pair in got)
+
+
+def test_winnow_python_engine_bit_identical(spark):
+    """The hashlib mapInPandas fingerprint tier (engine='python', the
+    bench/serving path — removes ~len(text) interpreted-HOF md5 lambdas per
+    doc) produces BIT-IDENTICAL fingerprint sets and the same scored pairs
+    as the expression tier on the real corpus — unlike the recall-gated
+    vectorized ANN tiers, this twin is exact (hashlib.md5 == Spark md5,
+    same normalization, same window minima)."""
+    from neighborly_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_table,
+    )
+    from neighborly_spark.operators.dedup import winnow_neardup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    expr = {
+        r.doc_id: list(r.fp)
+        for r in docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    py = {r.doc_id: list(r._fp) for r in winnow_fingerprints_table(docs, "doc_id", "text").collect()}
+    assert expr == py
+
+    # edge shapes: sub-k text (empty), text with <= w grams (single window),
+    # whitespace runs, None
+    rows = [(1, "tiny"), (2, "exactly09"), (3, "a  b\t c\nd   e f g h i j"), (4, None)]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    e1 = {
+        r.doc_id: list(r.fp)
+        for r in edge.select("doc_id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    e2 = {r.doc_id: list(r._fp) for r in winnow_fingerprints_table(edge, "doc_id", "text").collect()}
+    assert e1 == e2  # including None text -> [] in BOTH tiers
+
+    pa = {
+        (r.id_a, r.id_b, r.winnow_jaccard)
+        for r in winnow_neardup_pairs(docs, threshold=0.3, engine="python").collect()
+    }
+    pb = {
+        (r.id_a, r.id_b, r.winnow_jaccard)
+        for r in winnow_neardup_pairs(docs, threshold=0.3, engine="expr").collect()
+    }
+    assert pa == pb
