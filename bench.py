@@ -164,11 +164,12 @@ def bench_hnsw_150k(spark, sf_dir):
 
     vec = _synth_vectors(spark, sf_dir)
     if "hnsw" not in _STATE:
-        # 8 shards (19k rows each) rather than the 50k-row auto target:
-        # the build is untimed but still bench wall-clock, and insert cost
-        # per shard is superlinear — 8 parallel shards build ~3x faster
-        # than 3 big ones at identical measured search recall (RECALL.md)
-        g = hnsw_build(vec, dim=64, num_partitions=8).cache()
+        # auto-sized shards (10k-row target -> 15 at this tier): insert
+        # cost per shard is superlinear, so more smaller shards build
+        # faster in parallel AND rehydrate faster per query, at identical
+        # measured search recall (RECALL.md; 16 vs 8 shards measured
+        # 0.72 s vs 1.55 s median search, build 106 s vs 241 s)
+        g = hnsw_build(vec, dim=64).cache()
         g.count()
         _STATE["hnsw"] = g
     return hnsw_search(_STATE["hnsw"], QUERY_VEC, 10)

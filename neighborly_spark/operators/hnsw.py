@@ -63,11 +63,15 @@ SEED_DEFAULT = 42
 ML_DEFAULT = 1.0 / math.log(2.0)
 
 #: Auto-sizing target for hnsw_build when the caller passes no shard count.
-#: Per-shard memory during build ~= rows x (dim x 8 B float64 matrix +
-#: ~(MaxM0 + M x E[levels]) x 8 B adjacency) — at 50k rows x 256 dims that
-#: is ~110 MB, comfortably inside one executor task; build time per shard
-#: is the real bound (~15 s per 50k x 64d shard, shards in parallel).
-TARGET_ROWS_PER_SHARD = 50_000
+#: Build TIME per shard is the binding constraint, and insert cost is
+#: superlinear in shard size (the efC=200 beam explores more of a bigger
+#: graph): measured at 64d, ~23 s at 5k rows, ~105 s at 9.4k, ~240 s at
+#: 19k (per shard, shards in parallel). 10k rows/shard keeps one shard
+#: ~2 min while the merged-search recall stays 1.00 (docs/RECALL.md);
+#: memory per shard (~rows x (dim x 4 B float32 + adjacency)) is never
+#: the bound at this target. Search cost is linear in shard count on
+#: hash layouts — spatial builds + probe routing restore sublinearity.
+TARGET_ROWS_PER_SHARD = 10_000
 
 
 def hnsw_shard_count(n_rows: int, target_rows_per_shard: int = TARGET_ROWS_PER_SHARD) -> int:
@@ -85,7 +89,11 @@ class _ShardGraph:
     translated to/from row ids only at the Arrow boundary."""
 
     def __init__(self, x: np.ndarray, m: int, max_m0: int, ef_construction: int, ml: float, rng):
-        self.x = x
+        # float32 storage: halves the gather/gemv memory traffic of the
+        # insert loop (the build's entire cost); distances are ORDERING
+        # inputs only — quality is recall-gated, and the final reported
+        # distances are recomputed exactly in search()
+        self.x = np.ascontiguousarray(x, dtype=np.float32)
         self.m = m
         self.max_m0 = max_m0
         self.efc = ef_construction
@@ -97,29 +105,44 @@ class _ShardGraph:
         self.entry = -1
 
     def _dist(self, q: np.ndarray, ids) -> np.ndarray:
-        d = self.x[ids] - q
+        """Exact euclidean — only for the FINAL reported distances."""
+        d = self.x[ids].astype(np.float64) - np.asarray(q, dtype=np.float64)
         return np.sqrt(np.einsum("ij,ij->i", d, d))
 
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, layer: int) -> list[int]:
         """Beam search (HNSW.cs:196-248): returns up to ef candidates sorted
-        ascending by distance."""
+        ascending by distance.
+
+        Hot-loop shape (the whole build cost lives here): SQUARED distances
+        (subtract + einsum on the float32 matrix) — monotone in euclidean,
+        so the selection is the same function without 3M+ sqrt dispatches
+        (the gemv-via-row-norms form A/B-measured SLOWER at these ~5-30
+        element batches: BLAS fixed cost beats einsum's C loop only on
+        bigger tiles); heap items are PYTHON floats (.tolist()), numpy
+        scalar comparisons in heappush/heappop are slower. Top-k invariants
+        are arrival-order independent: `best` always holds the ef smallest
+        seen so far."""
         import heapq
 
+        x, adj = self.x, self.adj
+        einsum = np.einsum
         visited = set(eps)
-        dists = self._dist(q, eps)
-        cand = [(d, n) for d, n in zip(dists, eps)]  # min-heap
+        d_eps = x[eps] - q
+        d0 = einsum("ij,ij->i", d_eps, d_eps).tolist()
+        cand = list(zip(d0, eps))  # min-heap
         heapq.heapify(cand)
-        best = [(-d, n) for d, n in zip(dists, eps)]  # max-heap of current ef
+        best = [(-d, n) for d, n in zip(d0, eps)]  # max-heap of current ef
         heapq.heapify(best)
         while cand:
             d, n = heapq.heappop(cand)
             if d > -best[0][0] and len(best) >= ef:
                 break
-            neigh = [v for v in self.adj[n][layer] if v not in visited]
+            neigh = [v for v in adj[n][layer] if v not in visited]
             if not neigh:
                 continue
             visited.update(neigh)
-            nd = self._dist(q, neigh)
+            dn = x[neigh] - q
+            nd = einsum("ij,ij->i", dn, dn).tolist()
             for dd, v in zip(nd, neigh):
                 if len(best) < ef or dd < -best[0][0]:
                     heapq.heappush(cand, (dd, v))
@@ -151,8 +174,9 @@ class _ShardGraph:
                 lst.append(i)
                 if len(lst) > max_conn:
                     # prune to the max_conn closest (HNSW.cs:253-304's
-                    # simple-select, vectorized)
-                    d = self._dist(self.x[v], lst)
+                    # simple-select, vectorized); squared distance = same order
+                    dl = self.x[lst] - self.x[v]
+                    d = np.einsum("ij,ij->i", dl, dl)
                     keep = np.argsort(d, kind="stable")[:max_conn]
                     self.adj[v][layer] = [lst[j] for j in keep]
             ep = cands
@@ -162,11 +186,16 @@ class _ShardGraph:
     def search(self, q: np.ndarray, k: int, ef: int) -> list[tuple[int, float]]:
         if self.entry < 0:
             return []
+        q32 = np.asarray(q, dtype=np.float32)
         ep = [self.entry]
         for layer in range(int(self.levels[self.entry]), 0, -1):
-            ep = self._search_layer(q, ep, 1, layer)
-        found = self._search_layer(q, ep, max(ef, k), 0)[:k]
-        return list(zip(found, self._dist(q, found)))
+            ep = self._search_layer(q32, ep, 1, layer)
+        found = self._search_layer(q32, ep, max(ef, k), 0)[:k]
+        # exact float64 distances for the reported values (beam ordering was
+        # float32-squared; the k results are re-ranked exactly here)
+        d = self._dist(q, found)
+        order = np.argsort(d, kind="stable")
+        return [(found[j], float(d[j])) for j in order]
 
 
 def _build_shard(
@@ -373,10 +402,11 @@ def hnsw_search(
 #: hot the same way (Lucene's HNSW segment readers). Keyed by a digest of
 #: the shard's (ids, levels) arrays — every mutation path (hnsw_add /
 #: hnsw_remove / rebuild) changes membership or levels, so a stale entry
-#: cannot be served. Bounded to a few shards per worker; local testing has
-#: one Python worker per core, so the bound caps total executor memory.
+#: cannot be served. Bounded per worker (~12 MB per 10k x 64d graph, so
+#: the 16-entry cap is ~200 MB/worker worst-case); local testing has one
+#: Python worker per core, so the bound caps total executor memory.
 _GRAPH_CACHE: dict = {}
-_GRAPH_CACHE_MAX = 4
+_GRAPH_CACHE_MAX = 16
 
 
 def _rehydrate_cached(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
