@@ -610,3 +610,146 @@ def winnow_fingerprints_duckdb_sql(t: str, k: int = 8, w: int = 4) -> str:
         f"list_transform(range(1, greatest(len(g) - {w - 1}, 1) + 1), "
         f"j -> list_min(g[j:j+{w - 1}])) ELSE [] END FROM (SELECT {grams} AS g))))"
     )
+
+
+# --- Gopher quality flags ------------------------------------------------------
+
+#: Gopher rule A1.1 stopword presence list (Rae et al. 2021): a document
+#: must contain at least 2 of these to pass the "natural language" check.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher quality heuristics (Rae et al. 2021, Appendix A1.1) as ONE
+    let-bound struct — the pre-dedup document filter of the Gopher/
+    MassiveText pipeline, complementing quality_score (a composite score)
+    with the paper's named PASS/FAIL rules:
+
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - '#' or '...' symbols per word <= max_symbol_word_ratio;
+    - < max_bullet_line_frac of lines start with a bullet, and
+      <= max_ellipsis_line_frac of lines end with an ellipsis;
+    - >= min_alpha_word_frac of words contain an (ASCII) alphabetic char;
+    - >= min_stopword_hits of GOPHER_STOPWORDS present.
+
+    Returns struct(n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stopword_hits,
+    keep) — numeric evidence plus the AND-of-all-rules verdict, so a
+    pipeline can both filter on ``keep`` and report WHICH rule fired.
+    Ratios are rounded to 6dp (the cross-engine float contract); the
+    alphabet is ASCII [a-z] post-lower like the rest of this module
+    (gopher_quality_flags_duckdb_sql is the bit-identical twin).
+
+    Scale: generate-only — one projection, no shuffle, no Python.
+    """
+
+    def over(toks: Column, lines: Column) -> Column:
+        n_words = F.size(toks)
+        nd = n_words.cast("double")
+        mean_len = F.round(
+            F.aggregate(toks, F.lit(0.0), lambda s, w: s + F.length(w)) / nd, 6
+        )
+        n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+        n_ell = F.floor(
+            (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+        ).cast("long")
+        symbol_ratio = F.round((n_hash + n_ell) / nd, 6)
+        n_lines = F.size(lines).cast("double")
+        bullet_frac = F.round(
+            F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+            / n_lines,
+            6,
+        )
+        ellipsis_frac = F.round(
+            F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))) / n_lines,
+            6,
+        )
+        alpha_frac = F.round(
+            F.size(F.filter(toks, lambda w: w.rlike(r"[a-z]"))) / nd, 6
+        )
+        hits = F.size(
+            F.filter(
+                F.lit(list(GOPHER_STOPWORDS)).cast("array<string>"),
+                lambda s: F.array_contains(toks, s),
+            )
+        )
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_word_ratio)
+            & (bullet_frac < max_bullet_line_frac)
+            & (ellipsis_frac <= max_ellipsis_line_frac)
+            & (alpha_frac >= min_alpha_word_frac)
+            & (hits >= min_stopword_hits)
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_word_ratio"),
+            bullet_frac.alias("bullet_line_frac"),
+            ellipsis_frac.alias("ellipsis_line_frac"),
+            alpha_frac.alias("alpha_word_frac"),
+            hits.alias("stopword_hits"),
+            keep.alias("keep"),
+        )
+
+    return F.element_at(
+        F.zip_with(
+            F.array(tokens(text)),
+            F.array(F.split(text, "\n")),
+            lambda t, ln: over(t, ln),
+        ),
+        1,
+    )
+
+
+def gopher_quality_flags_duckdb_sql(
+    t: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> str:
+    """DuckDB twin of gopher_quality_flags — identical fields and rounding.
+    Emitted as a struct_pack; consumers unpack fields with dot access."""
+    toks = tokens_duckdb_sql(t)
+    sw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""(
+SELECT struct_pack(
+  n_words := nw,
+  mean_word_len := round(list_reduce(list_prepend(0.0, list_transform(tk, w -> CAST(length(w) AS DOUBLE))), (a, b) -> a + b) / nw, 6),
+  symbol_word_ratio := round((CAST(length({t}) - length(replace({t}, '#', '')) AS BIGINT)
+      + CAST(floor((length({t}) - length(replace({t}, '...', ''))) / 3) AS BIGINT)) / nw, 6),
+  bullet_line_frac := round(len(list_filter(ln, x -> regexp_matches(trim(x), '^[-*•]'))) / CAST(len(ln) AS DOUBLE), 6),
+  ellipsis_line_frac := round(len(list_filter(ln, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) / CAST(len(ln) AS DOUBLE), 6),
+  alpha_word_frac := round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) / nw, 6),
+  stopword_hits := len(list_filter([{sw}], s -> list_contains(tk, s))),
+  keep := (nw >= {min_words} AND nw <= {max_words}
+    AND round(list_reduce(list_prepend(0.0, list_transform(tk, w -> CAST(length(w) AS DOUBLE))), (a, b) -> a + b) / nw, 6) BETWEEN {min_mean_word_len} AND {max_mean_word_len}
+    AND round((CAST(length({t}) - length(replace({t}, '#', '')) AS BIGINT)
+      + CAST(floor((length({t}) - length(replace({t}, '...', ''))) / 3) AS BIGINT)) / nw, 6) <= {max_symbol_word_ratio}
+    AND round(len(list_filter(ln, x -> regexp_matches(trim(x), '^[-*•]'))) / CAST(len(ln) AS DOUBLE), 6) < {max_bullet_line_frac}
+    AND round(len(list_filter(ln, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) / CAST(len(ln) AS DOUBLE), 6) <= {max_ellipsis_line_frac}
+    AND round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) / nw, 6) >= {min_alpha_word_frac}
+    AND len(list_filter([{sw}], s -> list_contains(tk, s))) >= {min_stopword_hits})
+) FROM (SELECT {toks} AS tk, string_split({t}, chr(10)) AS ln, CAST(len({toks}) AS DOUBLE) AS nw)
+)"""

@@ -348,11 +348,14 @@ def curation_pipeline(
     jaccard_threshold: float = 0.8,
     splits: tuple = (0.8, 0.1, 0.1),
     decontaminate_n: int = 8,
+    gopher_rules: bool = False,
 ) -> DataFrame:
     """The end-to-end training-data curation pass, composed from this
     engine's operators in the order production pipelines run them:
 
-    1. quality gate  (functions.text.quality_score >= min_quality)
+    1. quality gate  (functions.text.quality_score >= min_quality;
+       ``gopher_rules=True`` additionally requires the Gopher A1.1
+       keep verdict — functions.text.gopher_quality_flags)
     2. exact dedup   (min-id fingerprint survivor)
     3. near-dup dedup (MinHash-banded Jaccard >= jaccard_threshold,
        cluster min-id survivor)
@@ -363,6 +366,9 @@ def curation_pipeline(
     is DataFrame-in/DataFrame-out and lazily composed — ONE job when the
     caller writes the result. Each stage is individually oracle-checked by
     its own gate query; this composition is the integration artifact.
+    Line-level boilerplate removal (dedup.line_dedup) and duplicated-span
+    removal (dedup.exact_substr_dedup) REWRITE text rather than filter
+    rows, so they run as explicit pre-passes, not pipeline stages.
 
     Scale shape: the quality gate is a scan-stage filter (prunes before
     any shuffle); both dedups shuffle slim (fingerprint/id) projections;
@@ -376,6 +382,8 @@ def curation_pipeline(
     scored = docs.withColumn("quality", F.round(T.quality_score(F.col(text_col)), 6)).filter(
         F.col("quality") >= min_quality
     )
+    if gopher_rules:
+        scored = scored.filter(T.gopher_quality_flags(F.col(text_col))["keep"])
     survivors = DD.exact_dedup(scored, id_col=id_col, text_col=text_col)
     pairs = DD.minhash_lsh_pairs(
         survivors.select(id_col, text_col), threshold=jaccard_threshold

@@ -1102,3 +1102,185 @@ def duplicated_line_stats(
         .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("line").asc())
         .limit(top_n)
     )
+
+
+# --- ExactSubstr: duplicated-substring span removal ---------------------------
+
+
+def _window_hashes(text: Column, min_tokens: int) -> Column:
+    """array<string> of md5 hashes over every ``min_tokens``-token window
+    (stride 1) of the whitespace tokens; empty for shorter texts. Token
+    array and window count are LET-BOUND (Catalyst does not CSE across
+    lambda bodies). md5 (128-bit), not xxhash64: at corpus scale the window
+    count approaches 2^40+ rows and a 64-bit birthday collision would merge
+    two DIFFERENT substrings into one "duplicate" — a correctness error, not
+    a recall miss."""
+
+    def over_toks(toks: Column) -> Column:
+        n_win = F.size(toks) - F.lit(min_tokens - 1)
+        return F.when(
+            n_win > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, min_tokens))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(T.tokens(text)), over_toks), 1)
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §3.1
+    EXACTSUBSTR): any ``min_tokens``-token substring occurring >=
+    ``min_count`` times in the corpus (across documents OR repeated inside
+    one document — both occurrences count, as in the paper's suffix-array
+    tool) marks every covering window; per document, overlapping or
+    adjacent duplicated windows merge into MAXIMAL spans.
+
+    The paper builds one corpus-wide suffix array — inherently single
+    machine (their tool mmaps the whole corpus). The distributed rendering:
+    hash every length-L token window (one explode, ~n_tokens rows per doc),
+    count window-hash occurrences (map-side combinable aggregate), join the
+    >=min_count hashes back, and merge each doc's duplicated windows with a
+    doc-partitioned gaps-and-islands window aggregation. Exact for
+    duplicated runs of >= L tokens: a run of length R >= L duplicates
+    R-L+1 consecutive windows which merge into exactly the run's span.
+
+    Returns (id_col, span_start, span_end, n_windows): token positions,
+    0-based inclusive.
+
+    Scale: two shuffles (hash count, hash->position join) + one
+    doc-partitioned window. The hash-count aggregate is the classic hot-key
+    aggregation (combiner-friendly); the join's skew (a boilerplate span in
+    millions of docs) is count-1 rows on the build side, AQE-splittable.
+    The windows table is ~one row per corpus token — the honest cost of
+    exact substring dedup; raise min_tokens or pre-filter with the cheaper
+    line/minhash family when that explode is too hot.
+    """
+    wins = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_window_hashes(F.col(text_col), min_tokens)).alias("_pos", "_wh"),
+    )
+    dup = (
+        wins.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_wh")
+    )
+    marked = wins.join(dup, "_wh").select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    islands = (
+        marked.withColumn("_prev", F.lag("_pos").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("_pos") > F.col("_prev") + min_tokens)).cast("long"),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
+    return islands.groupBy("_id", "_island").agg(
+        F.min("_pos").cast("long").alias("span_start"),
+        (F.max("_pos") + F.lit(min_tokens - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(F.col("_id").alias(id_col), "span_start", "span_end", "n_windows")
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr removal: cut every duplicated span found by
+    exact_substr_spans out of every document (the paper's released tool cuts
+    ALL occurrences of a duplicated byte range; "train on unique text").
+    Returns (id_col, text, n_tokens, n_removed_tokens) with ``text``
+    rebuilt from the surviving tokens in order, single-space joined (the
+    tokenizer's whitespace canonicalization — same contract as the rest of
+    the token-level family). Documents left empty survive with '' (the
+    caller drops or length-filters downstream).
+
+    One extra shuffle over exact_substr_spans (the span->doc join keyed by
+    id); the rebuild is a per-row expression over the let-bound token array
+    and the doc's own bounded span list — no second explode.
+    """
+    spans = (
+        exact_substr_spans(df, id_col, text_col, min_tokens, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        )
+    )
+    joined = df.join(spans, id_col, "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array().cast("array<struct<span_start:long,span_end:long>>"))
+    )
+
+    def rebuild(toks: Column) -> Column:
+        n = F.size(toks)
+        kept = F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: ~F.exists(
+                F.col("_spans"),
+                lambda s: (j >= s.span_start) & (j <= s.span_end),
+            ),
+        )
+        return F.struct(
+            F.concat_ws(" ", F.transform(kept, lambda j: F.element_at(toks, j + 1))).alias("text"),
+            n.alias("n_tokens"),
+            (n - F.size(kept)).alias("n_removed_tokens"),
+        )
+
+    out = joined.withColumn(
+        "_r",
+        F.element_at(F.transform(F.array(T.tokens(F.col(text_col))), rebuild), 1),
+    )
+    return out.select(
+        id_col,
+        F.col("_r.text").alias("text"),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("_r.n_removed_tokens").alias("n_removed_tokens"),
+    )
+
+
+def exact_substr_spans_duckdb_sql(source: str, min_tokens: int, min_count: int = 2) -> str:
+    """DuckDB twin of exact_substr_spans over ``source`` (a relation with
+    doc_id, text): same md5 window hashes, same >=min_count rule, same
+    gaps-and-islands merge. Shared by the parity gate and the twin tests."""
+    L = min_tokens
+    return f"""
+WITH _es_toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM {source}
+),
+_es_wins AS (
+  SELECT doc_id, u.pos, u.wh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - {L - 1}, 0) + 1),
+                  i -> {{'pos': i - 1,
+                         'wh': md5(array_to_string(t[i:i+{L - 1}], ' '))}})) AS u
+    FROM _es_toks
+  )
+),
+_es_dup AS (SELECT wh FROM _es_wins GROUP BY wh HAVING count(*) >= {min_count}),
+_es_marked AS (SELECT doc_id, pos FROM _es_wins JOIN _es_dup USING (wh)),
+_es_isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {L}
+              THEN 1 ELSE 0 END AS newf
+  FROM _es_marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+_es_isl2 AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM _es_isl
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {L - 1} AS span_end,
+       count(*) AS n_windows
+FROM _es_isl2 GROUP BY doc_id, island
+""".strip()

@@ -340,30 +340,42 @@ SELECT doc_id,
        {T.lang_id_duckdb_sql('text')} AS lang_pred,
        round({T.stopword_ratio_duckdb_sql('text')}, {ROUND}) AS stopword_ratio,
        round({T.quality_score_duckdb_sql('text')}, {ROUND}) AS quality,
-       {T.fingerprint_duckdb_sql('text')} AS fingerprint
-FROM documents
+       {T.fingerprint_duckdb_sql('text')} AS fingerprint,
+       g.mean_word_len AS gopher_mean_word_len,
+       g.stopword_hits AS gopher_stopword_hits,
+       CAST(g.keep AS INT) AS gopher_keep
+FROM (SELECT *, {T.gopher_quality_flags_duckdb_sql('text')} AS g FROM documents)
 """.strip(),
     tags=["text"],
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: token counts (whitespace + BPE-ish),
     heuristic language ID, stopword ratio, composite quality score, content
-    fingerprint. All token-derived stats come from text_stats_exprs' single
-    let-bound tokenization (12 regex splits/row -> 1, identical values)."""
+    fingerprint, plus the Gopher A1.1 rule evidence (mean word length,
+    stopword-presence hits, the AND-of-rules keep verdict — see
+    functions/text.gopher_quality_flags). All token-derived stats come from
+    let-bound single tokenizations (text_stats_exprs / the gopher struct)."""
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
-    # struct lands in its OWN projection: referencing text_stats_exprs(t)
+    # structs land in their OWN projection: referencing text_stats_exprs(t)
     # four times in one select would inline (and re-tokenize) it four times —
     # CollapseProject keeps the two projects apart because the struct isn't
     # cheap, so the stats compute once per row.
-    return docs.withColumn("_st", T.text_stats_exprs(t)).select(
-        "doc_id",
-        F.col("_st.n_tokens").alias("n_tokens"),
-        T.bpe_ish_token_count(t).alias("bpe_tokens"),
-        F.col("_st.lang_pred").alias("lang_pred"),
-        F.round(F.col("_st.stopword_ratio"), ROUND).alias("stopword_ratio"),
-        F.round(F.col("_st.quality"), ROUND).alias("quality"),
-        T.fingerprint(t).alias("fingerprint"),
+    return (
+        docs.withColumn("_st", T.text_stats_exprs(t))
+        .withColumn("_g", T.gopher_quality_flags(t))
+        .select(
+            "doc_id",
+            F.col("_st.n_tokens").alias("n_tokens"),
+            T.bpe_ish_token_count(t).alias("bpe_tokens"),
+            F.col("_st.lang_pred").alias("lang_pred"),
+            F.round(F.col("_st.stopword_ratio"), ROUND).alias("stopword_ratio"),
+            F.round(F.col("_st.quality"), ROUND).alias("quality"),
+            T.fingerprint(t).alias("fingerprint"),
+            F.col("_g.mean_word_len").alias("gopher_mean_word_len"),
+            F.col("_g.stopword_hits").alias("gopher_stopword_hits"),
+            F.col("_g.keep").cast("int").alias("gopher_keep"),
+        )
     )
 
 
@@ -1661,24 +1673,37 @@ r AS (
       list_aggregate(list_transform(range(1, len(bp)+1), j -> coalesce(bp[j+1], len(s)+1) - bp[j]), 'max')
     END AS top_ngram_count
   FROM b
+),
+es AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         sum(span_end - span_start + 1) AS dup_span_tokens
+  FROM ({__import__('neighborly_spark.operators.dedup', fromlist=['x']).exact_substr_spans_duckdb_sql('documents', 4)})
+  GROUP BY doc_id
 )
-SELECT doc_id, total_ngrams, distinct_ngrams, top_ngram_count,
+SELECT r.doc_id, total_ngrams, distinct_ngrams, top_ngram_count,
   CASE WHEN total_ngrams = 0 THEN 0.0 ELSE
     round(CAST(total_ngrams - distinct_ngrams AS DOUBLE) / total_ngrams, {ROUND}) END AS dup_frac,
   CASE WHEN total_ngrams = 0 THEN 0.0 ELSE
-    round(CAST(top_ngram_count AS DOUBLE) / total_ngrams, {ROUND}) END AS top_frac
-FROM r
+    round(CAST(top_ngram_count AS DOUBLE) / total_ngrams, {ROUND}) END AS top_frac,
+  coalesce(es.n_dup_spans, 0) AS n_dup_spans,
+  coalesce(es.dup_span_tokens, 0) AS dup_span_tokens
+FROM r LEFT JOIN es USING (doc_id)
 """.strip(),
     tags=["text", "quality", "extension"],
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate-
     bigram mass and top-bigram mass (functions/text.repetition_stats_expr,
-    shuffle-free run-boundary arithmetic over the sorted bigram list)."""
+    shuffle-free run-boundary arithmetic over the sorted bigram list), plus
+    the ExactSubstr leg (Lee et al. 2022 — operators/dedup.exact_substr_spans
+    at min_tokens=4, the corpus' shortest duplicated runs): per-doc count
+    and token mass of corpus-duplicated maximal spans."""
+    from neighborly_spark.operators.dedup import exact_substr_spans
+
     docs = load(spark, sf_dir, "documents")
     st = docs.withColumn("_r", T.repetition_stats_expr(F.col("text"), 2))
     total = F.col("_r.total_ngrams")
-    return st.select(
+    base = st.select(
         "doc_id",
         total.alias("total_ngrams"),
         F.col("_r.distinct_ngrams").alias("distinct_ngrams"),
@@ -1689,6 +1714,19 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(total == 0, F.lit(0.0))
         .otherwise(F.round(F.col("_r.top_ngram_count").cast("double") / total, ROUND))
         .alias("top_frac"),
+    )
+    spans = (
+        exact_substr_spans(docs, min_tokens=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nds"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_dst"),
+        )
+    )
+    return base.join(spans, "doc_id", "left").select(
+        base["*"],
+        F.coalesce(F.col("_nds"), F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce(F.col("_dst"), F.lit(0).cast("long")).alias("dup_span_tokens"),
     )
 
 

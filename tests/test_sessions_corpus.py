@@ -220,3 +220,26 @@ def test_curation_pipeline_end_to_end(spark):
         full, bench=bench, min_quality=0.5, jaccard_threshold=0.8
     ).collect()}
     assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_curation_pipeline_gopher_rules(spark):
+    """gopher_rules=True additionally applies the Gopher A1.1 keep verdict
+    as a scan-stage filter — survivors are a subset of the default run and
+    every survivor passes the flags."""
+    from pyspark.sql import functions as F
+
+    from neighborly_spark.functions.text import gopher_quality_flags
+    from neighborly_spark.operators.corpus import curation_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    base_ids = {r.doc_id for r in curation_pipeline(docs, min_quality=0.0).collect()}
+    gop = curation_pipeline(docs, min_quality=0.0, gopher_rules=True)
+    gop_ids = {r.doc_id for r in gop.collect()}
+    assert gop_ids <= base_ids
+    kept = {
+        r.doc_id
+        for r in docs.filter(gopher_quality_flags(F.col("text"))["keep"]).collect()
+    }
+    assert gop_ids <= kept

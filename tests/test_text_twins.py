@@ -252,3 +252,69 @@ def test_winnow_python_engine_bit_identical(spark):
         for r in winnow_neardup_pairs(docs, threshold=0.3, engine="expr").collect()
     }
     assert pa == pb
+
+
+GOPHER_DOCS = [
+    (1, "the cat sat on the mat and it was that good to have tea with " * 5),
+    (2, "short doc"),                                     # word count < 50
+    (3, "- bullet one\n- bullet two\n- bullet three"),    # all bullet lines
+    (4, ("trailing thoughts...\nmore trailing...\nfinal line is fine and "
+         "the rest of this text has plenty of words " * 3)),
+    (5, "#### symbols #### everywhere #### " * 20),       # symbol-heavy
+    (6, "12345 67890 11111 22222 33333 " * 20),           # no alphabetic words
+    (7, ""),                                              # empty
+]
+
+
+def test_gopher_quality_flags_twin(spark):
+    """Gopher A1.1 rule flags: bit-identical struct fields in both engines
+    on synthetic rule-violating docs AND the real corpus."""
+    from neighborly_spark.functions.text import (
+        gopher_quality_flags,
+        gopher_quality_flags_duckdb_sql,
+    )
+
+    fields = [
+        "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stopword_hits", "keep",
+    ]
+
+    def norm(v):
+        import math
+        return "nan" if isinstance(v, float) and math.isnan(v) else v
+
+    df = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: tuple(norm(r.g[f]) for f in fields)
+        for r in df.select("doc_id", gopher_quality_flags(F.col("text")).alias("g")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", GOPHER_DOCS)
+    rows = con.sql(
+        f"SELECT doc_id, {gopher_quality_flags_duckdb_sql('text')} AS g FROM docs"
+    ).fetchall()
+    oracle = {r[0]: tuple(norm(r[1][f]) for f in fields) for r in rows}
+    assert got == oracle
+    # the rules actually fire where designed
+    keep = {d: got[d][-1] for d in got}
+    assert keep[1] is True
+    assert keep[2] is False    # word count
+    assert keep[3] is False    # bullets
+    assert keep[5] is False    # symbols
+    assert keep[6] is False    # no alpha words
+
+    real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    got_r = {
+        r.doc_id: tuple(norm(r.g[f]) for f in fields)
+        for r in real.select("doc_id", gopher_quality_flags(F.col("text")).alias("g")).collect()
+    }
+    con2 = duckdb.connect()
+    rows_r = con2.sql(
+        f"SELECT doc_id, {gopher_quality_flags_duckdb_sql('text')} AS g "
+        f"FROM '/root/testdata/sf0.01/documents.parquet' WHERE doc_id < 200"
+    ).fetchall()
+    oracle_r = {r[0]: tuple(norm(r[1][f]) for f in fields) for r in rows_r}
+    assert got_r == oracle_r and len(got_r) == 200
