@@ -219,7 +219,9 @@ def bench_dedup_winnow(spark, sf_dir):
 def bench_dedup_minhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3, materialize=True)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.3, materialize=True, engine="python"
+    )
 
 
 def bench_dedup_simhash(spark, sf_dir):
@@ -234,7 +236,12 @@ def bench_dedup_jaccard(spark, sf_dir):
     from neighborly_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.3, materialize=True, n_docs=_STATE["n_docs"]
+        _docs(spark, sf_dir),
+        threshold=0.3,
+        materialize=True,
+        n_docs=_STATE["n_docs"],
+        # hashlib tier: bit-identical shingle sets (test-gated)
+        engine="python",
     )
 
 

@@ -98,6 +98,68 @@ def hashed_shingle_sets_duckdb_sql(t: str, k: int = 3) -> str:
     return f"list_sort(list_distinct(list_transform({sh}, sg -> {T.hash32_duckdb_sql('sg')})))"
 
 
+def hashed_shingle_sets_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Throughput twin of hashed_shingle_sets: mapInPandas computing the
+    SAME sets with the SAME hash — hashlib.md5 is byte-identical to Spark's
+    md5, so the sets are equal element-for-element (test-gated), the same
+    exact-twin contract as functions.text.winnow_fingerprints_table. The
+    expression tier evaluates one interpreted-HOF md5+conv lambda per
+    shingle per doc; here it's a C-speed hashlib call in a per-doc loop —
+    Arrow-batched, no shuffle, the map-only shape fingerprinting should
+    have at 100 TB."""
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    # Java \s == [ \t\n\x0B\f\r]; Python \s is wider (unicode)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def one(text, md5) -> list[int]:
+        if text is None:
+            return []
+        # F.trim strips SPACES only; Spark split keeps leading/trailing
+        # empty fields (limit -1), and so does re.split
+        toks = ws.split(text.lower().strip(" "))
+        n = len(toks) - k + 1
+        if n <= 0:
+            return []
+        grams = {" ".join(toks[i : i + k]) for i in range(n)}
+        return sorted(
+            {int.from_bytes(md5(g.encode("utf-8")).digest()[:4], "big") for g in grams}
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"_id": pdf[id_col], "_sh": [one(t, md5) for t in pdf[text_col]]}
+            )
+
+    schema = StructType(
+        [
+            StructField("_id", df.schema[id_col].dataType),
+            StructField("_sh", ArrayType(LongType())),
+        ]
+    )
+    return (
+        df.select(id_col, text_col).mapInPandas(run, schema).filter(F.size("_sh") > 0)
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int, engine: str) -> DataFrame:
+    """Engine dispatch shared by the Jaccard and MinHash pipelines."""
+    if engine == "python":
+        return hashed_shingle_sets_table(df, id_col, text_col, k)
+    if engine == "expr":
+        return hashed_shingle_sets(df, id_col, text_col, k)
+    raise ValueError(f"unknown engine {engine!r} (expected 'expr' or 'python')")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,6 +172,7 @@ def ngram_jaccard_pairs(
     max_df_floor: int = 100,
     materialize: bool = False,
     n_docs: int | None = None,
+    engine: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs by k-word-shingle Jaccard >= threshold.
 
@@ -146,7 +209,7 @@ def ngram_jaccard_pairs(
     materialize=True localCheckpoints the hashed sets (several consumers:
     index, sizes, verification). Eager action; leave False for pure plans.
     """
-    sh = hashed_shingle_sets(df, id_col, text_col, k)
+    sh = _shingle_sets(df, id_col, text_col, k, engine)
     if materialize:
         sh = sh.localCheckpoint()
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
@@ -333,10 +396,12 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_perm: int = 16,
+    engine: str = "expr",
 ) -> DataFrame:
     """(id, sig: array<long>[num_perm]) MinHash signatures over k-shingles:
-    one md5 per shingle (hashed_shingle_sets), then minhash_sig_expr."""
-    sh = hashed_shingle_sets(df, id_col, text_col, k)
+    one md5 per shingle (hashed_shingle_sets; engine='python' = the
+    bit-identical hashlib tier), then minhash_sig_expr."""
+    sh = _shingle_sets(df, id_col, text_col, k, engine)
     return sh.select(F.col("_id"), minhash_sig_expr(F.col("_sh"), num_perm).alias("sig"))
 
 
@@ -360,6 +425,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     round_to: int = 6,
     materialize: bool = False,
+    engine: str = "expr",
 ) -> DataFrame:
     """Candidate pairs by banded MinHash LSH, verified by exact shingle
     Jaccard >= threshold. Output (id_a, id_b, jaccard).
@@ -375,7 +441,7 @@ def minhash_lsh_pairs(
     Eager action; leave False for pure plans.
     """
     rows = num_perm // bands
-    sh = hashed_shingle_sets(df, id_col, text_col, k)
+    sh = _shingle_sets(df, id_col, text_col, k, engine)
     if materialize:
         sh = sh.localCheckpoint()
     sigs = sh.select("_id", minhash_sig_expr(F.col("_sh"), num_perm).alias("sig"))
@@ -1129,12 +1195,55 @@ def _window_hashes(text: Column, min_tokens: int) -> Column:
     return F.element_at(F.transform(F.array(T.tokens(text)), over_toks), 1)
 
 
+def _window_hashes_table(
+    df: DataFrame, id_col: str, text_col: str, min_tokens: int
+) -> DataFrame:
+    """Throughput twin of _window_hashes, pre-exploded: mapInPandas emitting
+    one (id, pos, wh) row per L-token window — hashlib.md5 hex digests are
+    byte-identical to the Column expression's (test-gated), the same
+    exact-twin contract as hashed_shingle_sets_table."""
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    k = min_tokens
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        for pdf in batches:
+            ids, poss, whs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = ws.split(text.lower().strip(" "))
+                n = len(toks) - k + 1
+                for i in range(max(n, 0)):
+                    ids.append(did)
+                    poss.append(i)
+                    whs.append(md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"_id": ids, "_pos": pd.Series(poss, dtype="int32"), "_wh": whs})
+
+    schema = StructType(
+        [
+            StructField("_id", df.schema[id_col].dataType),
+            StructField("_pos", IntegerType()),
+            StructField("_wh", StringType()),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def exact_substr_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 50,
     min_count: int = 2,
+    engine: str = "expr",
 ) -> DataFrame:
     """ExactSubstr duplicated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better", §3.1
@@ -1164,10 +1273,17 @@ def exact_substr_spans(
     exact substring dedup; raise min_tokens or pre-filter with the cheaper
     line/minhash family when that explode is too hot.
     """
-    wins = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_window_hashes(F.col(text_col), min_tokens)).alias("_pos", "_wh"),
-    )
+    if engine == "python":
+        # hashlib tier (bit-identical digests, test-gated) — one C-speed md5
+        # per window instead of an interpreted-HOF lambda per window
+        wins = _window_hashes_table(df, id_col, text_col, min_tokens)
+    elif engine == "expr":
+        wins = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(_window_hashes(F.col(text_col), min_tokens)).alias("_pos", "_wh"),
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r} (expected 'expr' or 'python')")
     dup = (
         wins.groupBy("_wh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1197,6 +1313,7 @@ def exact_substr_dedup(
     text_col: str = "text",
     min_tokens: int = 50,
     min_count: int = 2,
+    engine: str = "expr",
 ) -> DataFrame:
     """ExactSubstr removal: cut every duplicated span found by
     exact_substr_spans out of every document (the paper's released tool cuts
@@ -1212,7 +1329,7 @@ def exact_substr_dedup(
     and the doc's own bounded span list — no second explode.
     """
     spans = (
-        exact_substr_spans(df, id_col, text_col, min_tokens, min_count)
+        exact_substr_spans(df, id_col, text_col, min_tokens, min_count, engine)
         .groupBy(id_col)
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),

@@ -932,3 +932,103 @@ def streaming_semantic_neardup(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def streaming_exact_substr_marks(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    min_count: int = 2,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Streaming twin of operators.dedup.exact_substr_spans' MARKING stage
+    (Lee et al. 2022 ExactSubstr) — emits each duplicated window occurrence
+    (doc_id, pos) as soon as its window hash reaches ``min_count``
+    occurrences across everything that has arrived, keeping the streaming
+    dedup family symmetric (exact, MinHash, SimHash, winnowing, semantic,
+    ExactSubstr).
+
+    Documents explode into their L-token window hashes with the SAME
+    Column expression as the batch operator (md5 values match
+    bit-for-bit). State is bucket-sharded like streaming_winnow_neardup
+    (pmod of a 64-bit hash of the window hash — window hashes are near
+    unique, so per-hash state groups would explode); within a bucket each
+    window hash tracks (count, pending occurrences): occurrences buffer
+    while count < min_count (at most min_count-1 of them), then the
+    buffered ones flush together with the arrival that crosses the
+    threshold, and every later arrival emits immediately. The cumulative
+    emission set therefore EQUALS the batch operator's marked-window set
+    over the arrived documents (twin-tested across a checkpoint restart);
+    span merging stays a per-doc batch step over the marks, exactly as in
+    the batch plan.
+
+    A production continuous run would bound state with a TTL timeout like
+    streaming_dedup; the twin uses NoTimeout (availableNow termination).
+    """
+    from neighborly_spark.operators.dedup import _window_hashes
+
+    wins = stream_df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.posexplode(_window_hashes(F.col(text_col), min_tokens)).alias("_pos", "_wh"),
+    ).withColumn("_bk", F.pmod(F.xxhash64("_wh"), F.lit(n_buckets)))
+
+    state_schema = StructType(
+        [
+            StructField("whs", ArrayType(StringType()), True),
+            StructField("cnts", ArrayType(LongType()), True),
+            StructField("pend_wh", ArrayType(StringType()), True),
+            StructField("pend_doc", ArrayType(LongType()), True),
+            StructField("pend_pos", ArrayType(LongType()), True),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        pending: dict[str, list[tuple[int, int]]] = {}
+        if state.exists:
+            prev = state.get
+            counts = {w: int(c) for w, c in zip(prev[0] or [], prev[1] or [])}
+            for w, d, p in zip(prev[2] or [], prev[3] or [], prev[4] or []):
+                pending.setdefault(w, []).append((int(d), int(p)))
+        out_doc: list[int] = []
+        out_pos: list[int] = []
+        arrived = 0
+        for pdf in pdfs:
+            # deterministic intra-batch order so twin runs agree
+            pdf = pdf.sort_values(["_wh", "_id", "_pos"])
+            for wh, did, pos in zip(pdf["_wh"].values, pdf["_id"].values, pdf["_pos"].values):
+                wh, did, pos = str(wh), int(did), int(pos)
+                c = counts.get(wh, 0) + 1
+                counts[wh] = c
+                if c < min_count:
+                    pending.setdefault(wh, []).append((did, pos))
+                elif c == min_count:
+                    for pd_, pp in pending.pop(wh, []):
+                        out_doc.append(pd_)
+                        out_pos.append(pp)
+                    out_doc.append(did)
+                    out_pos.append(pos)
+                else:
+                    out_doc.append(did)
+                    out_pos.append(pos)
+                arrived += 1
+        if arrived:
+            whs = sorted(counts)
+            p_wh, p_doc, p_pos = [], [], []
+            for w in sorted(pending):
+                for d, p in pending[w]:
+                    p_wh.append(w)
+                    p_doc.append(d)
+                    p_pos.append(p)
+            state.update(([*whs], [counts[w] for w in whs], p_wh, p_doc, p_pos))
+        if out_doc:
+            yield pd.DataFrame({"doc_id": out_doc, "pos": out_pos})
+
+    return wins.groupBy("_bk").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, pos long",
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -44,6 +44,7 @@ def main() -> None:
     import math
 
     from neighborly_spark.operators.dedup import (
+        exact_substr_spans,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         semantic_dedup_pairs,
@@ -93,8 +94,9 @@ def main() -> None:
                 docs, threshold=0.3, materialize=True, n_docs=n_docs
             ),
             "dedup_winnow": lambda: winnow_neardup_pairs(
-                docs, threshold=0.3, n_docs=n_docs, materialize=True
+                docs, threshold=0.3, n_docs=n_docs, materialize=True, engine="python"
             ),
+            "exact_substr": lambda: exact_substr_spans(docs, min_tokens=4),
             "dedup_semantic": lambda: semantic_dedup_pairs(
                 vec, threshold=0.9, centroids=sem_cents, id_col="id", engine="blas"
             ),
@@ -111,13 +113,17 @@ def main() -> None:
             t0 = time.perf_counter()
             out_rows = _force(build())
             sec = time.perf_counter() - t0
-            rows_in = n_docs if (op.startswith("dedup") and op != "dedup_semantic") else n_vec
+            rows_in = (
+                n_docs
+                if (op.startswith(("dedup", "exact")) and op != "dedup_semantic")
+                else n_vec
+            )
             results.append((op, label, rows_in, out_rows, sec))
 
         # HNSW: build timed separately from search (index-build vs query cost);
         # shard count auto-sized, so it grows with the data as it would at 100 TB
         t0 = time.perf_counter()
-        g = hnsw_build(vec, dim=64, rows_hint=n_vec, num_partitions=max(1, n_vec // 19_000)).cache()
+        g = hnsw_build(vec, dim=64, rows_hint=n_vec).cache()  # auto-sized (10k-row target)
         g.count()
         build_sec = time.perf_counter() - t0
         results.append(("hnsw_build", label, n_vec, n_vec, build_sec))

@@ -115,3 +115,67 @@ def test_merged_adjacent_spans(spark):
     # doc 1: run occupies tokens 1..14 -> 7 windows merged into one span
     assert (1, 1, 14, 7) in spans and (2, 0, 13, 7) in spans
     assert len(spans) == 2
+
+
+def test_shingle_python_engine_bit_identical(spark):
+    """hashed_shingle_sets_table (the hashlib mapInPandas tier feeding the
+    Jaccard AND MinHash bench paths) equals the expression tier
+    element-for-element on the real corpus and edge shapes, and both
+    pipelines emit the same scored pairs either way."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from neighborly_spark.operators.dedup import (
+        hashed_shingle_sets,
+        hashed_shingle_sets_table,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(1, "tiny"), (2, "a b c"), (3, "a  b\t c\nd"), (4, None), (5, " x y z w ")]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r._id: list(r._sh) for r in hashed_shingle_sets(edge).collect()}
+    b = {r._id: list(r._sh) for r in hashed_shingle_sets_table(edge).collect()}
+    assert a == b
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        "doc_id < 300"
+    )
+    a = {r._id: list(r._sh) for r in hashed_shingle_sets(docs).collect()}
+    b = {r._id: list(r._sh) for r in hashed_shingle_sets_table(docs).collect()}
+    assert a == b and len(a) == 300
+
+    pa = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, engine="python").collect()
+    }
+    pb = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, engine="expr").collect()
+    }
+    assert pa == pb and pa
+    ma = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.3, engine="python").collect()
+    }
+    mb = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.3, engine="expr").collect()
+    }
+    assert ma == mb and ma
+
+
+def test_spans_python_engine_bit_identical(spark):
+    """engine='python' (hashlib window hashes, the parity/serving tier)
+    produces the identical span set as the expression tier."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    a = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in exact_substr_spans(docs, min_tokens=4).collect()
+    }
+    b = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in exact_substr_spans(docs, min_tokens=4, engine="python").collect()
+    }
+    assert a == b and a

@@ -592,3 +592,63 @@ def test_streaming_semantic_neardup_matches_batch(spark, tmp_path):
 
     got = {(r.id_a, r.id_b, r.cos_sim) for r in final.distinct().collect()}
     assert got == batch
+
+
+def test_streaming_exact_substr_marks_matches_batch(spark, tmp_path):
+    """streaming_exact_substr_marks twin (ExactSubstr family symmetry):
+    marked duplicated-window emissions over hash-split arrivals with a
+    checkpoint restart between them equal the batch operator's marked set
+    — including occurrences that arrived BEFORE their window hash crossed
+    min_count (they buffer in state and flush on the crossing arrival)."""
+    from neighborly_spark.operators.dedup import _window_hashes
+    from neighborly_spark.streaming.stateful import streaming_exact_substr_marks
+
+    L = 4
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # batch marked set: all (doc,pos) windows whose hash occurs >= 2 times
+    wins = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(_window_hashes(F.col("text"), L)).alias("pos", "wh"),
+    )
+    dup = wins.groupBy("wh").count().filter(F.col("count") >= 2).select("wh")
+    batch = {(r.doc_id, r.pos) for r in wins.join(dup, "wh").select("doc_id", "pos").collect()}
+    assert batch  # the low-vocab corpus has duplicated 4-token runs
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def stage(phase, pred):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"b{phase}")
+        )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing / "*")
+        )
+        out = streaming_exact_substr_marks(stream, min_tokens=L, n_buckets=8)
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stage(0, F.xxhash64("doc_id") % 2 == 0)
+        run()
+        stage(1, F.xxhash64("doc_id") % 2 != 0)
+        final = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {(r.doc_id, r.pos) for r in final.distinct().collect()}
+    assert got == batch
