@@ -175,6 +175,22 @@ def bench_hnsw_150k(spark, sf_dir):
     return hnsw_search(_STATE["hnsw"], QUERY_VEC, 10)
 
 
+def bench_hnsw_batch32_150k(spark, sf_dir):
+    """Batch amortization tier (the documented 100 TB serving shape): 32
+    queries answered in ONE pass over the shard graphs — each shard
+    rehydrates once for all queries instead of once per query, so the
+    per-query cost is ~1/32 of the single-query entry's."""
+    from neighborly_spark.operators.hnsw import hnsw_search_batch
+
+    bench_hnsw_150k(spark, sf_dir)  # ensure the graph is built
+    if "hnsw_queries" not in _STATE:
+        vec = _synth_vectors(spark, sf_dir)
+        _STATE["hnsw_queries"] = [
+            (int(r.id), list(r.embedding)) for r in vec.limit(32).collect()
+        ]
+    return hnsw_search_batch(_STATE["hnsw"], _STATE["hnsw_queries"], 10)
+
+
 def bench_pq_150k(spark, sf_dir):
     """PQ at its serving default (the rerank tier, search_service method
     'pq'): codebook + code table build once untimed (index artifacts,
@@ -296,6 +312,7 @@ BENCH_LOCAL = {
     "bq_search_150k": bench_bq_150k,
     "pq_search_150k": bench_pq_150k,
     "hnsw_search_150k": bench_hnsw_150k,
+    "hnsw_batch32_150k": bench_hnsw_batch32_150k,
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,

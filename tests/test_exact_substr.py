@@ -131,7 +131,17 @@ def test_shingle_python_engine_bit_identical(spark):
         ngram_jaccard_pairs,
     )
 
-    rows = [(1, "tiny"), (2, "a b c"), (3, "a  b\t c\nd"), (4, None), (5, " x y z w ")]
+    rows = [
+        (1, "tiny"),
+        (2, "a b c"),
+        (3, "a  b\t c\nd"),
+        (4, None),
+        (5, " x y z w "),
+        # unicode case-mapping parity: final sigma, dotted I, sharp s —
+        # Python str.lower() and Spark lower() agree (probed empirically)
+        (6, "ΑΣ ΒΗΤΑ ΣΙΓΜΑ ΤΕΛΟΣ"),
+        (7, "İstanbul IJssel STRASSE ß ok"),
+    ]
     edge = spark.createDataFrame(rows, "doc_id long, text string")
     a = {r._id: list(r._sh) for r in hashed_shingle_sets(edge).collect()}
     b = {r._id: list(r._sh) for r in hashed_shingle_sets_table(edge).collect()}
