@@ -1244,6 +1244,7 @@ def exact_substr_spans(
     min_tokens: int = 50,
     min_count: int = 2,
     engine: str = "expr",
+    materialize: bool = False,
 ) -> DataFrame:
     """ExactSubstr duplicated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better", §3.1
@@ -1284,6 +1285,10 @@ def exact_substr_spans(
         )
     else:
         raise ValueError(f"unknown engine {engine!r} (expected 'expr' or 'python')")
+    if materialize:
+        # the windows table feeds BOTH the dup aggregate and the position
+        # join; without materialization the hash pass runs once per consumer
+        wins = wins.localCheckpoint()
     dup = (
         wins.groupBy("_wh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1314,6 +1319,7 @@ def exact_substr_dedup(
     min_tokens: int = 50,
     min_count: int = 2,
     engine: str = "expr",
+    materialize: bool = False,
 ) -> DataFrame:
     """ExactSubstr removal: cut every duplicated span found by
     exact_substr_spans out of every document (the paper's released tool cuts
@@ -1329,7 +1335,7 @@ def exact_substr_dedup(
     and the doc's own bounded span list — no second explode.
     """
     spans = (
-        exact_substr_spans(df, id_col, text_col, min_tokens, min_count, engine)
+        exact_substr_spans(df, id_col, text_col, min_tokens, min_count, engine, materialize)
         .groupBy(id_col)
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),

@@ -1716,7 +1716,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_frac"),
     )
     spans = (
-        exact_substr_spans(docs, min_tokens=4, engine="python")
+        exact_substr_spans(docs, min_tokens=4, engine="python", materialize=True)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("_nds"),

@@ -122,3 +122,42 @@ def test_unigram_freq_join_never_shuffles_doc_tokens(spark):
     # broadcast hash join (no Exchange between Generate and the join)
     plan = _plan(REGISTRY["unigram_logprob"].build(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_substr_plan_shape(spark):
+    """ExactSubstr (expr tier): the dup-hash aggregate is map-side partial
+    (HashAggregate pair), the windows stage stays JVM-side (no Python
+    nodes before the islands window), and the python tier's only Python
+    node is the fingerprint mapInPandas."""
+    from neighborly_spark.operators.dedup import exact_substr_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 50")
+    plan = _plan(exact_substr_spans(docs, min_tokens=4))
+    assert "HashAggregate" in plan  # partial+final count aggregate
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # python tier, lazy: the window-hash MapInPandas appears once per
+    # CONSUMER (dup aggregate + position join) — the double-evaluation
+    # materialize=True removes
+    lazy = _plan(exact_substr_spans(docs, min_tokens=4, engine="python"))
+    assert lazy.count("MapInPandas") == 2
+    # materialized: the checkpoint ran the pass ONCE; downstream reads the
+    # materialized rows (Scan ExistingRDD), zero Python nodes left
+    pyplan = _plan(exact_substr_spans(docs, min_tokens=4, engine="python", materialize=True))
+    assert "MapInPandas" not in pyplan and "Scan ExistingRDD" in pyplan
+    assert "BatchEvalPython" not in pyplan
+
+
+def test_winnow_python_tier_single_python_boundary(spark):
+    """winnow engine='python': one MapInPandas (the fingerprint table);
+    candidate generation and scoring stay JVM-side."""
+    from neighborly_spark.operators.dedup import winnow_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 50")
+    plan = _plan(
+        winnow_neardup_pairs(docs, threshold=0.3, engine="python", n_docs=50, materialize=True)
+    )
+    # materialized fingerprint table: the hashlib pass ran once at the
+    # checkpoint; the candidate join reads Scan ExistingRDD, no Python left
+    assert "MapInPandas" not in plan and "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan

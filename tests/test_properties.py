@@ -198,3 +198,42 @@ def test_pack_sequences_invariants(spark, texts, budget):
         assert r.n_bins == r.last_bin - r.first_bin + 1
         assert r.n_tokens >= 1
         offset += r.n_tokens
+
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=3)
+_doc_words = st.lists(_word, min_size=0, max_size=30)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    shared=st.lists(_word, min_size=6, max_size=6),
+    pre_a=st.lists(_word, min_size=0, max_size=6),
+    post_b=st.lists(_word, min_size=0, max_size=6),
+    other=_doc_words,
+)
+def test_exact_substr_guarantee(spark, shared, pre_a, post_b, other):
+    """ExactSubstr law: two documents sharing a run of >= min_tokens tokens
+    always produce spans COVERING that run in both documents (windows of
+    the run collide by construction); and python/expr engines agree."""
+    from neighborly_spark.operators.dedup import exact_substr_spans
+
+    L = 6
+    a_toks = pre_a + shared
+    b_toks = shared + post_b
+    rows = [(1, " ".join(a_toks)), (2, " ".join(b_toks)), (3, " ".join(other))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = [
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_spans(df, min_tokens=L).collect()
+    ]
+    spans_py = [
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_spans(df, min_tokens=L, engine="python").collect()
+    ]
+    assert sorted(spans) == sorted(spans_py)
+    # the shared run is covered in doc 1 (positions len(pre_a)..+L-1)
+    s1 = [s for s in spans if s[0] == 1]
+    start1 = len(pre_a)
+    assert any(st_ <= start1 and en >= start1 + L - 1 for _, st_, en in s1)
+    s2 = [s for s in spans if s[0] == 2]
+    assert any(st_ <= 0 and en >= L - 1 for _, st_, en in s2)

@@ -243,3 +243,48 @@ def test_curation_pipeline_gopher_rules(spark):
         for r in docs.filter(gopher_quality_flags(F.col("text"))["keep"]).collect()
     }
     assert gop_ids <= kept
+
+
+def test_text_pipeline_full_chain(spark):
+    """The complete text-curation story a FineWeb/Dolma-style user runs:
+    line-level boilerplate removal -> ExactSubstr span removal (both
+    REWRITE text) -> quality gate (incl. Gopher rules) -> exact +
+    near-dup dedup -> split. Asserts each rewrite stage actually fired
+    and the final survivors pass every gate."""
+    from pyspark.sql import functions as F
+
+    from neighborly_spark.functions.text import gopher_quality_flags
+    from neighborly_spark.operators.corpus import curation_pipeline
+    from neighborly_spark.operators.dedup import exact_substr_dedup, line_dedup
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    # synthesize multi-line docs with shared boilerplate + a duplicated run
+    run = " ".join(f"shared{i}" for i in range(12))
+    docs = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE BANNER\n"), F.col("text"), F.lit(f"\n{run}\nall rights reserved")
+        ).alias("text"),
+    )
+
+    step1 = line_dedup(docs, min_docs=2)
+    assert step1.agg(F.sum("n_removed")).collect()[0][0] > 0  # boilerplate lines went
+
+    step2 = exact_substr_dedup(
+        step1.select("doc_id", "text"), min_tokens=12, engine="python"
+    )
+    assert step2.agg(F.sum("n_removed_tokens")).collect()[0][0] > 0  # the run went
+
+    out = curation_pipeline(
+        step2.select("doc_id", "text"), min_quality=0.3, gopher_rules=False
+    )
+    rows = out.collect()
+    assert rows
+    assert all(r.quality >= 0.3 for r in rows)
+    # the duplicated run is gone from every survivor
+    assert all(run not in r.text for r in rows)
+    # gopher flags still computable on rewritten text (no nulls/crashes)
+    flags = step2.select(gopher_quality_flags(F.col("text")).alias("g")).collect()
+    assert all(r.g is not None for r in flags)
