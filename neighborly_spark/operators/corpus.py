@@ -349,6 +349,7 @@ def curation_pipeline(
     splits: tuple = (0.8, 0.1, 0.1),
     decontaminate_n: int = 8,
     gopher_rules: bool = False,
+    near_dup_keep: str = "min_id",
 ) -> DataFrame:
     """The end-to-end training-data curation pass, composed from this
     engine's operators in the order production pipelines run them:
@@ -357,8 +358,10 @@ def curation_pipeline(
        ``gopher_rules=True`` additionally requires the Gopher A1.1
        keep verdict — functions.text.gopher_quality_flags)
     2. exact dedup   (min-id fingerprint survivor)
-    3. near-dup dedup (MinHash-banded Jaccard >= jaccard_threshold,
-       cluster min-id survivor)
+    3. near-dup dedup (MinHash-banded Jaccard >= jaccard_threshold;
+       ``near_dup_keep='min_id'`` keeps the min-id cluster member,
+       ``'max_quality'`` keeps the highest-quality one — the stage-1
+       score is reused, ties to min id)
     4. decontamination (drop docs sharing any n-gram with `bench`)
     5. deterministic split assignment (content-stable train/val/test)
 
@@ -388,7 +391,12 @@ def curation_pipeline(
     pairs = DD.minhash_lsh_pairs(
         survivors.select(id_col, text_col), threshold=jaccard_threshold
     )
-    near_survivors = DD.dedup_survivors_from_pairs(survivors, pairs, id_col=id_col)
+    if near_dup_keep == "max_quality":
+        near_survivors = DD.dedup_survivors_from_pairs(
+            survivors, pairs, id_col=id_col, keep="max_score", score_col="quality"
+        )
+    else:
+        near_survivors = DD.dedup_survivors_from_pairs(survivors, pairs, id_col=id_col)
     if bench is not None:
         contaminated = decontaminate(
             near_survivors, bench, id_col=id_col, text_col=text_col, n=decontaminate_n

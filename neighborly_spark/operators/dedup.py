@@ -727,13 +727,51 @@ def connected_components(
 
 
 def dedup_survivors_from_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min_id",
+    score_col: str | None = None,
 ) -> DataFrame:
-    """Keep one row per near-dup cluster (the min-id member) plus all rows
-    that appear in no pair."""
+    """Keep one row per near-dup cluster plus all rows that appear in no
+    pair. Survivor policies:
+
+    - ``keep='min_id'`` (default): the min-id member — the deterministic
+      content-independent choice every oracle query uses.
+    - ``keep='max_score'``: the member with the LARGEST ``score_col``
+      value (quality score, token count, trust tier, ...), ties broken by
+      min id — the policy real curation pipelines run ("of these near-dup
+      pages, keep the highest-quality one"). One extra keyed window over
+      the clustered rows; deterministic given the scores.
+
+    Scale: connected_components is min-label propagation (O(diameter)
+    shuffles); the policy adds at most one window partitioned by the
+    cluster label — same exchange a groupBy would take.
+    """
     comps = connected_components(pairs)
-    losers = comps.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
-    return df.join(losers, id_col, "left_anti")
+    if keep == "min_id":
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    if keep == "max_score":
+        if score_col is None:
+            raise ValueError("keep='max_score' requires score_col")
+        labeled = df.join(
+            comps.select(F.col("id").alias(id_col), "component"), id_col, "left"
+        ).withColumn(
+            # unpaired rows become their own singleton cluster — a bare NULL
+            # component would put EVERY unpaired row into one window
+            # partition (a single hot task at corpus scale)
+            "component",
+            F.coalesce(F.col("component"), F.col(id_col)),
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        ranked = labeled.withColumn("_rk", F.row_number().over(w))
+        return ranked.filter(F.col("_rk") == 1).drop("_rk", "component")
+    raise ValueError(f"unknown keep policy {keep!r} (expected 'min_id' or 'max_score')")
 
 
 # --- centroid outliers -------------------------------------------------------

@@ -131,6 +131,30 @@ def test_dedup_survivors_from_pairs(spark):
     n_clusters = comps.select("component").distinct().count()
     assert kept.count() == docs.count() - (n_pairs_members - n_clusters)
 
+    # max_score policy: same survivor COUNT, but each cluster keeps its
+    # highest-scoring member (ties -> min id); unpaired rows untouched
+    from pyspark.sql import functions as F
+
+    scored = docs.withColumn("score", F.length("text").cast("double"))
+    kept_q = dedup_survivors_from_pairs(
+        scored, pairs, keep="max_score", score_col="score"
+    )
+    assert kept_q.count() == kept.count()
+    comp_map = {r.id: r.component for r in comps.collect()}
+    best: dict = {}
+    for r in scored.collect():
+        c = comp_map.get(r.doc_id)
+        if c is None:
+            continue
+        cur = best.get(c)
+        if cur is None or (r.score, -r.doc_id) > (cur[1], -cur[0]):
+            best[c] = (r.doc_id, r.score)
+    expected_cluster_survivors = {v[0] for v in best.values()}
+    got_ids = {r.doc_id for r in kept_q.collect()}
+    assert expected_cluster_survivors <= got_ids
+    losers = set(comp_map) - expected_cluster_survivors
+    assert not (losers & got_ids)
+
 
 def test_jaccard_hot_recovery_exact_on_forced_hot_shingles(spark):
     """Drive the hot-shingle RECOVERY path with a cutoff low enough that

@@ -288,3 +288,26 @@ def test_text_pipeline_full_chain(spark):
     # gopher flags still computable on rewritten text (no nulls/crashes)
     flags = step2.select(gopher_quality_flags(F.col("text")).alias("g")).collect()
     assert all(r.g is not None for r in flags)
+
+
+def test_curation_pipeline_max_quality_survivor(spark):
+    """near_dup_keep='max_quality': the near-dup stage keeps each cluster's
+    highest-quality member instead of the min-id one; survivor count is
+    policy-independent."""
+    from pyspark.sql import functions as F
+
+    from neighborly_spark.operators.corpus import curation_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    a = curation_pipeline(docs, min_quality=0.0, jaccard_threshold=0.3)
+    b = curation_pipeline(
+        docs, min_quality=0.0, jaccard_threshold=0.3, near_dup_keep="max_quality"
+    )
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == len(rb)
+    qa = {r.doc_id: r.quality for r in ra}
+    qb = {r.doc_id: r.quality for r in rb}
+    # the quality policy never keeps a LOWER total quality than min-id
+    assert sum(qb.values()) >= sum(qa.values())
