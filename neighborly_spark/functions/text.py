@@ -20,6 +20,27 @@ from pyspark.sql import functions as F
 
 _WS = r"\s+"
 
+# Python replicas of the tokenization used by the hashlib twin tiers
+# (winnow_fingerprints_table, hashed_shingle_sets_table,
+# _window_hashes_table): ONE definition so the "byte-identical to the
+# engine" contract lives in one place. Java \s == [ \t\n\x0B\f\r];
+# Python \s is wider (unicode), so the class is spelled out. F.trim strips
+# SPACES only; Spark split keeps leading/trailing empty fields (limit -1),
+# and so does re.split.
+import re as _re
+
+PY_WS = _re.compile("[ \t\n\x0b\f\r]+")
+
+
+def py_normalize_exact(text: str) -> str:
+    """Python replica of normalize_text (lower, trim spaces, collapse \s+)."""
+    return PY_WS.sub(" ", text.lower().strip(" "))
+
+
+def py_tokens_exact(text: str) -> list[str]:
+    """Python replica of tokens() (split trimmed lowered text on \s+)."""
+    return PY_WS.split(text.lower().strip(" "))
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of trimmed, lowercased text."""
@@ -548,21 +569,16 @@ def winnow_fingerprints_table(
 
     Returns (id_col, out_col array<long>) — one row per input row.
     """
-    import re
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    # Java \s == [ \t\n\x0B\f\r]; Python \s is wider (unicode), so spell it out
-    ws = re.compile("[ \t\n\x0b\f\r]+")
-
     def fingerprint_one(text, md5) -> list[int]:
         if text is None:
             return []
-        # F.trim strips SPACES only; regexp_replace collapses \s+ runs
-        t = ws.sub(" ", text.lower().strip(" "))
+        t = py_normalize_exact(text)
         n = len(t) - k + 1
         if n <= 0:
             return []
@@ -639,7 +655,7 @@ def gopher_quality_flags(
     - word count in [min_words, max_words];
     - mean word length in [min_mean_word_len, max_mean_word_len];
     - '#' or '...' symbols per word <= max_symbol_word_ratio;
-    - < max_bullet_line_frac of lines start with a bullet, and
+    - <= max_bullet_line_frac of lines start with a bullet, and
       <= max_ellipsis_line_frac of lines end with an ellipsis;
     - >= min_alpha_word_frac of words contain an (ASCII) alphabetic char;
     - >= min_stopword_hits of GOPHER_STOPWORDS present.
@@ -691,7 +707,9 @@ def gopher_quality_flags(
             & (mean_len >= min_mean_word_len)
             & (mean_len <= max_mean_word_len)
             & (symbol_ratio <= max_symbol_word_ratio)
-            & (bullet_frac < max_bullet_line_frac)
+            # '<=': the paper removes docs with MORE than 90% bullet lines,
+            # so exactly-at-the-bound keeps (consistent with the ellipsis rule)
+            & (bullet_frac <= max_bullet_line_frac)
             & (ellipsis_frac <= max_ellipsis_line_frac)
             & (alpha_frac >= min_alpha_word_frac)
             & (hits >= min_stopword_hits)
@@ -747,7 +765,7 @@ SELECT struct_pack(
     AND round(list_reduce(list_prepend(0.0, list_transform(tk, w -> CAST(length(w) AS DOUBLE))), (a, b) -> a + b) / nw, 6) BETWEEN {min_mean_word_len} AND {max_mean_word_len}
     AND round((CAST(length({t}) - length(replace({t}, '#', '')) AS BIGINT)
       + CAST(floor((length({t}) - length(replace({t}, '...', ''))) / 3) AS BIGINT)) / nw, 6) <= {max_symbol_word_ratio}
-    AND round(len(list_filter(ln, x -> regexp_matches(trim(x), '^[-*•]'))) / CAST(len(ln) AS DOUBLE), 6) < {max_bullet_line_frac}
+    AND round(len(list_filter(ln, x -> regexp_matches(trim(x), '^[-*•]'))) / CAST(len(ln) AS DOUBLE), 6) <= {max_bullet_line_frac}
     AND round(len(list_filter(ln, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) / CAST(len(ln) AS DOUBLE), 6) <= {max_ellipsis_line_frac}
     AND round(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) / nw, 6) >= {min_alpha_word_frac}
     AND len(list_filter([{sw}], s -> list_contains(tk, s))) >= {min_stopword_hits})

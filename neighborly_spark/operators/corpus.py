@@ -395,8 +395,12 @@ def curation_pipeline(
         near_survivors = DD.dedup_survivors_from_pairs(
             survivors, pairs, id_col=id_col, keep="max_score", score_col="quality"
         )
-    else:
+    elif near_dup_keep == "min_id":
         near_survivors = DD.dedup_survivors_from_pairs(survivors, pairs, id_col=id_col)
+    else:
+        raise ValueError(
+            f"unknown near_dup_keep {near_dup_keep!r} (expected 'min_id' or 'max_quality')"
+        )
     if bench is not None:
         contaminated = decontaminate(
             near_survivors, bench, id_col=id_col, text_col=text_col, n=decontaminate_n

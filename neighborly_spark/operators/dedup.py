@@ -109,21 +109,15 @@ def hashed_shingle_sets_table(
     shingle per doc; here it's a C-speed hashlib call in a per-doc loop —
     Arrow-batched, no shuffle, the map-only shape fingerprinting should
     have at 100 TB."""
-    import re
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    # Java \s == [ \t\n\x0B\f\r]; Python \s is wider (unicode)
-    ws = re.compile("[ \t\n\x0b\f\r]+")
-
     def one(text, md5) -> list[int]:
         if text is None:
             return []
-        # F.trim strips SPACES only; Spark split keeps leading/trailing
-        # empty fields (limit -1), and so does re.split
-        toks = ws.split(text.lower().strip(" "))
+        toks = T.py_tokens_exact(text)
         n = len(toks) - k + 1
         if n <= 0:
             return []
@@ -952,7 +946,6 @@ def semantic_dedup_pairs(
         IVFModel,
         _ArrayCentroids,
         ivf_assign,
-        ivf_assign_vectorized,
         ivf_train_sampled,
     )
 
@@ -987,7 +980,12 @@ def semantic_dedup_pairs(
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
-        .filter(F.col("cos_sim") >= threshold)
+        # NaN guard: cosine() yields NaN for zero-magnitude vectors and the
+        # engine's NaN-is-largest ordering would pass `NaN >= threshold`,
+        # emitting FALSE-POSITIVE pairs (the docstring's never-false-positive
+        # contract) — the blas tier defines zero-vector cosine as 0 and emits
+        # nothing; this filter makes the tiers agree
+        .filter(~F.isnan(F.col("cos_sim")) & (F.col("cos_sim") >= threshold))
         .select("id_a", "id_b", "cluster", "cos_sim")
     )
 
@@ -1016,15 +1014,32 @@ def _semantic_pairs_blas(
     from neighborly_spark.operators.ivf import CLUSTER_COL, ivf_assign_vectorized
 
     assigned = ivf_assign_vectorized(df, model, vec_col)
-    out_schema = "id_a long, id_b long, cluster int, cos_sim double"
+    id_sql_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_sql_type}, id_b {id_sql_type}, cluster int, cos_sim double"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="object"),
+                "id_b": pd.Series([], dtype="object"),
+                "cluster": pd.Series([], dtype="int32"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
 
     def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # null embeddings carry a null cluster (ivf_assign_vectorized) and
+        # form their own group: skip it — the exact tier's null-cluster rows
+        # never join either
+        if key[0] is None:
+            return _empty()
+        pdf = pdf[pdf[vec_col].notna()]
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cluster": [], "cos_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cluster": "int32", "cos_sim": "float64"}
-            )
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+            return _empty()
+        # native dtype (not forced int64): string/uuid ids pass through, like
+        # the exact tier's join-only handling
+        ids = pdf[id_col].to_numpy()
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.sqrt((x * x).sum(axis=1))
         norms[norms == 0.0] = 1.0  # zero vectors: cosine defined 0 vs everything
@@ -1047,9 +1062,7 @@ def _semantic_pairs_blas(
                 out_b.append(ib2)
                 out_s.append(sims[rows, cols])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cluster": [], "cos_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cluster": "int32", "cos_sim": "float64"}
-            )
+            return _empty()
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -1143,7 +1156,14 @@ def line_dedup(
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
-    ).withColumn("_lh", F.xxhash64(F.trim(F.col("_line"))))
+    ).withColumn(
+        # 128-bit md5, not xxhash64: at C4/RefinedWeb scale (billions of
+        # distinct lines) a 64-bit birthday collision merges two DIFFERENT
+        # lines into one key and removes a unique line as "boilerplate" —
+        # the same collision policy _window_hashes documents
+        "_lh",
+        F.md5(F.trim(F.col("_line"))),
+    )
     eligible = F.length(F.trim(F.col("_line"))) >= min_line_chars
     counts = (
         lines.filter(eligible)
@@ -1240,13 +1260,11 @@ def _window_hashes_table(
     one (id, pos, wh) row per L-token window — hashlib.md5 hex digests are
     byte-identical to the Column expression's (test-gated), the same
     exact-twin contract as hashed_shingle_sets_table."""
-    import re
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    ws = re.compile("[ \t\n\x0b\f\r]+")
     k = min_tokens
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1257,7 +1275,7 @@ def _window_hashes_table(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                toks = ws.split(text.lower().strip(" "))
+                toks = T.py_tokens_exact(text)
                 n = len(toks) - k + 1
                 for i in range(max(n, 0)):
                     ids.append(did)
@@ -1385,8 +1403,13 @@ def exact_substr_dedup(
 
     def rebuild(toks: Column) -> Column:
         n = F.size(toks)
+        # sequence(0, m) DESCENDS for m < 0 (same guard as _window_hashes):
+        # an empty token array must yield an empty index list, not [0, -1]
+        idxs = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
         kept = F.filter(
-            F.sequence(F.lit(0), n - 1),
+            idxs,
             lambda j: ~F.exists(
                 F.col("_spans"),
                 lambda s: (j >= s.span_start) & (j <= s.span_end),
@@ -1400,7 +1423,18 @@ def exact_substr_dedup(
 
     out = joined.withColumn(
         "_r",
-        F.element_at(F.transform(F.array(T.tokens(F.col(text_col))), rebuild), 1),
+        # null text -> empty token array (size(null) is -1, which would turn
+        # sequence(0, n-1) into descending negative indices and emit garbage
+        # counts); null docs come out as text='' with zero counts
+        F.element_at(
+            F.transform(
+                F.array(
+                    F.coalesce(T.tokens(F.col(text_col)), F.array().cast("array<string>"))
+                ),
+                rebuild,
+            ),
+            1,
+        ),
     )
     return out.select(
         id_col,

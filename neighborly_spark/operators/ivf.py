@@ -146,9 +146,17 @@ def ivf_assign_vectorized(df: DataFrame, model: IVFModel, vec_col: str = "embedd
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                d = c_sq[None, :] - 2.0 * (x @ cents.T)
-                pdf = pdf.assign(**{CLUSTER_COL: np.argmin(d, axis=1).astype(np.int32)})
+                # null embeddings assign to null cluster, matching the HOF
+                # tier (a crash here would fail the whole pipeline)
+                valid = pdf[vec_col].notna().to_numpy()
+                out = pd.array([pd.NA] * len(pdf), dtype="Int32")
+                if valid.any():
+                    x = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][valid]]
+                    )
+                    d = c_sq[None, :] - 2.0 * (x @ cents.T)
+                    out[np.nonzero(valid)[0]] = np.argmin(d, axis=1).astype(np.int32)
+                pdf = pdf.assign(**{CLUSTER_COL: out})
             else:
                 pdf = pdf.assign(**{CLUSTER_COL: pd.Series([], dtype="int32")})
             yield pdf[out_fields]

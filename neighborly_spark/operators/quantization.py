@@ -469,13 +469,23 @@ def pq_encode_vectorized(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                codes = np.empty((len(pdf), m), dtype=np.int32)
-                for s in range(m):
-                    xs = x[:, s * sub_dim : (s + 1) * sub_dim]
-                    d = c_sq[s][None, :] - 2.0 * (xs @ cents[s].T)
-                    codes[:, s] = d.argmin(axis=1)
-                pdf = pdf.assign(**{code_col: list(codes)})
+                # null embeddings encode to [null]*m, matching the HOF
+                # tier's F.array of null argmins (a crash here would fail
+                # the whole index build)
+                valid = pdf[vec_col].notna().to_numpy()
+                out: list = [[None] * m] * len(pdf)
+                if valid.any():
+                    x = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][valid]]
+                    )
+                    codes = np.empty((len(x), m), dtype=np.int32)
+                    for s in range(m):
+                        xs = x[:, s * sub_dim : (s + 1) * sub_dim]
+                        d = c_sq[s][None, :] - 2.0 * (xs @ cents[s].T)
+                        codes[:, s] = d.argmin(axis=1)
+                    for j, row in zip(np.nonzero(valid)[0], codes):
+                        out[int(j)] = row
+                pdf = pdf.assign(**{code_col: out})
             else:
                 pdf = pdf.assign(**{code_col: pd.Series([], dtype="object")})
             yield pdf[out_fields]
@@ -548,6 +558,8 @@ def pq_search(
         total = term if total is None else total + term
     return (
         encoded.withColumn("dist", F.sqrt(total))
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        # nulls LAST: a null-embedding row carries null codes -> null dist,
+        # and plain asc would rank it first
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )

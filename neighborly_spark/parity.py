@@ -656,7 +656,8 @@ UNION ALL
 SELECT 'semantic', a.vec_id, b.vec_id, a.cluster,
        round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND})
 FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-WHERE round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}) >= 0.4
+WHERE NOT isnan(round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}))
+  AND round({sql_cosine('a.embedding', 'b.embedding')}, {ROUND}) >= 0.4
 """.strip(),
     tags=["dedup"],
 )

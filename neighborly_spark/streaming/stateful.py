@@ -929,7 +929,9 @@ def streaming_semantic_neardup(
     )
     return (
         raw.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), round_to))
-        .filter(F.col("cos_sim") >= threshold)
+        # NaN guard: zero-magnitude vectors cosine to NaN and NaN-is-largest
+        # would pass the threshold — same guard as the batch exact tier
+        .filter(~F.isnan(F.col("cos_sim")) & (F.col("cos_sim") >= threshold))
         .select("id_a", "id_b", "cos_sim")
     )
 
@@ -980,17 +982,26 @@ def streaming_exact_substr_marks(
             StructField("pend_wh", ArrayType(StringType()), True),
             StructField("pend_doc", ArrayType(LongType()), True),
             StructField("pend_pos", ArrayType(LongType()), True),
+            StructField("seen_docs", ArrayType(LongType()), True),
         ]
     )
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         counts: dict[str, int] = {}
         pending: dict[str, list[tuple[int, int]]] = {}
+        seen: set[int] = set()
         if state.exists:
             prev = state.get
             counts = {w: int(c) for w, c in zip(prev[0] or [], prev[1] or [])}
             for w, d, p in zip(prev[2] or [], prev[3] or [], prev[4] or []):
                 pending.setdefault(w, []).append((int(d), int(p)))
+            seen = {int(d) for d in (prev[5] or [])}
+        # replay guard (at-least-once sources): a doc whose rows this bucket
+        # already counted in a PRIOR batch is skipped wholesale — without it a
+        # re-delivery double-counts every window hash and marks the whole doc
+        # as one duplicated span (streaming_winnow_neardup's posting guard,
+        # applied at doc granularity since the unit of delivery is a doc)
+        prior_seen = frozenset(seen)
         out_doc: list[int] = []
         out_pos: list[int] = []
         arrived = 0
@@ -999,6 +1010,9 @@ def streaming_exact_substr_marks(
             pdf = pdf.sort_values(["_wh", "_id", "_pos"])
             for wh, did, pos in zip(pdf["_wh"].values, pdf["_id"].values, pdf["_pos"].values):
                 wh, did, pos = str(wh), int(did), int(pos)
+                if did in prior_seen:
+                    continue
+                seen.add(did)
                 c = counts.get(wh, 0) + 1
                 counts[wh] = c
                 if c < min_count:
@@ -1021,7 +1035,9 @@ def streaming_exact_substr_marks(
                     p_wh.append(w)
                     p_doc.append(d)
                     p_pos.append(p)
-            state.update(([*whs], [counts[w] for w in whs], p_wh, p_doc, p_pos))
+            state.update(
+                ([*whs], [counts[w] for w in whs], p_wh, p_doc, p_pos, sorted(seen))
+            )
         if out_doc:
             yield pd.DataFrame({"doc_id": out_doc, "pos": out_pos})
 

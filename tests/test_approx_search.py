@@ -372,3 +372,49 @@ def test_cosine_neardup_approx_vs_exact(spark):
     for pair, sim in approx.items():
         assert sim == exact[pair]             # scores identical (same contract)
     assert len(approx) / len(exact) >= 0.8    # recall bar
+
+
+def test_vectorized_tiers_null_embedding_safe(spark):
+    """A null embedding must not crash the Arrow tiers: pq_encode_vectorized
+    emits a null code and ivf_assign_vectorized a null cluster — matching
+    the HOF tiers, which both yield null for null input."""
+    import neighborly_spark.operators.ivf as IVF
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [4.0, 3.0, 2.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    model = QZ.pq_train_sampled(df.filter("embedding is not null"), dim=4, m=2, num_centroids=2)
+    out = {r.id: r.pq_code for r in QZ.pq_encode_vectorized(df, model).collect()}
+    hof = {r.id: r.pq_code for r in QZ.pq_encode(df, model).collect()}
+    # null embedding -> [null, null] codes in BOTH tiers (F.array of null
+    # argmins), and valid rows encode identically
+    assert list(out[2]) == [None, None] and out[2] == hof[2]
+    assert out[1] == hof[1] and out[3] == hof[3]
+
+    ivf_model = IVF.ivf_train_sampled(df.filter("embedding is not null"), nlist=2)
+    va = {r.id: r[IVF.CLUSTER_COL] for r in IVF.ivf_assign_vectorized(df, ivf_model).collect()}
+    ha = {r.id: r[IVF.CLUSTER_COL] for r in IVF.ivf_assign(df, ivf_model).collect()}
+    assert va[2] is None and ha[2] is None and va[1] == ha[1] and va[3] == ha[3]
+
+
+def test_semantic_dedup_zero_vector_no_false_positives(spark):
+    """Zero-magnitude vectors cosine to NaN; without the NaN guard the
+    exact tier would emit every (zero_vec, member) same-cluster pair as a
+    'duplicate'. Both engines must emit nothing for the zero vector."""
+    from neighborly_spark.operators.dedup import semantic_dedup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector, same cluster as 1
+        (3, [0.99, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    for eng in ("exact", "blas"):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in semantic_dedup_pairs(
+                df, threshold=0.9, centroids=cents, engine=eng
+            ).collect()
+        }
+        assert (1, 3) in pairs, eng
+        assert all(2 not in p for p in pairs), eng

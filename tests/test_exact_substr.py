@@ -189,3 +189,13 @@ def test_spans_python_engine_bit_identical(spark):
         for r in exact_substr_spans(docs, min_tokens=4, engine="python").collect()
     }
     assert a == b and a
+
+
+def test_null_text_and_dedup_counts(spark):
+    """Null-text docs survive exact_substr_dedup with text='' and ZERO
+    counts (size(null) = -1 would otherwise leak negative token counts)."""
+    rows = [(1, None), (2, "real words here definitely present")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substr_dedup(df, min_tokens=4).collect()}
+    assert out[1].text == "" and out[1].n_tokens == 0 and out[1].n_removed_tokens == 0
+    assert out[2].n_tokens == 5 and out[2].n_removed_tokens == 0

@@ -646,6 +646,10 @@ def test_streaming_exact_substr_marks_matches_batch(spark, tmp_path):
         stage(0, F.xxhash64("doc_id") % 2 == 0)
         run()
         stage(1, F.xxhash64("doc_id") % 2 != 0)
+        run()
+        # at-least-once REPLAY: re-deliver batch 0's docs in a new file —
+        # the per-bucket seen-docs guard must not double-count their windows
+        stage(2, F.xxhash64("doc_id") % 2 == 0)
         final = run()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
