@@ -291,6 +291,48 @@ def bench_dedup_semantic(spark, sf_dir):
     )
 
 
+def bench_sq_150k(spark, sf_dir):
+    """SQ8 at its serving default (rerank tier, search_service method
+    'sq'): the min/max train + packed-code table build once untimed; the
+    timed query is a pure-codegen dequantized-distance scan over 1/4 the
+    float bytes plus the exact rerank of the 50-row shortlist."""
+    from neighborly_spark.operators.quantization import (
+        sq_encode_table,
+        sq_search_precoded,
+        sq_train,
+    )
+
+    vec = _synth_vectors(spark, sf_dir)
+    if "sq" not in _STATE:
+        model = sq_train(vec, 64)
+        codes = sq_encode_table(vec, model)
+        _STATE["sq"] = (model, codes)
+    model, codes = _STATE["sq"]
+    return sq_search_precoded(vec, codes, model, QUERY_VEC, 10)
+
+
+def bench_ivfpq_150k(spark, sf_dir):
+    """Composed IVF+PQ at its serving default (ADC shortlist + exact
+    rerank, search_service method 'ivfpq'): coarse + residual codebooks
+    train once untimed; the timed query reads only the probed cells' code
+    rows (nprobe=4 of nlist=32 — 1/8 of the table) and reranks the
+    shortlist."""
+    from neighborly_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_search_rerank,
+        ivfpq_train,
+    )
+
+    vec = _synth_vectors(spark, sf_dir)
+    if "ivfpq" not in _STATE:
+        model = ivfpq_train(vec, 64, nlist=32, m=8)
+        encoded = ivfpq_encode(vec, model).cache()
+        encoded.count()
+        _STATE["ivfpq"] = (model, encoded)
+    model, encoded = _STATE["ivfpq"]
+    return ivfpq_search_rerank(vec, encoded, model, QUERY_VEC, 10, nprobe=4)
+
+
 def bench_knn_exact_native(spark, sf_dir):
     """Single-metric exact kNN on the driver's embeddings table — the same
     workload round 1 timed as `knn_euclidean` (the gate entry now unions all
@@ -311,6 +353,8 @@ BENCH_LOCAL = {
     "ivf_probe_150k": bench_ivf_150k,
     "bq_search_150k": bench_bq_150k,
     "pq_search_150k": bench_pq_150k,
+    "sq_search_150k": bench_sq_150k,
+    "ivfpq_search_150k": bench_ivfpq_150k,
     "hnsw_search_150k": bench_hnsw_150k,
     "hnsw_batch32_150k": bench_hnsw_batch32_150k,
     "dedup_minhash_docs": bench_dedup_minhash,

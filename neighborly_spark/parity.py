@@ -1229,14 +1229,22 @@ def lsh_ann_search_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'ivf' AS variant, {_ANN_K} AS k, {_ANN_NQ} AS n_queries, true AS recall_ok
 UNION ALL
 SELECT 'pq_rerank', {_ANN_K}, {_ANN_NQ}, true
+UNION ALL
+SELECT 'sq', {_ANN_K}, {_ANN_NQ}, true
+UNION ALL
+SELECT 'ivfpq_rerank', {_ANN_K}, {_ANN_NQ}, true
 """.strip(),
     tags=["search", "approx"],
 )
 def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate over IVF probe search and PQ ADC+rerank search. Trainers
-    are the SAMPLED one-pass paths (deterministic hash-ordered sample +
-    seeded driver Lloyd), so the measurement is reproducible and the oracle
-    is the literal 'recall >= 0.8' row (bar Tests/HNSWBenchmarkTests.cs:169).
+    """Recall gate over the quantizer family: IVF probe search, PQ
+    ADC+rerank, SQ8 scalar quantization (pure dequantized tier — no rerank,
+    so the leg gates the quantizer itself), and composed IVF+PQ residual
+    ADC+rerank. Trainers are the SAMPLED one-pass paths (deterministic
+    hash-ordered sample + seeded driver Lloyd; SQ is a min/max aggregate —
+    fully order-independent), so the measurement is reproducible and the
+    oracle is the literal 'recall >= 0.8' row (bar
+    Tests/HNSWBenchmarkTests.cs:169).
 
     Operating points are sized for this table's geometry — uniform unit-norm
     vectors with NO cluster structure (the adversarial case for a coarse
@@ -1244,12 +1252,25 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 0.91), where clusterable data clears it at nprobe/nlist ~ 1/4
     (docs/RECALL.md Gaussian-mixture evidence); PQ uses the ADC-shortlist +
     exact-rerank tier (measured 0.98) — pure ADC on uniform data sits at
-    ~0.6 and is the documented fast tier, not the gate tier."""
+    ~0.6 and is the documented fast tier, not the gate tier. SQ8 measures
+    1.00 with rerank OFF (per-dim error <= (max-min)/510 — near-lossless at
+    4x compression, the quantizer the others are traded against). IVFPQ
+    rerank at nprobe=10 measures 0.87 here (residual codes recover what the
+    10/16 coarse probe keeps; clusterable data clears the bar at nprobe=2,
+    docs/RECALL.md)."""
     from neighborly_spark.operators.ivf import ivf_assign, ivf_search, ivf_train_sampled
+    from neighborly_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_search_rerank,
+        ivfpq_train,
+    )
     from neighborly_spark.operators.quantization import (
         pq_encode,
         pq_search_rerank,
         pq_train_sampled,
+        sq_encode_expr,
+        sq_search_precoded,
+        sq_train,
     )
 
     emb, qvecs, queries, exact = _ann_recall_inputs(spark, sf_dir, _ANN_NQ)
@@ -1272,8 +1293,35 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, q in enumerate(qvecs)
     ]
     pq_all = reduce(DataFrame.unionByName, pq_legs)
-    return _recall_flag("ivf", ivf_all, exact).unionByName(
-        _recall_flag("pq_rerank", pq_all, exact)
+
+    sq_model = sq_train(emb, 64)
+    # bare encode expression (sq_encode_table would cache internally,
+    # escaping the gate's _GATE_PERSISTED unpersist hygiene)
+    sq_codes = _gate_persist(
+        emb.select("id", sq_encode_expr(F.col("embedding"), sq_model).alias("code"))
+    )
+    sq_legs = [
+        sq_search_precoded(emb, sq_codes, sq_model, q, _ANN_K, rerank=False).select(
+            F.lit(i).cast("long").alias("query_id"), "id"
+        )
+        for i, q in enumerate(qvecs)
+    ]
+    sq_all = reduce(DataFrame.unionByName, sq_legs)
+
+    ip_model = ivfpq_train(emb, 64, nlist=16, m=16, num_centroids=32)
+    ip_enc = _gate_persist(ivfpq_encode(emb, ip_model))
+    ip_legs = [
+        ivfpq_search_rerank(emb, ip_enc, ip_model, q, _ANN_K, nprobe=10).select(
+            F.lit(i).cast("long").alias("query_id"), "id"
+        )
+        for i, q in enumerate(qvecs)
+    ]
+    ip_all = reduce(DataFrame.unionByName, ip_legs)
+    return (
+        _recall_flag("ivf", ivf_all, exact)
+        .unionByName(_recall_flag("pq_rerank", pq_all, exact))
+        .unionByName(_recall_flag("sq", sq_all, exact))
+        .unionByName(_recall_flag("ivfpq_rerank", ip_all, exact))
     )
 
 

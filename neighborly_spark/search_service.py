@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from neighborly_spark.functions.embedding import EMBEDDERS
 from neighborly_spark.operators import ivf as IVF
+from neighborly_spark.operators import ivfpq as IVFPQ
 from neighborly_spark.operators import lsh as LSH
 from neighborly_spark.operators import quantization as QZ
 from neighborly_spark.operators.knn import knn, knn_vectorized, range_search, threshold_filter
@@ -76,6 +77,10 @@ class SearchService:
         self._bq_codes: DataFrame | None = None
         self._ivf_model = None
         self._ivf_assigned = None
+        self._sq_model = None
+        self._sq_codes: DataFrame | None = None
+        self._ivfpq_model = None
+        self._ivfpq_encoded: DataFrame | None = None
         self._hnsw_graph: DataFrame | None = None
         self._hnsw_shards: int | None = None
         self._hnsw_routing: DataFrame | None = None
@@ -115,6 +120,22 @@ class SearchService:
             # instead of iterations x scans
             self._ivf_model = IVF.ivf_train_sampled(self.df, vec_col=self.vec_col)
             self._ivf_assigned = IVF.ivf_assign(self.df, self._ivf_model, self.vec_col).cache()
+        elif method == "sq":
+            # 8-bit scalar quantizer: one min/max pass trains, one encode
+            # pass materializes the packed-byte table (1/4 the float bytes)
+            self._sq_model = QZ.sq_train(self.df, self.dim, self.vec_col)
+            self._sq_codes = QZ.sq_encode_table(
+                self.df, self._sq_model, self.id_col, self.vec_col
+            )
+        elif method == "ivfpq":
+            # composed coarse-quantizer + residual-PQ index (operators.ivfpq
+            # — the FAISS IVFPQ recipe): sampled deterministic trainers, one
+            # Arrow encode pass materializes (id, cell, code)
+            self._ivfpq_model = IVFPQ.ivfpq_train(self.df, self.dim, vec_col=self.vec_col)
+            self._ivfpq_encoded = IVFPQ.ivfpq_encode(
+                self.df, self._ivfpq_model, self.id_col, self.vec_col
+            ).cache()
+            self._ivfpq_encoded.count()
         elif method == "hnsw":
             # true partitioned graph (operators.hnsw): requires a numeric
             # id (graph adjacency serializes neighbor ids as bigint). Built
@@ -199,6 +220,22 @@ class SearchService:
             appended.count()
             self._pq_encoded.unpersist()
             self._pq_encoded = appended
+        if self._sq_model is not None and self._sq_codes is not None:
+            new_codes = new_rows.select(
+                F.col(self.id_col),
+                QZ.sq_encode_expr(F.col(self.vec_col), self._sq_model).alias("code"),
+            )
+            appended = self._sq_codes.unionByName(new_codes).cache()
+            appended.count()
+            self._sq_codes.unpersist()
+            self._sq_codes = appended
+        if self._ivfpq_model is not None and self._ivfpq_encoded is not None:
+            appended = self._ivfpq_encoded.unionByName(
+                IVFPQ.ivfpq_encode(new_rows, self._ivfpq_model, self.id_col, self.vec_col)
+            ).cache()
+            appended.count()
+            self._ivfpq_encoded.unpersist()
+            self._ivfpq_encoded = appended
 
     def _refresh_hnsw_routing(self) -> None:
         """Rebuild the cached per-shard centroid+radius table after an
@@ -234,9 +271,13 @@ class SearchService:
             self._ivf_assigned = self._ivf_assigned.filter(keep)
         if self._pq_encoded is not None:
             self._pq_encoded = self._pq_encoded.filter(keep)
+        if self._sq_codes is not None:
+            self._sq_codes = self._sq_codes.filter(keep)
+        if self._ivfpq_encoded is not None:
+            self._ivfpq_encoded = self._ivfpq_encoded.filter(keep)
 
     def build_all_indexes(self) -> None:
-        for m in ("lsh", "bq", "pq", "ivf", "hnsw"):
+        for m in ("lsh", "bq", "pq", "ivf", "sq", "ivfpq", "hnsw"):
             self.build_index(m)
 
     # --- snapshot persistence (the reference's save/load database story,
@@ -273,6 +314,22 @@ class SearchService:
             extras["pq"] = {
                 "m": m.m, "sub_dim": m.sub_dim, "num_centroids": m.num_centroids,
                 "centroids": m.centroids,
+            }
+        if self._sq_model is not None:
+            self._sq_codes.write.mode("overwrite").parquet(f"{path}/indexes/sq_codes")
+            extras["sq"] = {"vmin": self._sq_model.vmin, "vmax": self._sq_model.vmax}
+        if self._ivfpq_model is not None:
+            # cluster-partitioned layout: probe filters partition-prune
+            self._ivfpq_encoded.write.mode("overwrite").partitionBy(
+                IVF.CLUSTER_COL
+            ).parquet(f"{path}/indexes/ivfpq_encoded")
+            ip = self._ivfpq_model
+            extras["ivfpq"] = {
+                "nlist": ip.ivf.nlist,
+                "coarse_centroids": ip.ivf.centroids,
+                "m": ip.pq.m, "sub_dim": ip.pq.sub_dim,
+                "num_centroids": ip.pq.num_centroids,
+                "pq_centroids": ip.pq.centroids,
             }
         if self._hnsw_graph is not None:
             # shard graphs as parquet partitioned by shard: a search that
@@ -325,6 +382,25 @@ class SearchService:
                 p["m"], p["sub_dim"], p["num_centroids"],
             )
             svc._pq_encoded = spark.read.parquet(f"{path}/indexes/pq_encoded")
+        if "sq" in extras:
+            from neighborly_spark.operators.quantization import SQModel
+
+            svc._sq_model = SQModel(extras["sq"]["vmin"], extras["sq"]["vmax"])
+            codes = spark.read.parquet(f"{path}/indexes/sq_codes").cache()
+            codes.count()
+            svc._sq_codes = codes
+        if "ivfpq" in extras:
+            from neighborly_spark.operators.ivfpq import IVFPQModel
+
+            ip = extras["ivfpq"]
+            svc._ivfpq_model = IVFPQModel(
+                IVFModel(_ArrayCentroids(np.asarray(ip["coarse_centroids"])), ip["nlist"]),
+                PQModel(
+                    [_ArrayKMeansModel(np.asarray(c)) for c in ip["pq_centroids"]],
+                    ip["m"], ip["sub_dim"], ip["num_centroids"],
+                ),
+            )
+            svc._ivfpq_encoded = spark.read.parquet(f"{path}/indexes/ivfpq_encoded")
         if extras.get("hnsw"):
             svc._hnsw_graph = spark.read.parquet(f"{path}/indexes/hnsw_graph")
             hn = extras["hnsw"]
@@ -348,6 +424,11 @@ class SearchService:
         hnsw_probe_shards: int | None = None,  # method='hnsw': descend only
         # the top-p shards by the routing table's centroid+radius lower
         # bound (sublinear in shard count); None = exhaustive all-shards
+        sq_rerank: bool = True,  # method='sq': exact-rerank the quantized
+        # shortlist (default); False ranks purely on dequantized distances
+        ivfpq_nprobe: int = 10,  # method='ivfpq': probed coarse cells —
+        # 10/16 clears the 0.8 bar on uniform data (docs/RECALL.md);
+        # clusterable data probes far fewer
     ) -> DataFrame:
         method = method.lower()
         if text is not None:
@@ -437,6 +518,25 @@ class SearchService:
             if self._ivf_model is None:
                 self.build_index("ivf")
             out = IVF.ivf_search(self._ivf_assigned, self._ivf_model, query_vec, k, id_col=self.id_col, vec_col=self.vec_col)
+        elif method == "sq":
+            if self._sq_model is None:
+                self.build_index("sq")
+            # rerank tier by default (near-lossless shortlist over 1/4 the
+            # bytes + exact float top-k); sq_rerank=False = pure quantized
+            out = QZ.sq_search_precoded(
+                self.df, self._sq_codes, self._sq_model, query_vec, k,
+                id_col=self.id_col, vec_col=self.vec_col, rerank=sq_rerank,
+            )
+        elif method == "ivfpq":
+            if self._ivfpq_model is None:
+                self.build_index("ivfpq")
+            # serving default = ADC shortlist + exact rerank, the tier that
+            # clears the 0.8 bar on uniform data (pure ADC is the documented
+            # fast tier — operators.ivfpq)
+            out = IVFPQ.ivfpq_search_rerank(
+                self.df, self._ivfpq_encoded, self._ivfpq_model, query_vec, k,
+                nprobe=ivfpq_nprobe, id_col=self.id_col, vec_col=self.vec_col,
+            )
         else:
             raise ValueError(f"unknown search method {method!r}")
 

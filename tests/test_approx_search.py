@@ -274,20 +274,24 @@ def test_search_service_save_load_roundtrip(spark, emb, query, tmp_path):
     svc.build_all_indexes()
     before = {
         m: [(r.id, round(r.dist, 6)) for r in svc.search(query_vec=query, k=5, method=m).collect()]
-        for m in ("linear", "lsh", "bq", "pq", "ivf")
+        for m in ("linear", "lsh", "bq", "pq", "ivf", "sq", "ivfpq")
     }
     svc.save(str(tmp_path / "db"))
 
     loaded = SearchService.load(spark, str(tmp_path / "db"))
     after = {
         m: [(r.id, round(r.dist, 6)) for r in loaded.search(query_vec=query, k=5, method=m).collect()]
-        for m in ("linear", "lsh", "bq", "pq", "ivf")
+        for m in ("linear", "lsh", "bq", "pq", "ivf", "sq", "ivfpq")
     }
     assert after == before
     # the loaded service answers from artifacts: models restored, not refit
     assert loaded._bq_threshold == svc._bq_threshold
     assert loaded._pq_model.centroids == svc._pq_model.centroids
     assert loaded._ivf_model.centroids == svc._ivf_model.centroids
+    assert loaded._sq_model.vmin == svc._sq_model.vmin
+    assert loaded._sq_model.vmax == svc._sq_model.vmax
+    assert loaded._ivfpq_model.ivf.centroids == svc._ivfpq_model.ivf.centroids
+    assert loaded._ivfpq_model.pq.centroids == svc._ivfpq_model.pq.centroids
 
 
 def test_incremental_quantizer_append(spark, emb, query):
@@ -299,10 +303,11 @@ def test_incremental_quantizer_append(spark, emb, query):
     old = emb.filter(F.col("id") % 2 == 0)
     new = emb.filter(F.col("id") % 2 == 1)
     svc = SearchService(old, dim=64)
-    for m in ("lsh", "bq", "pq", "ivf"):
+    for m in ("lsh", "bq", "pq", "ivf", "sq", "ivfpq"):
         svc.build_index(m)
-    thr, ivf_model, pq_model, lsh_model = (
+    thr, ivf_model, pq_model, lsh_model, sq_model, ivfpq_model = (
         svc._bq_threshold, svc._ivf_model, svc._pq_model, svc._lsh_model,
+        svc._sq_model, svc._ivfpq_model,
     )
     svc.add_vectors(new)
     # models untouched (append path, not retrain)
@@ -310,10 +315,14 @@ def test_incremental_quantizer_append(spark, emb, query):
     assert svc._ivf_model is ivf_model
     assert svc._pq_model is pq_model
     assert svc._lsh_model is lsh_model
+    assert svc._sq_model is sq_model
+    assert svc._ivfpq_model is ivfpq_model
     # code/assignment tables cover the union
     assert svc._bq_codes.count() == emb.count()
     assert svc._ivf_assigned.count() == emb.count()
     assert svc._pq_encoded.count() == emb.count()
+    assert svc._sq_codes.count() == emb.count()
+    assert svc._ivfpq_encoded.count() == emb.count()
 
     # served results == one-shot encode of the union with the SAME models
     union = old.unionByName(new)
@@ -341,12 +350,34 @@ def test_incremental_quantizer_append(spark, emb, query):
     ]
     assert pq_got == pq_want
 
+    sq_got = [(r.id, round(r.dist, 9)) for r in svc.search(query_vec=query, k=5, method="sq").collect()]
+    sq_codes = QZ.sq_encode_table(union, sq_model)
+    sq_want = [
+        (r.id, round(r.dist, 9))
+        for r in QZ.sq_search_precoded(union, sq_codes, sq_model, query, 5).collect()
+    ]
+    assert sq_got == sq_want
+    sq_codes.unpersist()
+
+    from neighborly_spark.operators import ivfpq as IVFPQ
+
+    ip_got = [(r.id, round(r.dist, 9)) for r in svc.search(query_vec=query, k=5, method="ivfpq").collect()]
+    ip_want = [
+        (r.id, round(r.dist, 9))
+        for r in IVFPQ.ivfpq_search_rerank(
+            union, IVFPQ.ivfpq_encode(union, ivfpq_model), ivfpq_model, query, 5, nprobe=10
+        ).collect()
+    ]
+    assert ip_got == ip_want
+
     # removal filters the artifact tables, models stay
     victim = int(new.first().id)
     svc.remove_vectors([victim])
     assert svc._bq_codes.filter(F.col("id") == victim).count() == 0
     assert svc._ivf_assigned.filter(F.col("id") == victim).count() == 0
     assert svc._pq_encoded.filter(F.col("id") == victim).count() == 0
+    assert svc._sq_codes.filter(F.col("id") == victim).count() == 0
+    assert svc._ivfpq_encoded.filter(F.col("id") == victim).count() == 0
     assert svc._bq_threshold == thr and svc._ivf_model is ivf_model
 
 

@@ -1,0 +1,273 @@
+"""SQ8 scalar quantization + composed IVF+PQ invariants.
+
+Extensions beyond the reference's BQ/PQ family (driver north star: the
+similarity-search scale tiers). Bars mirror the reference's own acceptance
+style: recall >= 0.8 vs exact k-NN (Tests/HNSWBenchmarkTests.cs:169) plus
+structural invariants in the BinaryQuantizationTests/ProductQuantizationTests
+mold (error bounds, determinism, null safety, partition-pruned layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators import ivfpq as IVFPQ
+from neighborly_spark.operators import quantization as QZ
+from neighborly_spark.operators.knn import knn as exact_knn
+
+SF = "/root/testdata/sf0.01"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return emb.filter(F.col("id") == 7).select("embedding").collect()[0].embedding
+
+
+@pytest.fixture(scope="module")
+def sq_model(emb):
+    return QZ.sq_train(emb, 64)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_model(emb):
+    return IVFPQ.ivfpq_train(emb, 64, nlist=16, m=16, num_centroids=32)
+
+
+def _recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+# --- SQ8 ---------------------------------------------------------------------
+
+
+def test_sq_recall_pure_and_rerank(emb, query, sq_model):
+    """Both tiers clear the bar; the pure tier alone is near-lossless
+    (per-dim error <= scale/2), which is SQ's reason to exist."""
+    codes = QZ.sq_encode_table(emb, sq_model)
+    exact = [r.id for r in exact_knn(emb, query, K).collect()]
+    pure = [
+        r.id
+        for r in QZ.sq_search_precoded(emb, codes, sq_model, query, K, rerank=False).collect()
+    ]
+    rer = [r.id for r in QZ.sq_search_precoded(emb, codes, sq_model, query, K).collect()]
+    assert _recall(pure, exact) >= 0.8
+    assert _recall(rer, exact) >= 0.8
+    # the query vector is row 7: both tiers find it first at ~0 distance
+    assert pure[0] == 7 and rer[0] == 7
+    codes.unpersist()
+
+
+def test_sq_error_bound_and_compression(emb, sq_model):
+    """Dequantized values honor the per-dimension error bound scale/2
+    (+ float slack) on every row; 64 float32 dims -> 8 packed longs = 4x."""
+    assert sq_model.compression_ratio() == 4.0
+    rows = emb.limit(50).collect()
+    scale = sq_model.scale
+    spark = emb.sparkSession
+    sample = emb.limit(50)
+    dec = sample.select(
+        "id",
+        "embedding",
+        QZ.sq_encode_expr(F.col("embedding"), sq_model).alias("code"),
+    )
+    got = {r.id: (list(r.embedding), list(r.code)) for r in dec.collect()}
+    for rid, (vec, code) in got.items():
+        for d, x in enumerate(vec):
+            w, j = divmod(d, QZ.SQ_BYTES_PER_WORD)
+            byte = (code[w] >> (8 * j)) & 255
+            deq = sq_model.vmin[d] + byte * scale[d]
+            bound = (scale[d] / 2 if scale[d] else 0.0) + 1e-6
+            assert abs(deq - x) <= bound, (rid, d)
+    assert len(rows) == 50
+
+
+def test_sq_determinism_and_degenerate_dim(spark):
+    """min/max training is order-independent -> bit-identical across
+    repartitionings; a constant dimension encodes to byte 0 and decodes
+    exactly to vmin."""
+    rows = [(i, [float(i % 7), 3.25, -2.0 + 0.5 * i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<float>")
+    m1 = QZ.sq_train(df, 3)
+    m2 = QZ.sq_train(df.repartition(7), 3)
+    assert m1.vmin == m2.vmin and m1.vmax == m2.vmax
+    assert m1.vmin[1] == m1.vmax[1] == 3.25 and m1.scale[1] == 0.0
+    enc = df.select("id", QZ.sq_encode_expr(F.col("embedding"), m1).alias("code"))
+    got = enc.filter(F.col("id") == 5).collect()[0].code
+    assert ((got[0] >> 8) & 255) == 0  # degenerate dim -> code 0
+
+
+def test_sq_null_embedding_ranks_last(spark, sq_model, emb, query):
+    """A null embedding yields null code words -> null distance -> ranked
+    after every real row by asc_nulls_last (never surfaces in top-k)."""
+    base = emb.select("id", "embedding").limit(20)
+    with_null = base.unionByName(
+        spark.createDataFrame([(999999, None)], base.schema)
+    )
+    codes = with_null.select(
+        "id", QZ.sq_encode_expr(F.col("embedding"), sq_model).alias("code")
+    )
+    out = QZ.sq_search_precoded(
+        with_null, codes, sq_model, query, 5, rerank=False
+    ).collect()
+    assert all(r.id != 999999 for r in out)
+
+
+def test_sq_scan_reads_codes_not_floats(spark, emb, sq_model, tmp_path):
+    """The pure tier's plan reads ONLY the packed-code parquet (the 4x I/O
+    claim): a fresh-path code table scored without rerank never touches the
+    float table's files, and the read schema carries no float array."""
+    QZ.sq_encode_table(emb, sq_model, path=str(tmp_path / "codes"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    q = emb.filter(F.col("id") == 7).collect()[0].embedding
+    out = QZ.sq_search_precoded(None, codes, sq_model, list(q), 5, rerank=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan  # pure codegen
+
+
+# --- IVF+PQ ------------------------------------------------------------------
+
+
+def test_ivfpq_recall_rerank(emb, query, ivfpq_model):
+    """ADC-shortlist + exact-rerank clears the bar on the adversarial
+    uniform table at nprobe=10/nlist=16 (measured 0.87 over 10 queries;
+    single-query here)."""
+    enc = IVFPQ.ivfpq_encode(emb, ivfpq_model).cache()
+    enc.count()
+    exact = [r.id for r in exact_knn(emb, query, K).collect()]
+    got = [
+        r.id
+        for r in IVFPQ.ivfpq_search_rerank(
+            emb, enc, ivfpq_model, query, K, nprobe=10
+        ).collect()
+    ]
+    assert _recall(got, exact) >= 0.8
+    enc.unpersist()
+
+
+def test_ivfpq_encode_matches_manual_numpy(emb, ivfpq_model):
+    """Cell = argmin ||x - coarse_centroid||; code_s = argmin over
+    codebook s of the RESIDUAL's sub-vector — verified against a direct
+    NumPy computation row by row (first-minimal-index ties)."""
+    enc = {r.id: (r.ivf_cluster, list(r.pq_code)) for r in
+           IVFPQ.ivfpq_encode(emb.limit(20), ivfpq_model).collect()}
+    rows = {r.id: np.asarray(r.embedding, dtype=np.float64) for r in emb.limit(20).collect()}
+    coarse = np.asarray(ivfpq_model.ivf.centroids)
+    books = [np.asarray(c) for c in ivfpq_model.pq.centroids]
+    sd = ivfpq_model.pq.sub_dim
+    for rid, x in rows.items():
+        cell = int(np.argmin(((x[None, :] - coarse) ** 2).sum(axis=1)))
+        res = x - coarse[cell]
+        want = [
+            int(np.argmin(((res[s * sd : (s + 1) * sd][None, :] - books[s]) ** 2).sum(axis=1)))
+            for s in range(ivfpq_model.pq.m)
+        ]
+        assert enc[rid] == (cell, want), rid
+    assert ivfpq_model.compression_ratio(64) == 16.0  # 256 B -> 16 code bytes
+
+
+def test_ivfpq_train_deterministic(emb):
+    m1 = IVFPQ.ivfpq_train(emb, 64, nlist=8, m=8, num_centroids=16)
+    m2 = IVFPQ.ivfpq_train(emb, 64, nlist=8, m=8, num_centroids=16)
+    assert m1.ivf.centroids == m2.ivf.centroids
+    assert m1.pq.centroids == m2.pq.centroids
+
+
+def test_ivfpq_partition_pruned_layout(spark, emb, ivfpq_model, tmp_path):
+    """The encoded artifact written partitionBy(cell) partition-prunes the
+    probe filter — the nprobe/nlist I/O claim is visible in the plan."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL, ivf_read, ivf_write
+
+    ivf_write(IVFPQ.ivfpq_encode(emb, ivfpq_model), str(tmp_path / "enc"))
+    back = ivf_read(spark, str(tmp_path / "enc"))
+    pruned = back.filter(F.col(CLUSTER_COL).isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and CLUSTER_COL in plan
+
+
+def test_ivfpq_null_embedding_safe(spark, emb, ivfpq_model, query):
+    """Null embedding -> null cell + null codes; never probed, never
+    surfaced."""
+    base = emb.select("id", "embedding").limit(20)
+    with_null = base.unionByName(
+        spark.createDataFrame([(999999, None)], base.schema)
+    )
+    enc = IVFPQ.ivfpq_encode(with_null, ivfpq_model)
+    nrow = enc.filter(F.col("id") == 999999).collect()[0]
+    assert nrow.ivf_cluster is None and nrow.pq_code is None
+    out = IVFPQ.ivfpq_search(enc, ivfpq_model, list(query), 5, nprobe=16).collect()
+    assert all(r.id != 999999 for r in out)
+
+
+def test_ivfpq_beats_flat_pq_at_equal_bytes_on_clustered_data(spark):
+    """The residual trick's value proposition: on CLUSTERED data (where a
+    coarse centroid actually centers its cell, so residual spread << raw
+    spread), pure-ADC ranking from residual codes beats flat PQ's pure-ADC
+    ranking at the SAME code budget (m=8, k'=16) — the reason the
+    composition exists. Uniform data shows no gap (the gate's sf0.01 table
+    measures flat ~= residual there — no cluster structure to exploit),
+    which is exactly why this test builds Gaussian blobs. Seeded, so the
+    margin is stable run to run; measured over 10 queries to avoid
+    single-query luck."""
+    rng = np.random.default_rng(42)
+    n, dim, nblobs = 3000, 32, 12
+    blob_cents = rng.normal(0.0, 8.0, (nblobs, dim))
+    X = blob_cents[rng.integers(0, nblobs, n)] + rng.normal(0.0, 1.0, (n, dim))
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<float>").cache()
+    df.count()
+
+    qrows = df.filter(F.col("id") < 10).orderBy("id").collect()
+    exact_sets = {
+        r.id: {x.id for x in exact_knn(df, list(r.embedding), K).collect()} for r in qrows
+    }
+
+    flat = QZ.pq_train_sampled(df, dim=dim, m=8, num_centroids=16)
+    flat_enc = QZ.pq_encode(df, flat).cache()
+    flat_enc.count()
+    ip = IVFPQ.ivfpq_train(df, dim, nlist=nblobs, m=8, num_centroids=16)
+    ip_enc = IVFPQ.ivfpq_encode(df, ip).cache()
+    ip_enc.count()
+    flat_hits = ip_hits = 0
+    for r in qrows:
+        q = list(r.embedding)
+        f_ids = {x.id for x in QZ.pq_search(flat_enc, flat, q, K).collect()}
+        i_ids = {x.id for x in IVFPQ.ivfpq_search(ip_enc, ip, q, K, nprobe=nblobs).collect()}
+        flat_hits += len(f_ids & exact_sets[r.id])
+        ip_hits += len(i_ids & exact_sets[r.id])
+    assert ip_hits > flat_hits, (ip_hits, flat_hits)
+    # and the composed index clears the recall bar at a LOW probe count
+    # (the clusterable operating point the docstrings claim: nprobe/nlist
+    # = 4/12 = 1/3, vs 10/16 needed on uniform data). shortlist=150 so the
+    # coarse routing is the ONLY approximation under test — at this tight
+    # m=8/k'=16 budget the ADC ordering within a blob is noisy (sub-vector
+    # spacing ~ residual sigma), so the default 5*k shortlist would measure
+    # code resolution, not routing (full-probe sl=50 also sits ~0.7 here).
+    # Measured: 0.98 at nprobe=4/sl=150; 1.00 at sl=250.
+    lowprobe_hits = 0
+    for r in qrows:
+        i_ids = {
+            x.id
+            for x in IVFPQ.ivfpq_search_rerank(
+                df, ip_enc, ip, list(r.embedding), K, nprobe=4, shortlist=150
+            ).collect()
+        }
+        lowprobe_hits += len(i_ids & exact_sets[r.id])
+    assert lowprobe_hits / (K * len(qrows)) >= 0.8
+    flat_enc.unpersist()
+    ip_enc.unpersist()
+    df.unpersist()
