@@ -182,35 +182,179 @@ def ivfpq_search(
 ) -> DataFrame:
     """Pure-ADC tier: filter to the nprobe nearest cells (partition pruning
     on an ivf_write layout), then rank by LUT sums. The per-cell LUTs use
-    the query's PER-CELL residual q - centroid[cell] (the residual trick:
-    one nprobe x m x k' double literal, built on the driver, broadcast as
-    part of the plan — nprobe*m*k' is a few thousand doubles)."""
+    the query's PER-CELL residual q - centroid[cell] (the residual trick).
+
+    The LUT ships as ONE FLAT array<double> in a broadcast 1-row frame,
+    indexed at probe_pos*m*k' + s*k' + code_s. Two measured traps shaped
+    this (150k x 64d, nprobe=4, m=8, k'=256 -> 8192 doubles):
+    - nested array<array<array>> literal + two element_at hops: 4.3 s/query
+      (inner arrays materialized per row);
+    - flat literal (F.lit(flat)): execution is fast (0.6 s) but PLANNING a
+      fresh query costs ~3.8 s — analysis/optimization walks the 8k-element
+      literal repeatedly, so every new query pays it.
+    The broadcast LUT row keeps the expression tree literal-free: fresh-call
+    wall 0.64 s, values identical."""
     probes = _probe_cells(model, query_vec, nprobe)
     sub_dim, m = model.pq.sub_dim, model.pq.m
+    kp = model.pq.num_centroids
     books = model.pq.centroids  # [m][k'][sub_dim]
-    lut3 = []  # [probe_pos][s][ci]
+    flat = []  # [probe_pos][s][ci] flattened
     for ci in probes:
         cent = model.ivf.centroids[ci]
         rq = [a - b for a, b in zip(query_vec, cent)]
-        lut = []
         for s in range(m):
             qs = rq[s * sub_dim : (s + 1) * sub_dim]
-            lut.append([sum((a - b) ** 2 for a, b in zip(qs, c)) for c in books[s]])
-        lut3.append(lut)
+            for c in books[s]:
+                flat.append(float(sum((a - b) ** 2 for a, b in zip(qs, c))))
 
-    flt = encoded.filter(F.col(CLUSTER_COL).isin(probes))
-    pos = F.array_position(F.lit(probes).cast("array<int>"), F.col(CLUSTER_COL))
-    my_lut = F.element_at(F.lit(lut3).cast("array<array<array<double>>>"), pos.cast("int"))
+    lut_df = encoded.sparkSession.createDataFrame([(flat,)], "_lut: array<double>")
+    flt = encoded.filter(F.col(CLUSTER_COL).isin(probes)).crossJoin(F.broadcast(lut_df))
+    pos = (
+        F.array_position(F.lit(probes).cast("array<int>"), F.col(CLUSTER_COL)).cast("int")
+        - 1
+    )
+    base = pos * (m * kp)
     total = None
     for s in range(m):
         term = F.element_at(
-            F.element_at(my_lut, s + 1), F.element_at(F.col(CODE_COL), s + 1) + 1
+            F.col("_lut"), base + s * kp + F.element_at(F.col(CODE_COL), s + 1) + 1
         )
         total = term if total is None else total + term
     return (
         flt.withColumn("dist", F.sqrt(total))
+        .drop("_lut")
         .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivfpq_knn_join(
+    encoded: DataFrame,
+    model: IVFPQModel,
+    queries: list[tuple],
+    k: int,
+    nprobe: int = 4,
+    df: DataFrame | None = None,
+    rerank: bool = True,
+    shortlist: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVFPQ search: top-k per query in ONE pass over the probed
+    cells' code rows (the 100 TB serving shape, mirroring
+    hnsw_search_batch: queries is a [(query_id, vector), ...] list). The
+    scan filters to the UNION of all queries' probed cells (partition
+    pruning on an ivf_write layout); an Arrow kernel scores each row
+    against every query that probes its cell via the per-(query, cell)
+    residual LUTs — (n x m) gather-sums, no float vectors touched — and
+    emits only the per-partition top-`shortlist` rows per query, so the
+    shuffle is bounded at partitions x nq x shortlist regardless of data
+    size. Per-partition and global selection both order by (dist, id), so
+    the candidate set equals the single-query path's exactly.
+
+    ``rerank=True`` (default, requires ``df``) reranks with exact float
+    distances via an id join (nq x shortlist float rows).
+    Returns (query_id, id, dist)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qids = [q[0] for q in queries]
+    qvecs = np.asarray([list(q[1]) for q in queries], dtype=np.float64)
+    nq = len(queries)
+    m, sub_dim = model.pq.m, model.pq.sub_dim
+    nlist = model.ivf.nlist
+    coarse = np.asarray(model.ivf.centroids, dtype=np.float64)
+    books = np.stack([np.asarray(c, dtype=np.float64) for c in model.pq.centroids])
+
+    # per-query probed cells (stable argsort == (dist, cell) order of
+    # _probe_cells) and per-(query, probe) residual LUTs, built on the
+    # driver: nq x nprobe x m x k' doubles, shipped in the task closure
+    dcell = ((qvecs[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(dcell, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    res = qvecs[:, None, :] - coarse[order]  # (nq, nprobe, dim)
+    r = res.reshape(nq, nprobe, m, sub_dim)
+    lut = ((r[:, :, :, None, :] - books[None, None, :, :, :]) ** 2).sum(-1)
+    pos = -np.ones((nq, nlist), dtype=np.int64)
+    for i in range(nq):
+        pos[i, order[i]] = np.arange(nprobe)
+    cells_union = sorted({int(c) for row in order for c in row})
+
+    fetch = max(shortlist or 5 * k, k) if rerank else k
+    flt = encoded.filter(F.col(CLUSTER_COL).isin(cells_union))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[list] = [[] for _ in range(nq)]  # per-query (dist, id) rows
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c) for c in pdf[CODE_COL]])
+            cells = pdf[CLUSTER_COL].to_numpy().astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            for i in range(nq):
+                p = pos[i, cells]
+                midx = np.nonzero(p >= 0)[0]
+                if not len(midx):
+                    continue
+                c = codes[midx]  # (nm, m)
+                lut_i = lut[i, p[midx]]  # (nm, m, k')
+                dist = np.take_along_axis(lut_i, c[:, :, None], axis=2)[:, :, 0].sum(1)
+                ids_m = ids[midx]
+                sel = np.lexsort((ids_m, dist))[:fetch]  # (dist, id) order
+                acc[i].extend(zip(dist[sel], ids_m[sel]))
+        rows = []
+        for i in range(nq):
+            if acc[i]:
+                acc[i].sort()
+                for d2, rid in acc[i][:fetch]:
+                    rows.append((qids[i], rid, float(np.sqrt(d2))))
+        yield pd.DataFrame(rows, columns=["query_id", id_col, "dist"])
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            encoded.schema[id_col],
+            StructField("dist", DoubleType()),
+        ]
+    )
+    raw = flt.mapInPandas(part, schema)
+    payload = F.struct(F.col("dist"), F.col(id_col).alias("id"))
+    merged = raw.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(payload)), 1, fetch).alias("_cand")
+    )
+    cand = merged.select("query_id", F.explode("_cand").alias("_c")).select(
+        "query_id", F.col("_c.id").alias(id_col), F.col("_c.dist").alias("dist")
+    )
+    if not rerank:
+        return cand
+    if df is None:
+        raise ValueError("rerank=True needs the float table (df)")
+    spark = encoded.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
+        "query_id bigint, _qvec array<double>",
+    )
+    joined = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(cand.select("query_id", id_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+    )
+    # float32 query cast matches the single-query paths' F.lit(...).cast
+    # ("array<float>") so batch and per-query distances are bit-equal
+    d = euclidean(F.col(vec_col), F.col("_qvec").cast("array<float>"))
+    scored = joined.select("query_id", id_col, d.alias("dist"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

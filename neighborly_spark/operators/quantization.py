@@ -664,6 +664,82 @@ def sq_distance_expr(code: Column, model: SQModel, query_vec: list[float]) -> Co
     return F.sqrt(total)
 
 
+def sq_decode_expr(code: Column, model: SQModel) -> Column:
+    """Dequantize a packed code back to array<double> — one flat expression
+    (dim shift/mask/fma ops, whole-stage codegen). The column twin of
+    sq_distance_expr's inlined dequant, for consumers that need the vector
+    itself (the batched kNN join dequantizes ONCE per row and scores every
+    query against it)."""
+    scale = model.scale
+    elems = []
+    for d in range(model.dim):
+        byte = sq_byte_expr(code, d)
+        elems.append(F.lit(model.vmin[d]) + byte.cast("double") * F.lit(scale[d]))
+    return F.array(*elems)
+
+
+def sq_knn_join(
+    codes: DataFrame,
+    model: SQModel,
+    queries: DataFrame,
+    k: int,
+    df: DataFrame | None = None,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    rerank: bool = True,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Batched SQ8 search: top-k per query over the packed-code table in
+    ONE scan (the 100 TB serving shape — every query rides the same
+    1/4-byte pass, vs one scan per query for sq_search_precoded). The code
+    is dequantized once per row in codegen; scoring + per-query top-k reuse
+    knn_join's broadcast-queries / two-stage partial top-k plan (no window
+    shuffle of the full scored set).
+
+    ``rerank=True`` (default, requires ``df``) reranks each query's
+    quantized shortlist with exact float distances — the float table is
+    touched for nq x shortlist rows only, via an id join AQE broadcasts.
+    Returns (query_id, id, dist)."""
+    from neighborly_spark.operators.knn import knn_join
+
+    decoded = codes.select(
+        F.col(id_col), sq_decode_expr(F.col("code"), model).alias("_deq")
+    )
+    fetch = max(shortlist or 5 * k, k) if rerank else k
+    base = knn_join(
+        decoded,
+        queries,
+        fetch,
+        id_col=id_col,
+        vec_col="_deq",
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    if not rerank:
+        return base
+    if df is None:
+        raise ValueError("rerank=True needs the float table (df)")
+    cand = base.select(query_id_col, id_col)
+    joined = df.select(F.col(id_col), F.col(vec_col)).join(cand, id_col).join(
+        F.broadcast(queries), query_id_col
+    )
+    d = euclidean(F.col(vec_col), F.col(query_vec_col))
+    scored = joined.select(query_id_col, id_col, d.alias("dist"))
+    # nq x shortlist rows total: a per-query window here is cheap and exact
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sq_search_precoded(
     df: DataFrame,
     codes: DataFrame,
@@ -715,21 +791,33 @@ def pq_search(
 ) -> DataFrame:
     """Asymmetric-distance search (ProductQuantization.cs:330-380): build the
     m x k lookup table of squared distances query-slice <-> centroid on the
-    driver (tiny), embed it as a literal (broadcast), sum via element_at,
-    sqrt, top-k."""
-    import math
+    driver (tiny), ship it as ONE flat array<double> in a broadcast 1-row
+    frame (indexed at s*k' + code_s), sum via element_at, sqrt, top-k.
 
-    lut = []  # lut[s][ci] = squared distance
+    The broadcast row (not an F.lit literal) keeps the expression tree
+    literal-free: planning a fresh query against an m*k'-element literal
+    costs ~1 s at m=8/k'=256 (analysis/optimization re-walks the literal;
+    the same trap measured 3.8 s on IVFPQ's 8k-element LUT — see
+    operators.ivfpq.ivfpq_search), while execution is identical."""
+    flat = []  # [s][ci] flattened: squared distance at offset[s] + ci
+    offsets = []  # cumulative, robust to sub-space codebooks of unequal size
     for s, cents in enumerate(model.centroids):
+        offsets.append(len(flat))
         qs = query_vec[s * model.sub_dim : (s + 1) * model.sub_dim]
-        lut.append([sum((a - b) ** 2 for a, b in zip(qs, c)) for c in cents])
+        for c in cents:
+            flat.append(float(sum((a - b) ** 2 for a, b in zip(qs, c))))
 
+    lut_df = encoded.sparkSession.createDataFrame([(flat,)], "_lut: array<double>")
     total = None
     for s in range(model.m):
-        term = F.element_at(F.lit(lut[s]).cast("array<double>"), F.element_at(F.col(code_col), s + 1) + 1)
+        term = F.element_at(
+            F.col("_lut"), F.element_at(F.col(code_col), s + 1) + (offsets[s] + 1)
+        )
         total = term if total is None else total + term
     return (
-        encoded.withColumn("dist", F.sqrt(total))
+        encoded.crossJoin(F.broadcast(lut_df))
+        .withColumn("dist", F.sqrt(total))
+        .drop("_lut")
         # nulls LAST: a null-embedding row carries null codes -> null dist,
         # and plain asc would rank it first
         .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())

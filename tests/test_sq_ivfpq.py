@@ -271,3 +271,85 @@ def test_ivfpq_beats_flat_pq_at_equal_bytes_on_clustered_data(spark):
     flat_enc.unpersist()
     ip_enc.unpersist()
     df.unpersist()
+
+
+# --- batched (one-scan) serving tiers -----------------------------------------
+
+
+def test_sq_knn_join_equals_single_query(emb, sq_model):
+    """sq_knn_join answers every query in ONE code-table scan; results equal
+    the per-query sq_search_precoded loop exactly (both tiers)."""
+    codes = QZ.sq_encode_table(emb, sq_model)
+    qrows = emb.filter(F.col("id") < 5).orderBy("id").collect()
+    queries = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    for rer in (True, False):
+        batch = QZ.sq_knn_join(
+            codes, sq_model, queries, K, df=emb if rer else None, rerank=rer
+        )
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.query_id, []).append((r.id, round(r.dist, 6)))
+        for r in qrows:
+            single = [
+                (x.id, round(x.dist, 6))
+                for x in QZ.sq_search_precoded(
+                    emb, codes, sq_model, list(r.embedding), K, rerank=rer
+                ).collect()
+            ]
+            assert sorted(got[r.id]) == sorted(single), (rer, r.id)
+    codes.unpersist()
+
+
+def test_ivfpq_knn_join_equals_single_query(emb, ivfpq_model):
+    """ivfpq_knn_join scores each probed-cell code row against every query
+    that probes its cell (per-(query,cell) residual LUT gather-sums) and
+    emits only per-partition top-shortlist rows; the merged candidates and
+    reranked top-k equal the single-query path exactly — both orderings are
+    (dist, id)."""
+    enc = IVFPQ.ivfpq_encode(emb, ivfpq_model).cache()
+    enc.count()
+    qrows = emb.filter(F.col("id") < 5).orderBy("id").collect()
+    qlist = [(int(r.id), list(r.embedding)) for r in qrows]
+    batch = IVFPQ.ivfpq_knn_join(enc, ivfpq_model, qlist, K, nprobe=10, df=emb)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.id, round(r.dist, 6)))
+    for qid, qv in qlist:
+        single = [
+            (x.id, round(x.dist, 6))
+            for x in IVFPQ.ivfpq_search_rerank(
+                emb, enc, ivfpq_model, qv, K, nprobe=10
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+    # pure-ADC tier too
+    pure = IVFPQ.ivfpq_knn_join(enc, ivfpq_model, qlist, K, nprobe=10, rerank=False)
+    got = {}
+    for r in pure.collect():
+        got.setdefault(r.query_id, []).append((r.id, round(r.dist, 6)))
+    for qid, qv in qlist:
+        single = [
+            (x.id, round(x.dist, 6))
+            for x in IVFPQ.ivfpq_search(enc, ivfpq_model, qv, K, nprobe=10).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+    enc.unpersist()
+
+
+def test_sq_knn_join_plan_reads_codes_only_without_rerank(spark, emb, sq_model, tmp_path):
+    """The batched no-rerank plan touches ONLY the packed-code parquet and
+    stays fully JVM-side (decode + score + partial top-k in codegen)."""
+    QZ.sq_encode_table(emb, sq_model, path=str(tmp_path / "codes"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    qrows = emb.filter(F.col("id") < 3).collect()
+    # literal queries: the only parquet in the plan must be the code table
+    queries = spark.createDataFrame(
+        [(int(r.id), [float(v) for v in r.embedding]) for r in qrows],
+        "query_id bigint, query_embedding array<float>",
+    )
+    out = QZ.sq_knn_join(codes, sq_model, queries, 5, rerank=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    assert "MapInPandas" not in plan
