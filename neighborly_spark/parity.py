@@ -1725,7 +1725,9 @@ r AS (
 ),
 es AS (
   SELECT doc_id, count(*) AS n_dup_spans,
-         sum(span_end - span_start + 1) AS dup_span_tokens
+         -- BIGINT cast: DuckDB integer sum() yields HUGEINT, which pandas
+         -- renders as float64 (the corpus_source_stats round-2 bug class)
+         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_span_tokens
   FROM ({__import__('neighborly_spark.operators.dedup', fromlist=['x']).exact_substr_spans_duckdb_sql('documents', 4)})
   GROUP BY doc_id
 )

@@ -69,6 +69,12 @@ class SearchService:
         self.id_col = id_col
         self.vec_col = vec_col
         self.text_col = text_col
+        #: tag-filtered search support (P9 x the index family): when the
+        #: table carries a tags column, index builds copy it into the code/
+        #: assignment artifacts so a tag predicate is a PUSHDOWN FILTER on
+        #: the code scan itself — zero query-time joins (the shape you want
+        #: at 100 TB; a query-time id semi-join would shuffle the artifact)
+        self.tags_col = "tags" if "tags" in df.columns else None
         self.embedder = EMBEDDERS[embedder]
         self._lsh_model = None
         self._pq_model = None
@@ -100,9 +106,16 @@ class SearchService:
             # (BinaryQuantization.cs encodes in the index constructor); every
             # query then prefilters on dim/32 of the float bytes
             self._bq_threshold = QZ.bq_global_threshold(self.df, self.vec_col)
-            self._bq_codes = QZ.bq_encode_table(
-                self.df, self.dim, self._bq_threshold, self.id_col, self.vec_col
-            )
+            # inline encode (not bq_encode_table, whose internal cache we
+            # couldn't extend) so the artifact can carry the tags column
+            cols = [
+                F.col(self.id_col),
+                QZ.bq_encode_expr(
+                    F.col(self.vec_col), self.dim, self._bq_threshold
+                ).alias("code"),
+            ] + ([F.col(self.tags_col)] if self.tags_col else [])
+            self._bq_codes = self.df.select(*cols).cache()
+            self._bq_codes.count()
         elif method in ("pq", "productquantization"):
             # sampled one-pass trainer: recall >= the MLlib fit at equal cost
             # at the 150k tier, and its cost is constant in data size where
@@ -124,17 +137,22 @@ class SearchService:
             # 8-bit scalar quantizer: one min/max pass trains, one encode
             # pass materializes the packed-byte table (1/4 the float bytes)
             self._sq_model = QZ.sq_train(self.df, self.dim, self.vec_col)
-            self._sq_codes = QZ.sq_encode_table(
-                self.df, self._sq_model, self.id_col, self.vec_col
-            )
+            cols = [
+                F.col(self.id_col),
+                QZ.sq_encode_expr(F.col(self.vec_col), self._sq_model).alias("code"),
+            ] + ([F.col(self.tags_col)] if self.tags_col else [])
+            self._sq_codes = self.df.select(*cols).cache()
+            self._sq_codes.count()
         elif method == "ivfpq":
             # composed coarse-quantizer + residual-PQ index (operators.ivfpq
             # — the FAISS IVFPQ recipe): sampled deterministic trainers, one
             # Arrow encode pass materializes (id, cell, code)
             self._ivfpq_model = IVFPQ.ivfpq_train(self.df, self.dim, vec_col=self.vec_col)
-            self._ivfpq_encoded = IVFPQ.ivfpq_encode(
-                self.df, self._ivfpq_model, self.id_col, self.vec_col
-            ).cache()
+            enc = IVFPQ.ivfpq_encode(self.df, self._ivfpq_model, self.id_col, self.vec_col)
+            if self.tags_col:
+                # one build-time join buys join-free tag-filtered queries
+                enc = enc.join(self.df.select(self.id_col, self.tags_col), self.id_col)
+            self._ivfpq_encoded = enc.cache()
             self._ivfpq_encoded.count()
         elif method == "hnsw":
             # true partitioned graph (operators.hnsw): requires a numeric
@@ -201,6 +219,7 @@ class SearchService:
                 QZ.bq_encode_expr(
                     F.col(self.vec_col), self.dim, self._bq_threshold
                 ).alias("code"),
+                *([F.col(self.tags_col)] if self.tags_col else []),
             )
             appended = self._bq_codes.unionByName(new_codes).cache()
             appended.count()
@@ -224,18 +243,57 @@ class SearchService:
             new_codes = new_rows.select(
                 F.col(self.id_col),
                 QZ.sq_encode_expr(F.col(self.vec_col), self._sq_model).alias("code"),
+                *([F.col(self.tags_col)] if self.tags_col else []),
             )
             appended = self._sq_codes.unionByName(new_codes).cache()
             appended.count()
             self._sq_codes.unpersist()
             self._sq_codes = appended
         if self._ivfpq_model is not None and self._ivfpq_encoded is not None:
-            appended = self._ivfpq_encoded.unionByName(
-                IVFPQ.ivfpq_encode(new_rows, self._ivfpq_model, self.id_col, self.vec_col)
-            ).cache()
+            new_enc = IVFPQ.ivfpq_encode(
+                new_rows, self._ivfpq_model, self.id_col, self.vec_col
+            )
+            if self.tags_col and self.tags_col in self._ivfpq_encoded.columns:
+                new_enc = new_enc.join(
+                    new_rows.select(self.id_col, self.tags_col), self.id_col
+                )
+            appended = self._ivfpq_encoded.unionByName(new_enc).cache()
             appended.count()
             self._ivfpq_encoded.unpersist()
             self._ivfpq_encoded = appended
+
+    def _tag_predicate(self, tag_any, tag_all):
+        """Tag filter Column (P9 semantics: any = arrays_overlap, all =
+        intersect-covers), or None when no filter is requested. Literals are
+        cast to the table's own tags element type."""
+        if not tag_any and not tag_all:
+            return None
+        if self.tags_col is None:
+            raise ValueError("tag filters need a tags column on the table")
+        tags_type = self.df.schema[self.tags_col].dataType
+        col = F.col(self.tags_col)
+        pred = None
+        if tag_any:
+            c = F.arrays_overlap(col, F.lit(list(tag_any)).cast(tags_type))
+            pred = c
+        if tag_all:
+            want = sorted({int(t) for t in tag_all})
+            c = F.size(F.array_intersect(col, F.lit(want).cast(tags_type))) == len(want)
+            pred = c if pred is None else (pred & c)
+        return pred
+
+    def _filtered_artifact(self, artifact: DataFrame, pred, name: str) -> DataFrame:
+        """Apply a tag predicate to an index artifact. Artifacts built while
+        the table carries tags embed the column, so the predicate is a plain
+        pushdown filter on the (cached/parquet) code scan — no join."""
+        if pred is None:
+            return artifact
+        if self.tags_col not in artifact.columns:
+            raise ValueError(
+                f"the {name} index was built without the tags column; "
+                "rebuild it (build_index) to enable tag-filtered search"
+            )
+        return artifact.filter(pred)
 
     def _refresh_hnsw_routing(self) -> None:
         """Rebuild the cached per-shard centroid+radius table after an
@@ -429,11 +487,18 @@ class SearchService:
         ivfpq_nprobe: int = 10,  # method='ivfpq': probed coarse cells —
         # 10/16 clears the 0.8 bar on uniform data (docs/RECALL.md);
         # clusterable data probes far fewer
+        tag_any: list | None = None,  # P9 x search: keep rows overlapping
+        # ANY of these tag ids; filter-then-rank (the top-k is computed
+        # WITHIN the filtered set — post-filtering a shortlist would lose
+        # recall under selective filters)
+        tag_all: list | None = None,  # rows carrying ALL of these tag ids
     ) -> DataFrame:
         method = method.lower()
+        pred = self._tag_predicate(tag_any, tag_all)
+        base_df = self.df.filter(pred) if pred is not None else self.df
         if text is not None:
             return text_search(
-                self.df, text, k, self.dim, threshold, self.id_col, self.vec_col, self.text_col
+                base_df, text, k, self.dim, threshold, self.id_col, self.vec_col, self.text_col
             )
         if query_vec is None:
             raise ValueError("provide query_vec or text")
@@ -447,20 +512,32 @@ class SearchService:
             if use_blas:
                 # carry every non-key column so the BLAS result's schema
                 # matches the declarative path (columns in table order + dist)
-                payload = [c for c in self.df.columns if c not in (self.id_col, self.vec_col)]
+                payload = [c for c in base_df.columns if c not in (self.id_col, self.vec_col)]
                 out = knn_vectorized(
-                    self.df, query_vec, k, metric, self.id_col, self.vec_col,
+                    base_df, query_vec, k, metric, self.id_col, self.vec_col,
                     payload_cols=[self.vec_col] + payload,
                 )
-                out = out.select(*self.df.columns, "dist")
+                out = out.select(*base_df.columns, "dist")
             else:
-                out = knn(self.df, query_vec, k, metric, self.id_col, self.vec_col)
+                out = knn(base_df, query_vec, k, metric, self.id_col, self.vec_col)
         elif method == "lsh":
-            out = LSH.lsh_knn(self.df, query_vec, k, self.vec_col, model=self._lsh_model)
+            # BRP hyperplanes are data-independent, so the model serves any
+            # row subset: the tag filter simply prunes the hashed table
+            out = LSH.lsh_knn(base_df, query_vec, k, self.vec_col, model=self._lsh_model)
         elif method == "hnsw":
             if self._hnsw_graph is not None:
                 from neighborly_spark.operators import hnsw as HN
 
+                if pred is not None:
+                    # graph traversal can't pre-filter (beam search would
+                    # need filter-aware expansion to keep recall); refuse
+                    # rather than silently post-filter k hits
+                    raise ValueError(
+                        "tag filters are not supported on the hnsw graph "
+                        "path; use method='sq'/'ivfpq'/'bq'/'ivf'/'lsh' or "
+                        "an exact method (their artifacts carry the tags "
+                        "column, so the filter prunes before ranking)"
+                    )
                 if hnsw_probe_shards is not None and not self._hnsw_spatial:
                     # the service KNOWS the layout (the standalone operator
                     # doesn't): hash shards are spatially uniform, so probe
@@ -491,12 +568,13 @@ class SearchService:
                 )
             else:
                 # not built: capability-mapped batch ANN (SURVEY §7.2 ph. 5)
-                out = LSH.hnsw_equivalent_knn(self.df, query_vec, k, self.vec_col, self.id_col)
+                out = LSH.hnsw_equivalent_knn(base_df, query_vec, k, self.vec_col, self.id_col)
         elif method in ("bq", "binaryquantization"):
             if self._bq_codes is None:
                 self.build_index("bq")
             out = QZ.bq_search_precoded(
-                self.df, self._bq_codes, query_vec, k, self.dim,
+                base_df, self._filtered_artifact(self._bq_codes, pred, "bq"),
+                query_vec, k, self.dim,
                 self._bq_threshold, self.id_col, self.vec_col,
             )
         elif method in ("pq", "productquantization"):
@@ -509,22 +587,31 @@ class SearchService:
                 # rows. Pure ADC (the reference's tier,
                 # ProductQuantization.cs:330-380) stays opt-in.
                 out = QZ.pq_search_rerank(
-                    self.df, self._pq_encoded, self._pq_model, query_vec, k,
+                    base_df,
+                    self._filtered_artifact(self._pq_encoded, pred, "pq"),
+                    self._pq_model, query_vec, k,
                     shortlist=max(5 * k, 50), id_col=self.id_col, vec_col=self.vec_col,
                 )
             else:
-                out = QZ.pq_search(self._pq_encoded, self._pq_model, query_vec, k, self.id_col)
+                out = QZ.pq_search(
+                    self._filtered_artifact(self._pq_encoded, pred, "pq"),
+                    self._pq_model, query_vec, k, self.id_col,
+                )
         elif method == "ivf":
             if self._ivf_model is None:
                 self.build_index("ivf")
-            out = IVF.ivf_search(self._ivf_assigned, self._ivf_model, query_vec, k, id_col=self.id_col, vec_col=self.vec_col)
+            out = IVF.ivf_search(
+                self._filtered_artifact(self._ivf_assigned, pred, "ivf"),
+                self._ivf_model, query_vec, k, id_col=self.id_col, vec_col=self.vec_col,
+            )
         elif method == "sq":
             if self._sq_model is None:
                 self.build_index("sq")
             # rerank tier by default (near-lossless shortlist over 1/4 the
             # bytes + exact float top-k); sq_rerank=False = pure quantized
             out = QZ.sq_search_precoded(
-                self.df, self._sq_codes, self._sq_model, query_vec, k,
+                base_df, self._filtered_artifact(self._sq_codes, pred, "sq"),
+                self._sq_model, query_vec, k,
                 id_col=self.id_col, vec_col=self.vec_col, rerank=sq_rerank,
             )
         elif method == "ivfpq":
@@ -534,7 +621,9 @@ class SearchService:
             # clears the 0.8 bar on uniform data (pure ADC is the documented
             # fast tier — operators.ivfpq)
             out = IVFPQ.ivfpq_search_rerank(
-                self.df, self._ivfpq_encoded, self._ivfpq_model, query_vec, k,
+                base_df,
+                self._filtered_artifact(self._ivfpq_encoded, pred, "ivfpq"),
+                self._ivfpq_model, query_vec, k,
                 nprobe=ivfpq_nprobe, id_col=self.id_col, vec_col=self.vec_col,
             )
         else:
@@ -599,6 +688,8 @@ class SearchService:
         rerank: bool = True,
         shortlist: int | None = None,
         hnsw_probe_shards: int | None = None,
+        tag_any: list | None = None,
+        tag_all: list | None = None,
     ) -> DataFrame:
         """Index-backed batch search: top-k per query in ONE pass over the
         method's index artifact (vs one scan per query via search()).
@@ -627,28 +718,44 @@ class SearchService:
                 "query_id bigint, query_embedding array<float>",
             )
 
+        pred = self._tag_predicate(tag_any, tag_all)
+        base_df = self.df.filter(pred) if pred is not None else self.df
+
         if method in EXACT_METHODS:
+            if pred is not None:
+                from neighborly_spark.operators.knn import knn_join as exact_knn_join
+
+                return exact_knn_join(
+                    base_df, as_df(), k, id_col=self.id_col, vec_col=self.vec_col
+                )
             return self.knn_join(as_df(), k)
         if method == "sq":
             if self._sq_model is None:
                 self.build_index("sq")
             return QZ.sq_knn_join(
-                self._sq_codes, self._sq_model, as_df(), k,
-                df=self.df if rerank else None, id_col=self.id_col,
+                self._filtered_artifact(self._sq_codes, pred, "sq"),
+                self._sq_model, as_df(), k,
+                df=base_df if rerank else None, id_col=self.id_col,
                 vec_col=self.vec_col, rerank=rerank, shortlist=shortlist,
             )
         if method == "ivfpq":
             if self._ivfpq_model is None:
                 self.build_index("ivfpq")
             return IVFPQ.ivfpq_knn_join(
-                self._ivfpq_encoded, self._ivfpq_model, as_list(), k,
-                nprobe=ivfpq_nprobe, df=self.df if rerank else None,
+                self._filtered_artifact(self._ivfpq_encoded, pred, "ivfpq"),
+                self._ivfpq_model, as_list(), k,
+                nprobe=ivfpq_nprobe, df=base_df if rerank else None,
                 rerank=rerank, shortlist=shortlist,
                 id_col=self.id_col, vec_col=self.vec_col,
             )
         if method == "hnsw":
             from neighborly_spark.operators.hnsw import hnsw_search_batch
 
+            if pred is not None:
+                raise ValueError(
+                    "tag filters are not supported on the hnsw graph path; "
+                    "use method='sq'/'ivfpq' or an exact method"
+                )
             if self._hnsw_graph is None:
                 self.build_index("hnsw")
             if hnsw_probe_shards is not None and not self._hnsw_spatial:

@@ -476,3 +476,108 @@ def test_search_service_batch_dispatch(spark, emb, query):
     assert a == b
     with pytest.raises(ValueError):
         svc.search_batch(qlist, k=5, method="nope")
+
+
+def test_tag_filtered_search_across_index_methods(spark, emb, query):
+    """P9 x the index family: tag predicates prune BEFORE ranking on every
+    index method — artifacts built with a tags column embed it, so the
+    filter is a pushdown on the code scan (no query-time join). The
+    lossless tiers (linear/sq) must return exactly the filtered exact
+    top-k; the quantized tiers must return only allowed rows and find the
+    query row when it is allowed."""
+    tagged = emb.withColumn(
+        "tags",
+        F.array(
+            (F.col("id") % 3).cast("smallint"),
+            (F.lit(3) + F.col("id") % 2).cast("smallint"),
+        ),
+    ).cache()
+    tagged.count()
+    svc = SearchService(tagged, dim=64)
+    assert svc.tags_col == "tags"
+    # row 7: tags [1, 4] — filter to tag_any=[1] (ids with id%3==1)
+    allowed = {r.id for r in tagged.filter(F.array_contains("tags", 1)).collect()}
+    assert 7 in allowed and len(allowed) < tagged.count()
+
+    exact_filtered = [
+        r.id
+        for r in exact_knn(tagged.filter(F.array_contains("tags", 1)), query, 5).collect()
+    ]
+    lin = [r.id for r in svc.search(query_vec=query, k=5, method="linear", tag_any=[1]).collect()]
+    assert lin == exact_filtered
+    sq = [r.id for r in svc.search(query_vec=query, k=5, method="sq", tag_any=[1]).collect()]
+    assert sq == exact_filtered  # SQ is lossless on this data + exact rerank
+
+    for method in ("bq", "pq", "ivf", "ivfpq", "lsh"):
+        got = [r.id for r in svc.search(query_vec=query, k=5, method=method, tag_any=[1]).collect()]
+        assert set(got) <= allowed, method
+        assert 7 in got, method  # the query row itself is allowed
+
+    # tag_all: rows carrying BOTH 1 and 4 (id%3==1 AND id%2==1)
+    both = {r.id for r in tagged.filter(
+        F.array_contains("tags", 1) & F.array_contains("tags", 4)).collect()}
+    got = {r.id for r in svc.search(query_vec=query, k=5, method="sq", tag_all=[1, 4]).collect()}
+    assert got <= both and 7 in got
+
+    # artifacts embed the tags column -> filtered plans carry no extra join
+    assert "tags" in svc._sq_codes.columns
+    assert "tags" in svc._bq_codes.columns
+    assert "tags" in svc._ivfpq_encoded.columns
+
+    # hnsw graph path refuses (would need filter-aware traversal)
+    svc.build_index("hnsw")
+    with pytest.raises(ValueError, match="tag filters"):
+        svc.search(query_vec=query, k=5, method="hnsw", tag_any=[1])
+
+    # incremental adds stay filterable: appended codes carry tags, and a
+    # k >= |allowed| filtered search returns every allowed row incl. the
+    # new one (new id 900001 copies ORIGINAL id 1's tags [1, 4])
+    new = tagged.filter(F.col("id") < 3).withColumn("id", F.col("id") + 900000)
+    svc.add_vectors(new)
+    assert svc._sq_codes.filter(
+        (F.col("id") == 900001) & F.array_contains("tags", 1)
+    ).count() == 1
+    got = {r.id for r in svc.search(
+        query_vec=query, k=len(allowed) + 3, method="sq", tag_any=[1]
+    ).collect()}
+    assert 900001 in got and got <= allowed | {900001}
+    tagged.unpersist()
+
+
+def test_tag_filter_requires_tags_column(emb, query):
+    svc = SearchService(emb, dim=64)  # no tags column
+    with pytest.raises(ValueError, match="tags column"):
+        svc.search(query_vec=query, k=5, method="linear", tag_any=[1])
+
+
+def test_tag_filtered_search_batch(spark, emb):
+    """search_batch honors tag filters: sq (lossless + rerank) equals the
+    filtered exact knn_join per query; ivfpq returns only allowed ids."""
+    from neighborly_spark.operators.knn import knn_join as exact_knn_join
+
+    tagged = emb.withColumn(
+        "tags", F.array((F.col("id") % 3).cast("smallint"))
+    ).cache()
+    tagged.count()
+    svc = SearchService(tagged, dim=64)
+    qdf = tagged.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    allowed = {r.id for r in tagged.filter(F.array_contains("tags", 1)).collect()}
+    want = {}
+    for r in exact_knn_join(
+        tagged.filter(F.array_contains("tags", 1)), qdf, 5
+    ).collect():
+        want.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    for r in svc.search_batch(qdf, k=5, method="sq", tag_any=[1]).collect():
+        got.setdefault(r.query_id, set()).add(r.id)
+    assert got == want
+    ip = {}
+    qlist = [(int(r.query_id), list(r.query_embedding)) for r in qdf.collect()]
+    for r in svc.search_batch(qlist, k=5, method="ivfpq", tag_any=[1]).collect():
+        ip.setdefault(r.query_id, set()).add(r.id)
+    assert all(v <= allowed for v in ip.values())
+    with pytest.raises(ValueError, match="tag filters"):
+        svc.search_batch(qlist, k=5, method="hnsw", tag_any=[1])
+    tagged.unpersist()
