@@ -120,6 +120,49 @@ def main() -> None:
             )
             results.append((op, label, rows_in, out_rows, sec))
 
+        # SQ8: train (one min/max pass) + encode timed as index build;
+        # search = the rerank serving default. Expected near-linear build
+        # (one scan) and sublinear-ish search growth (scan of 1/4 bytes +
+        # constant shortlist rerank).
+        from neighborly_spark.operators.quantization import (
+            sq_encode_expr,
+            sq_search_precoded,
+            sq_train,
+        )
+
+        t0 = time.perf_counter()
+        sq_model = sq_train(vec, 64, "embedding")
+        sq_codes = vec.select(
+            "id", sq_encode_expr(F.col("embedding"), sq_model).alias("code")
+        ).cache()
+        sq_codes.count()
+        results.append(("sq_build", label, n_vec, n_vec, time.perf_counter() - t0))
+        qv = [0.1] * 64
+        sq_search_precoded(vec, sq_codes, sq_model, qv, 10).collect()  # warm
+        t0 = time.perf_counter()
+        sq_search_precoded(vec, sq_codes, sq_model, qv, 10).collect()
+        results.append(("sq_search", label, n_vec, 10, time.perf_counter() - t0))
+
+        # IVFPQ: sampled trainers (constant in N) + Arrow encode as build;
+        # search = ADC over nprobe/nlist of the rows + shortlist rerank.
+        from neighborly_spark.operators.ivfpq import (
+            ivfpq_encode,
+            ivfpq_search_rerank,
+            ivfpq_train,
+        )
+
+        t0 = time.perf_counter()
+        ip_model = ivfpq_train(vec, 64, nlist=32, m=8)
+        ip_enc = ivfpq_encode(vec, ip_model).cache()
+        ip_enc.count()
+        results.append(("ivfpq_build", label, n_vec, n_vec, time.perf_counter() - t0))
+        ivfpq_search_rerank(vec, ip_enc, ip_model, qv, 10, nprobe=4).collect()  # warm
+        t0 = time.perf_counter()
+        ivfpq_search_rerank(vec, ip_enc, ip_model, qv, 10, nprobe=4).collect()
+        results.append(("ivfpq_search", label, n_vec, 10, time.perf_counter() - t0))
+        sq_codes.unpersist()
+        ip_enc.unpersist()
+
         # HNSW: build timed separately from search (index-build vs query cost);
         # shard count auto-sized, so it grows with the data as it would at 100 TB
         t0 = time.perf_counter()
