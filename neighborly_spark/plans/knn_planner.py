@@ -15,6 +15,17 @@ Python planner over the three physical strategies (no Catalyst extension):
 | `hnsw`       | a prebuilt shard-graph index exists,   | |Q| beam searches per shard — |
 |              | |Q| collectible, approx allowed, work  | independent of |D| scans |
 |              | beyond the exact BLAS budget           |            |
+| `ivfpq`      | a prebuilt IVF+PQ index exists, same   | ADC over nprobe/nlist of the CODE rows |
+|              | band as hnsw (hnsw preferred: its      | (m bytes each) + shortlist rerank |
+|              | measured recall is higher)             |            |
+| `sq`         | a prebuilt SQ8 code table exists, same | one dequantized scan of 1/4 the float |
+|              | band, after hnsw/ivfpq (reads ALL code | bytes + shortlist rerank (near-lossless) |
+|              | rows, but near-losslessly)             |            |
+
+Index-tier preference within the beyond-exact-budget, |Q|-collectible,
+approx-allowed band is by bytes-read per query batch:
+hnsw (no |D| scan) > ivfpq (nprobe/nlist of rows x m bytes) > sq (all rows
+x dim bytes / 4) > lsh (fresh hashing of both sides).
 
 Thresholds are deliberately coarse — at these break-evens the strategies
 differ by orders of magnitude, so the exact constants don't matter.
@@ -47,6 +58,8 @@ def plan_knn_join(
     require_exact_floats: bool = False,
     allow_approx: bool = True,
     has_hnsw_index: bool = False,
+    has_ivfpq_index: bool = False,
+    has_sq_index: bool = False,
 ) -> KnnJoinPlan:
     work = data_count * query_count
     if require_exact_floats:
@@ -68,6 +81,16 @@ def plan_knn_join(
         # beyond the exact budget an already-built graph answers |Q| beam
         # searches per shard without rescanning |D| — beats a fresh LSH join
         return KnnJoinPlan("hnsw", f"prebuilt shard graphs serve |Q|={query_count} without a |D| scan")
+    if has_ivfpq_index:
+        # next cheapest: ADC reads only probed-cell CODE rows (m bytes each)
+        return KnnJoinPlan(
+            "ivfpq", f"prebuilt IVF+PQ codes serve |Q|={query_count} from probed cells only"
+        )
+    if has_sq_index:
+        # one near-lossless scan of 1/4 the float bytes, all queries at once
+        return KnnJoinPlan(
+            "sq", f"prebuilt SQ8 codes serve |Q|={query_count} at 1/4 the scan bytes"
+        )
     return KnnJoinPlan("lsh", f"|D|x|Q|x dim={work * dim} beyond exact budget — prune candidates")
 
 
@@ -85,16 +108,24 @@ def knn_join_auto(
     query_count: int | None = None,
     allow_approx: bool = True,
     hnsw_graph: DataFrame | None = None,
+    ivfpq_index: tuple | None = None,  # (encoded DataFrame, IVFPQModel)
+    sq_index: tuple | None = None,  # (codes DataFrame, SQModel)
 ) -> tuple[DataFrame, KnnJoinPlan]:
     """Plan and execute; returns (result, plan). Counts may be passed from
-    table stats to avoid the count() jobs. Pass a prebuilt shard-graph
-    artifact (operators.hnsw.hnsw_build output) to enable the index tier."""
+    table stats to avoid the count() jobs. Pass prebuilt index artifacts
+    (operators.hnsw.hnsw_build output; (ivfpq_encode output, IVFPQModel);
+    (sq code table, SQModel)) to enable the index tiers."""
     from neighborly_spark.operators.knn import knn_join, knn_join_blocked, knn_join_vectorized
     from neighborly_spark.operators.lsh import approx_knn_join
 
     nd = data_count if data_count is not None else data.count()
     nq = query_count if query_count is not None else queries.count()
-    plan = plan_knn_join(nd, nq, dim, allow_approx=allow_approx, has_hnsw_index=hnsw_graph is not None)
+    plan = plan_knn_join(
+        nd, nq, dim, allow_approx=allow_approx,
+        has_hnsw_index=hnsw_graph is not None,
+        has_ivfpq_index=ivfpq_index is not None,
+        has_sq_index=sq_index is not None,
+    )
     if plan.strategy == "exact":
         out = knn_join(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     elif plan.strategy == "hnsw":
@@ -105,6 +136,26 @@ def knn_join_auto(
         out = hnsw_search_batch(
             hnsw_graph, [(r[0], list(r[1])) for r in qrows], k
         ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
+    elif plan.strategy == "ivfpq":
+        from neighborly_spark.operators.ivfpq import ivfpq_knn_join
+
+        encoded, model = ivfpq_index
+        qrows = queries.select(query_id_col, query_vec_col).collect()  # bounded as above
+        # nprobe=10 is the gate-verified operating point on uniform data
+        # (recall 0.87 at nlist=16, docs/RECALL.md); clusterable corpora can
+        # probe far fewer via search_batch(ivfpq_nprobe=...) directly
+        out = ivfpq_knn_join(
+            encoded, model, [(r[0], list(r[1])) for r in qrows], k,
+            nprobe=10, df=data, id_col=id_col, vec_col=vec_col,
+        ).withColumnRenamed("query_id", query_id_col)
+    elif plan.strategy == "sq":
+        from neighborly_spark.operators.quantization import sq_knn_join
+
+        codes, model = sq_index
+        out = sq_knn_join(
+            codes, model, queries, k, df=data, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
     elif plan.strategy == "vectorized":
         out = knn_join_vectorized(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     elif plan.strategy == "blocked":

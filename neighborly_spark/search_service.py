@@ -675,6 +675,14 @@ class SearchService:
                 query_count=query_count,
                 allow_approx=allow_approx,
                 hnsw_graph=self._hnsw_graph,
+                ivfpq_index=(
+                    (self._ivfpq_encoded, self._ivfpq_model)
+                    if self._ivfpq_model is not None else None
+                ),
+                sq_index=(
+                    (self._sq_codes, self._sq_model)
+                    if self._sq_model is not None else None
+                ),
             )
         self.last_join_plan = plan
         return out

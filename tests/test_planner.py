@@ -194,3 +194,46 @@ def test_planner_hnsw_tier(spark):
     }
     assert len(got_pairs) == 500
     assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.8
+
+
+def test_planner_quantized_tiers(spark):
+    """Beyond the exact-BLAS budget with a collectible query side, the
+    planner prefers prebuilt indexes by bytes-read per query: hnsw >
+    ivfpq > sq > lsh; executed joins clear the recall bar vs exact."""
+    from neighborly_spark.operators.knn import knn_join
+    from neighborly_spark.parity import load
+    from neighborly_spark.plans.knn_planner import plan_knn_join
+    from neighborly_spark.search_service import SearchService
+
+    big, q = 1_000_000_000, 1_000
+    assert plan_knn_join(big, q, 64, has_ivfpq_index=True).strategy == "ivfpq"
+    assert plan_knn_join(big, q, 64, has_sq_index=True).strategy == "sq"
+    # preference order when several exist
+    assert plan_knn_join(
+        big, q, 64, has_hnsw_index=True, has_ivfpq_index=True, has_sq_index=True
+    ).strategy == "hnsw"
+    assert plan_knn_join(big, q, 64, has_ivfpq_index=True, has_sq_index=True).strategy == "ivfpq"
+    # indexes never degrade exact-required or within-budget joins
+    assert plan_knn_join(big, q, 64, allow_approx=False, has_sq_index=True).strategy == "vectorized"
+    assert plan_knn_join(10_000_000, q, 64, has_ivfpq_index=True).strategy == "vectorized"
+    # huge |Q| still goes to LSH (code-table joins need a bounded query side)
+    assert plan_knn_join(big, 200_000, 64, has_sq_index=True).strategy == "lsh"
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.limit(20).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    exact_pairs = {
+        (r.query_id, r.id) for r in knn_join(emb, queries, k=5).select("query_id", "id").collect()
+    }
+    for method, want in (("sq", "sq"), ("ivfpq", "ivfpq")):
+        svc = SearchService(emb, dim=64)
+        svc.build_index(method)
+        # stats-forced counts beyond the BLAS budget (1e9 x 1000 x 64 >
+        # VECTORIZED_WORK_LIMIT); execution still runs on the real 20 queries
+        got = svc.knn_join(queries, k=5, data_count=1_000_000_000, query_count=1_000)
+        assert svc.last_join_plan.strategy == want
+        got_pairs = {(r.query_id, r.id) for r in got.collect()}
+        assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.8, want
