@@ -257,3 +257,48 @@ def test_stream_ingest_incremental_hnsw(spark, events_landing, tmp_path):
     probe = svc.df.limit(1).collect()[0]
     got = svc.search(query_vec=list(probe.embedding), k=3, method="hnsw").collect()
     assert got[0].dist == 0.0
+
+
+def test_stream_ingest_incremental_quantizers(spark, events_landing, tmp_path):
+    """Q13 for the quantizer family: micro-batches flow into a live
+    SearchService via on_batch=add_vectors; the bq/sq/ivfpq artifacts
+    APPEND the new rows encoded against the models trained on the base
+    (no retrain), and each serves an ingested embedding at distance 0
+    via its exact-rerank tier."""
+    import numpy as np
+
+    from neighborly_spark.search_service import SearchService
+
+    rng = np.random.default_rng(3)
+    base_rows = [
+        (f"base-{i}", [float(x) for x in rng.normal(0, 1, 8)], None, None, None, None, None)
+        for i in range(50)
+    ]
+    base = spark.createDataFrame(
+        base_rows,
+        "id string, embedding array<float>, tags array<smallint>, "
+        "original_text string, priority tinyint, user_id long, org_id long",
+    ).repartition(2)
+    svc = SearchService(base, dim=8)
+    for m in ("bq", "sq", "ivfpq"):
+        svc.build_index(m)
+    models = (svc._bq_threshold, svc._sq_model, svc._ivfpq_model)
+    q = start_ingest(
+        spark,
+        events_landing,
+        EVENTS_SCHEMA,
+        str(tmp_path / "vectors"),
+        str(tmp_path / "ckpt"),
+        dim=8,
+        on_batch=svc.add_vectors,
+    )
+    q.awaitTermination(120)
+    # artifacts cover base + ingested rows; models untouched (append path)
+    assert svc._sq_codes.count() == 1050
+    assert svc._ivfpq_encoded.count() == 1050
+    assert svc._bq_codes.count() == 1050
+    assert (svc._bq_threshold, svc._sq_model, svc._ivfpq_model) == models
+    probe = svc.df.filter(F.col("id").startswith("base-") == False).limit(1).collect()[0]  # noqa: E712
+    for m in ("sq", "ivfpq"):
+        got = svc.search(query_vec=list(probe.embedding), k=3, method=m).collect()
+        assert got[0].id == probe.id and got[0].dist == 0.0, m
