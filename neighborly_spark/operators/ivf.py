@@ -79,10 +79,13 @@ def ivf_train_sampled(
     """
     import numpy as np
 
-    from neighborly_spark.operators.quantization import _lloyd
+    from neighborly_spark.operators.quantization import _lloyd, finite_vector_pred
 
     sample = (
+        # finite rows only: a NaN/Inf vector poisons centroid means
+        # (identity on clean data — same hash-ordered sample)
         df.select(F.col(vec_col).alias("_v"))
+        .filter(finite_vector_pred(F.col("_v")))
         .withColumn("_h", F.xxhash64(F.col("_v")))
         .orderBy("_h")
         .limit(sample_size)
@@ -148,7 +151,14 @@ def ivf_assign_vectorized(df: DataFrame, model: IVFModel, vec_col: str = "embedd
             if len(pdf):
                 # null embeddings assign to null cluster, matching the HOF
                 # tier (a crash here would fail the whole pipeline)
-                valid = pdf[vec_col].notna().to_numpy()
+                valid = np.array(
+                    [
+                        v is not None
+                        and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+                        for v in pdf[vec_col]
+                    ],
+                    dtype=bool,
+                )  # null OR non-finite rows get null codes (rank last)
                 out = pd.array([pd.NA] * len(pdf), dtype="Int32")
                 if valid.any():
                     x = np.asarray(

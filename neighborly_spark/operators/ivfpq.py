@@ -116,7 +116,14 @@ def ivfpq_encode(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                valid = pdf[vec_col].notna().to_numpy()
+                valid = np.array(
+                    [
+                        v is not None
+                        and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+                        for v in pdf[vec_col]
+                    ],
+                    dtype=bool,
+                )  # null OR non-finite rows get null codes (rank last)
                 cells = pd.array([pd.NA] * len(pdf), dtype="Int32")
                 out_codes: list = [None] * len(pdf)
                 if valid.any():

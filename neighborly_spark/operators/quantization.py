@@ -49,15 +49,46 @@ def _bit_mask(b: int) -> int:
 # --- binary quantization -----------------------------------------------------
 
 
+def finite_elems(vec: Column) -> Column:
+    """The vector's finite elements only (NaN/±Inf dropped). Trainer
+    hygiene: one NaN reaching a min/max/mean/k-means poisons the whole
+    model SILENTLY (Spark orders NaN greatest, so it becomes the max; an
+    Inf makes every scale infinite and all codes collapse). On clean data
+    this is the identity, so oracle-checked values are unchanged."""
+    inf = F.lit(float("inf"))
+    return F.filter(
+        vec, lambda x: ~F.isnan(x.cast("double")) & (F.abs(x.cast("double")) < inf)
+    )
+
+
+def finite_vector_pred(vec: Column) -> Column:
+    """True iff the vector is non-null with every element finite — the
+    row-level trainer filter (a row with any non-finite element contributes
+    nothing to a codebook; its geometry is undefined)."""
+    inf = F.lit(float("inf"))
+    return F.coalesce(
+        F.forall(
+            vec,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) < inf),
+        ),
+        F.lit(False),
+    )
+
+
 def bq_global_threshold(df: DataFrame, vec_col: str = "embedding", round_to: int = 9) -> float:
-    """Global mean of all vector components (BinaryQuantization.cs:92-109).
+    """Global mean of all FINITE vector components (BinaryQuantization.cs:
+    92-109; non-finite elements are excluded — one NaN would make the
+    threshold NaN and every sign bit false).
 
     Driver-side scalar (one number) — the training step of the quantizer.
     Rounded so independent engines computing the same mean agree exactly.
     """
+    fin = finite_elems(F.col(vec_col))
     row = df.select(
-        F.sum(F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x.cast("double"))).alias("s"),
-        F.sum(F.size(F.col(vec_col))).alias("n"),
+        F.sum(F.aggregate(fin, F.lit(0.0), lambda s, x: s + x.cast("double"))).alias("s"),
+        F.sum(F.size(fin)).alias("n"),
     ).collect()[0]
     if not row.n:
         return 0.0
@@ -357,7 +388,10 @@ def pq_train_sampled(
     # slows the Lloyd matrices linearly with zero recall effect
     sample_size = min(sample_size, 128 * num_centroids)
     sample = (
+        # finite rows only: one NaN/Inf vector in the sample poisons every
+        # centroid mean it touches (identity on clean data)
         df.select(F.col(vec_col).alias("_v"))
+        .filter(finite_vector_pred(F.col("_v")))
         .withColumn("_h", F.xxhash64(F.col("_v")))
         .orderBy("_h")
         .limit(sample_size)
@@ -472,7 +506,14 @@ def pq_encode_vectorized(
                 # null embeddings encode to [null]*m, matching the HOF
                 # tier's F.array of null argmins (a crash here would fail
                 # the whole index build)
-                valid = pdf[vec_col].notna().to_numpy()
+                valid = np.array(
+                    [
+                        v is not None
+                        and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+                        for v in pdf[vec_col]
+                    ],
+                    dtype=bool,
+                )  # null OR non-finite rows get null codes (rank last)
                 out: list = [[None] * m] * len(pdf)
                 if valid.any():
                     x = np.asarray(
@@ -575,10 +616,15 @@ class SQModel:
 def sq_train(df: DataFrame, dim: int, vec_col: str = "embedding") -> SQModel:
     """One global aggregate: per-dimension min and max (2*dim scalar
     aggregates in a single map-combinable pass — no shuffle beyond the
-    1-row final combine; null embeddings are skipped by min/max)."""
+    1-row final combine; null embeddings are skipped by min/max, and
+    non-finite elements are nulled out first — Spark orders NaN greatest,
+    so ONE NaN row would otherwise become vmax and poison the dim's scale
+    (an Inf would make it infinite and collapse every code to one byte)."""
+    inf = F.lit(float("inf"))
     aggs = []
     for d in range(dim):
-        el = F.element_at(F.col(vec_col), d + 1).cast("double")
+        raw = F.element_at(F.col(vec_col), d + 1).cast("double")
+        el = F.when(F.isnan(raw) | (F.abs(raw) >= inf), F.lit(None)).otherwise(raw)
         aggs.append(F.min(el).alias(f"_mn{d}"))
         aggs.append(F.max(el).alias(f"_mx{d}"))
     row = df.select(*aggs).collect()[0]
@@ -592,8 +638,12 @@ def sq_encode_expr(vec: Column, model: SQModel) -> Column:
     expression (JVM whole-stage codegen, no Python in the scan). Byte j of
     word w holds dim d = 8w+j via shiftleft (bitwise, two's-complement
     wrapping by definition — the top byte lands on the sign bits safely,
-    mirroring _bit_mask's signed-word contract). A null embedding yields
-    null words -> null distance, ranked last by every consumer."""
+    mirroring _bit_mask's signed-word contract). A null embedding — or one
+    carrying a NaN element — yields null words -> null distance, ranked
+    last by every consumer (consistent with the exact path, where a NaN
+    distance also sorts last); ±Inf elements CLIP to byte 0/255 (standard
+    scalar-quantizer saturation, matching the exact path's near-last
+    infinite distances)."""
     scale = model.scale
     n_words = (model.dim + SQ_BYTES_PER_WORD - 1) // SQ_BYTES_PER_WORD
     words = []
@@ -605,14 +655,20 @@ def sq_encode_expr(vec: Column, model: SQModel) -> Column:
                 break
             el = F.element_at(vec, d + 1).cast("double")
             if scale[d] == 0.0:
-                code = (el - el).cast("bigint")  # 0 when present, null when null
+                valid_code = F.lit(0).cast("bigint")  # degenerate dim: one byte fits all
             else:
-                code = F.round(
+                valid_code = F.round(
                     F.least(
                         F.greatest((el - F.lit(model.vmin[d])) / F.lit(scale[d]), F.lit(0.0)),
                         F.lit(255.0),
                     )
                 ).cast("bigint")
+            # explicit null gate: greatest/least SKIP nulls (a null or
+            # NaN-nulled element would silently clip to byte 0 instead of
+            # nulling the word), so the null/NaN case is decided up front
+            code = F.when(
+                el.isNull() | F.isnan(el), F.lit(None).cast("bigint")
+            ).otherwise(valid_code)
             term = F.shiftleft(code, 8 * j) if j else code
             word = term if word is None else word + term
         words.append(word)

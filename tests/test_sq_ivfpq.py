@@ -353,3 +353,58 @@ def test_sq_knn_join_plan_reads_codes_only_without_rerank(spark, emb, sq_model, 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "embeddings.parquet" not in plan
     assert "MapInPandas" not in plan
+
+
+# --- non-finite hygiene --------------------------------------------------------
+
+
+def test_non_finite_vectors_do_not_poison_models(spark):
+    """One NaN/Inf row must not silently collapse a quantizer: Spark orders
+    NaN greatest (it would become vmax), an Inf makes a dim's scale infinite
+    (all codes collapse to one byte), and a NaN in a k-means sample poisons
+    every centroid mean it touches. Trainers ignore non-finite input;
+    encoders give NaN/null rows null codes (rank last, consistent with the
+    exact path's NaN-sorts-last) and clip ±Inf."""
+    import math
+
+    rows = [(i, [float(i % 5), 0.5 * i, 1.0]) for i in range(30)] + [
+        (100, [float("nan"), 1.0, 1.0]),
+        (101, [float("inf"), 1.0, 1.0]),
+        (102, [1.0, float("-inf"), 1.0]),
+        (103, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<float>")
+
+    m = QZ.sq_train(df, 3)
+    assert all(math.isfinite(v) for v in m.vmin + m.vmax + m.scale)
+    codes = df.select("id", QZ.sq_encode_expr(F.col("embedding"), m).alias("code"))
+    got = {r.id: r.code for r in codes.collect()}
+
+    def nulled(code):  # null array OR null words — either nulls the distance
+        return code is None or all(w is None for w in code)
+
+    assert nulled(got[100]) and nulled(got[103])  # NaN/null -> null words
+    assert not nulled(got[101]) and not nulled(got[102])  # Inf clips
+    # NaN/null rows never surface (clipped Inf rows MAY rank: they are
+    # real vectors whose out-of-range dim saturates, by design)
+    out = QZ.sq_search_precoded(df, codes, m, [1.0, 1.0, 1.0], 5, rerank=False).collect()
+    assert all(r.id not in (100, 103) for r in out)
+
+    thr = QZ.bq_global_threshold(df)
+    assert math.isfinite(thr)
+
+    ip = IVFPQ.ivfpq_train(df, 3, nlist=4, m=1, num_centroids=4)
+    flat = [v for c in ip.ivf.centroids for v in c] + [
+        v for book in ip.pq.centroids for c in book for v in c
+    ]
+    assert all(math.isfinite(v) for v in flat)
+    enc = {r.id: (r.ivf_cluster, r.pq_code) for r in IVFPQ.ivfpq_encode(df, ip).collect()}
+    assert enc[100] == (None, None) and enc[103] == (None, None)
+    out = IVFPQ.ivfpq_search(
+        IVFPQ.ivfpq_encode(df, ip), ip, [1.0, 1.0, 1.0], 5, nprobe=4
+    ).collect()
+    assert all(r.id not in (100, 103) for r in out)
+
+    pq = QZ.pq_train_sampled(df, dim=3, m=1, num_centroids=4)
+    flat = [v for book in pq.centroids for c in book for v in c]
+    assert all(math.isfinite(v) for v in flat)
