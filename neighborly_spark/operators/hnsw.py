@@ -263,7 +263,14 @@ def hnsw_build(
       DiskANN-style partitioned indexes). Incremental adds to a spatial
       graph must pass the routing table to hnsw_add (nearest-centroid
       routing)."""
-    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding"))
+    from neighborly_spark.operators.quantization import finite_vector_pred
+
+    # finite vectors only: a NaN distance inside the insert kernel would
+    # silently corrupt neighbor-list ordering (heap comparisons with NaN),
+    # degrading recall with no error anywhere. Identity on clean data.
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
+    ).filter(finite_vector_pred(F.col("embedding")))
     if num_partitions is None:
         num_partitions = hnsw_shard_count(rows_hint if rows_hint is not None else src.count())
     if spatial:
@@ -563,11 +570,15 @@ def hnsw_add(
         # would route non-bigint ids (e.g. string ids from streaming
         # ingest) to a different shard than the one their id was built into.
         part = F.pmod(F.hash(F.col(id_col).cast("long")), F.lit(num_shards)).cast("int")
+    from neighborly_spark.operators.quantization import finite_vector_pred
+
     new_tagged = new_df.select(
         part.alias("part_id"),
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("embedding"),
-    )
+        # same finite-only contract as hnsw_build (NaN heap comparisons
+        # would silently corrupt the receiving shard's neighbor lists)
+    ).filter(finite_vector_pred(F.col("embedding")))
     # One sentinel row per shard (level = -1) unioned into the graph side:
     # a cogroup group whose graph side is EMPTY segfaults PySpark's
     # arrow_to_pandas on the nested array<array<bigint>> column (worker
