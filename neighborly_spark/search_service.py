@@ -262,6 +262,50 @@ class SearchService:
             self._ivfpq_encoded.unpersist()
             self._ivfpq_encoded = appended
 
+    @staticmethod
+    def _check_query(query_vec) -> list:
+        """Reject non-finite query vectors up front: a NaN query makes every
+        distance NaN — the top-k would silently return k arbitrary rows (NaN
+        sorts last but ALL rows tie). One clear error beats that."""
+        import math
+
+        q = [float(v) for v in query_vec]
+        if any(math.isnan(v) or math.isinf(v) for v in q):
+            raise ValueError("query_vec contains NaN/Inf — distances would be undefined")
+        return q
+
+    def index_stats(self) -> list[dict]:
+        """Ops surface: one dict per built index — artifact row count,
+        compression vs the float table, and the serving knobs. Driver-side
+        (counts of cached artifacts); returns [] when nothing is built."""
+        out = []
+        if self._lsh_model is not None:
+            out.append({"index": "lsh", "rows": None,
+                        "detail": f"{self._lsh_model.getNumHashTables()} hash tables"})
+        if self._bq_codes is not None:
+            out.append({"index": "bq", "rows": self._bq_codes.count(),
+                        "compression": QZ.bq_compression_ratio(self.dim),
+                        "detail": f"threshold={self._bq_threshold}"})
+        if self._pq_encoded is not None:
+            out.append({"index": "pq", "rows": self._pq_encoded.count(),
+                        "compression": self._pq_model.compression_ratio(self.dim),
+                        "detail": f"m={self._pq_model.m}, k'={self._pq_model.num_centroids}"})
+        if self._ivf_assigned is not None:
+            out.append({"index": "ivf", "rows": self._ivf_assigned.count(),
+                        "detail": f"nlist={self._ivf_model.nlist}"})
+        if self._sq_codes is not None:
+            out.append({"index": "sq", "rows": self._sq_codes.count(),
+                        "compression": self._sq_model.compression_ratio(),
+                        "detail": "8-bit affine per dim"})
+        if self._ivfpq_encoded is not None:
+            out.append({"index": "ivfpq", "rows": self._ivfpq_encoded.count(),
+                        "compression": self._ivfpq_model.compression_ratio(self.dim),
+                        "detail": f"nlist={self._ivfpq_model.ivf.nlist}, m={self._ivfpq_model.pq.m}"})
+        if self._hnsw_graph is not None:
+            out.append({"index": "hnsw", "rows": self._hnsw_graph.count(),
+                        "detail": f"shards={self._hnsw_shards}, spatial={self._hnsw_spatial}"})
+        return out
+
     def _tag_predicate(self, tag_any, tag_all):
         """Tag filter Column (P9 semantics: any = arrays_overlap, all =
         intersect-covers), or None when no filter is requested. Literals are
@@ -502,6 +546,7 @@ class SearchService:
             )
         if query_vec is None:
             raise ValueError("provide query_vec or text")
+        query_vec = self._check_query(query_vec)
 
         if method in EXACT_METHODS:
             use_blas = exact_path == "blas" or (

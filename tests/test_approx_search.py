@@ -581,3 +581,17 @@ def test_tag_filtered_search_batch(spark, emb):
     with pytest.raises(ValueError, match="tag filters"):
         svc.search_batch(qlist, k=5, method="hnsw", tag_any=[1])
     tagged.unpersist()
+
+
+def test_query_validation_and_index_stats(emb, query):
+    svc = SearchService(emb, dim=64)
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        svc.search(query_vec=[float("nan")] * 64, k=5, method="linear")
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        svc.search(query_vec=[float("inf")] + [0.0] * 63, k=5, method="sq")
+    assert svc.index_stats() == []  # validation rejected before any build
+    svc.build_index("bq")
+    svc.build_index("sq")
+    stats = {s["index"]: s for s in svc.index_stats()}
+    assert stats["bq"]["rows"] == emb.count() and stats["bq"]["compression"] == 32.0
+    assert stats["sq"]["compression"] == 4.0
