@@ -270,6 +270,87 @@ def bq_search_precoded(
     return out.drop("_hamming")
 
 
+def bq_knn_join(
+    df: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Batched BQ search: top-k per query in ONE scan of the packed-code
+    table (completing the batch-join matrix alongside sq_knn_join /
+    ivfpq_knn_join / hnsw_search_batch). The query side is encoded in-plan
+    and broadcast; the Hamming prefilter runs column-vs-column per
+    (code row, query) pair — the scan reads dim/32 of the float bytes once
+    for ALL queries — and the exact rerank joins back only the surviving
+    candidate ids.
+
+    Per-query fallback (BinaryQuantization.cs:166-178 semantics): queries
+    whose prefilter passes NOTHING fall back to their 3k hamming-closest
+    rows, computed with the same two-stage partial top-k as knn_join and
+    gated per query on a broadcast pass-count — the common all-pass case
+    pays one cheap aggregate. Returns (query_id, id, dist)."""
+    if max_hamming is None:
+        max_hamming = min(dim // 4, 64)
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            bq_encode_expr(F.col(query_vec_col), dim, threshold).alias("_qcode"),
+        )
+    )
+    scored = codes.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        hamming_packed(F.col("code"), F.col("_qcode")).alias("_hamming"),
+    )
+    passed = scored.filter(F.col("_hamming") <= max_hamming)
+    # per-query pass counts (tiny: one row per query with any pass)
+    n_pass = passed.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("_n_pass"))
+    # two-stage partial top-3k of hamming per query for the fallback pool
+    payload = F.struct(F.col("_hamming").alias("h"), F.col(id_col).alias("id"))
+    partial = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy(query_id_col, "_pid")
+        .agg(F.slice(F.array_sort(F.collect_list(payload)), 1, 3 * k).alias("_cand"))
+    )
+    closest = (
+        partial.groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_cand"))), 1, 3 * k).alias("_cand"))
+        .select(query_id_col, F.explode("_cand").alias("_c"))
+        .select(query_id_col, F.col("_c.id").alias(id_col), F.col("_c.h").alias("_hamming"))
+    )
+    fallback = closest.join(F.broadcast(n_pass), query_id_col, "left_anti")
+    cand = passed.select(query_id_col, id_col).unionByName(
+        fallback.select(query_id_col, id_col)
+    )
+    # exact rerank of each query's candidates; candidate sets are bounded
+    # (pass-count or 3k), so the per-query window is cheap
+    joined = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(cand, id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+    )
+    d = euclidean(F.col(vec_col), F.col(query_vec_col))
+    scored2 = joined.select(query_id_col, id_col, d.alias("dist"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def bq_compression_ratio(dim: int) -> float:
     """float32 bits per dim / 1 bit per dim, accounting for word padding
     (BinaryQuantization.cs:200-208)."""

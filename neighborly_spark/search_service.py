@@ -749,7 +749,8 @@ class SearchService:
         ``queries`` is a (query_id, query_embedding) DataFrame or a
         [(query_id, vector), ...] list — normalized internally to what the
         tier needs. Methods: the exact family (routes through knn_join's
-        cardinality planner), 'sq' (sq_knn_join: one dequantized code-table
+        cardinality planner), 'bq' (bq_knn_join: one Hamming-prefilter scan
+        of the packed codes), 'sq' (sq_knn_join: one dequantized code-table
         scan), 'ivfpq' (ivfpq_knn_join: one probed-cells pass, per-query
         residual LUTs), 'hnsw' (hnsw_search_batch: each shard graph
         rehydrates once for all queries). Returns (query_id, id, dist)."""
@@ -782,6 +783,14 @@ class SearchService:
                     base_df, as_df(), k, id_col=self.id_col, vec_col=self.vec_col
                 )
             return self.knn_join(as_df(), k)
+        if method in ("bq", "binaryquantization"):
+            if self._bq_codes is None:
+                self.build_index("bq")
+            return QZ.bq_knn_join(
+                base_df, self._filtered_artifact(self._bq_codes, pred, "bq"),
+                as_df(), k, self.dim, self._bq_threshold,
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
         if method == "sq":
             if self._sq_model is None:
                 self.build_index("sq")

@@ -408,3 +408,30 @@ def test_non_finite_vectors_do_not_poison_models(spark):
     pq = QZ.pq_train_sampled(df, dim=3, m=1, num_centroids=4)
     flat = [v for book in pq.centroids for c in book for v in c]
     assert all(math.isfinite(v) for v in flat)
+
+
+def test_bq_knn_join_equals_single_query(spark, emb):
+    """bq_knn_join (one code-table scan for all queries) equals the
+    per-query bq_search_precoded loop — including a query that forces the
+    per-query 3k-closest fallback while others pass the prefilter."""
+    thr = QZ.bq_global_threshold(emb)
+    codes = QZ.bq_encode_table(emb, dim=64, threshold=thr)
+    qrows = emb.filter(F.col("id") < 4).orderBy("id").collect()
+    # an adversarial far-away query: all-hamming-distant -> fallback fires
+    far = [1000.0] * 64
+    queries = spark.createDataFrame(
+        [(int(r.id), [float(v) for v in r.embedding]) for r in qrows]
+        + [(999, far)],
+        "query_id bigint, query_embedding array<float>",
+    )
+    batch = QZ.bq_knn_join(emb, codes, queries, 5, 64, thr)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.id, round(r.dist, 6)))
+    for qid, qv in [(int(r.id), list(r.embedding)) for r in qrows] + [(999, far)]:
+        single = [
+            (x.id, round(x.dist, 6))
+            for x in QZ.bq_search_precoded(emb, codes, qv, 5, 64, thr).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+    codes.unpersist()
