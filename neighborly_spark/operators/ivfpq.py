@@ -288,7 +288,9 @@ def ivfpq_knn_join(
         pos[i, order[i]] = np.arange(nprobe)
     cells_union = sorted({int(c) for row in order for c in row})
 
-    fetch = max(shortlist or 5 * k, k) if rerank else k
+    # same shortlist floor as ivfpq_search_rerank (max(5k, 50)) so batch
+    # and single-query candidate sets match at small k
+    fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
     flt = encoded.filter(F.col(CLUSTER_COL).isin(cells_union))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -310,6 +312,12 @@ def ivfpq_knn_join(
                 ids_m = ids[midx]
                 sel = np.lexsort((ids_m, dist))[:fetch]  # (dist, id) order
                 acc[i].extend(zip(dist[sel], ids_m[sel]))
+                if len(acc[i]) > 2 * fetch:
+                    # keep the accumulator bounded at O(fetch) per query
+                    # instead of growing with batch count (per-task memory
+                    # must not scale with partition size)
+                    acc[i].sort()
+                    del acc[i][fetch:]
         rows = []
         for i in range(nq):
             if acc[i]:

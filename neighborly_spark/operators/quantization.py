@@ -174,7 +174,7 @@ def bq_search(
     # fallback (:166-178): 3k hamming-closest, only when nothing passed
     n_pass = passed.select(F.count(F.lit(1)).alias("_n_pass"))
     fallback = (
-        scored.orderBy(F.col("_hamming").asc(), F.col(id_col).asc())
+        scored.orderBy(F.col("_hamming").asc_nulls_last(), F.col(id_col).asc())
         .limit(3 * k)
         .crossJoin(F.broadcast(n_pass))
         .filter(F.col("_n_pass") == 0)
@@ -195,6 +195,7 @@ def bq_encode_table(
     id_col: str = "id",
     vec_col: str = "embedding",
     path: str | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Materialize the (id, code) table ONCE at index-build time — the
     reference encodes at build, not per query (BinaryQuantization.cs:114-133
@@ -207,7 +208,10 @@ def bq_encode_table(
     artifact (mirrors ivf_write's layout role).
     """
     codes = df.select(
-        F.col(id_col), bq_encode_expr(F.col(vec_col), dim, threshold).alias("code")
+        F.col(id_col),
+        bq_encode_expr(F.col(vec_col), dim, threshold).alias("code"),
+        *[F.col(c) for c in (extra_cols or [])],  # e.g. tags, for
+        # pushdown-filterable artifacts (SearchService tag filtering)
     )
     if path is not None:
         codes.write.mode("overwrite").parquet(path)
@@ -251,7 +255,7 @@ def bq_search_precoded(
     # gated on a broadcast 1-row pass-count so it costs nothing normally
     n_pass = passed.select(F.count(F.lit(1)).alias("_n_pass"))
     fallback = (
-        scored.orderBy(F.col("_hamming").asc(), F.col(id_col).asc())
+        scored.orderBy(F.col("_hamming").asc_nulls_last(), F.col(id_col).asc())
         .limit(3 * k)
         .crossJoin(F.broadcast(n_pass))
         .filter(F.col("_n_pass") == 0)
@@ -310,13 +314,22 @@ def bq_knn_join(
         id_col,
         hamming_packed(F.col("code"), F.col("_qcode")).alias("_hamming"),
     )
+    # lazy persist (same pattern as bq_search): three consumers — the
+    # filter branch, the pass counts, and the fallback partials — would
+    # each re-evaluate the |D| x |Q| hamming crossJoin otherwise;
+    # ContextCleaner reclaims the cache when the plan is unreferenced
+    scored = scored.persist()
     passed = scored.filter(F.col("_hamming") <= max_hamming)
     # per-query pass counts (tiny: one row per query with any pass)
     n_pass = passed.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("_n_pass"))
-    # two-stage partial top-3k of hamming per query for the fallback pool
+    # two-stage partial top-3k of hamming per query for the fallback pool.
+    # Null-code rows (null/NaN embeddings) carry null hamming and would
+    # sort FIRST in the struct ordering, displacing every real candidate —
+    # they can never be fallback candidates, so drop them up front.
     payload = F.struct(F.col("_hamming").alias("h"), F.col(id_col).alias("id"))
     partial = (
-        scored.withColumn("_pid", F.spark_partition_id())
+        scored.filter(F.col("_hamming").isNotNull())
+        .withColumn("_pid", F.spark_partition_id())
         .groupBy(query_id_col, "_pid")
         .agg(F.slice(F.array_sort(F.collect_list(payload)), 1, 3 * k).alias("_cand"))
     )
@@ -769,11 +782,16 @@ def sq_encode_table(
     id_col: str = "id",
     vec_col: str = "embedding",
     path: str | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Materialize the (id, code) table once at index-build time — the same
     build-then-search split as bq_encode_table: every query then scans 1/4
     of the float bytes. `path` writes the durable parquet artifact."""
-    codes = df.select(F.col(id_col), sq_encode_expr(F.col(vec_col), model).alias("code"))
+    codes = df.select(
+        F.col(id_col),
+        sq_encode_expr(F.col(vec_col), model).alias("code"),
+        *[F.col(c) for c in (extra_cols or [])],
+    )
     if path is not None:
         codes.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
@@ -844,7 +862,9 @@ def sq_knn_join(
     decoded = codes.select(
         F.col(id_col), sq_decode_expr(F.col("code"), model).alias("_deq")
     )
-    fetch = max(shortlist or 5 * k, k) if rerank else k
+    # same shortlist floor as sq_search_precoded (max(5k, 50)) so batch and
+    # single-query candidate sets match at small k
+    fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
     base = knn_join(
         decoded,
         queries,
@@ -859,8 +879,11 @@ def sq_knn_join(
     if df is None:
         raise ValueError("rerank=True needs the float table (df)")
     cand = base.select(query_id_col, id_col)
+    # project the query side: extra query columns (e.g. an 'id'/'embedding'
+    # drawn from the same table) would collide with the data side
+    qside = queries.select(query_id_col, query_vec_col)
     joined = df.select(F.col(id_col), F.col(vec_col)).join(cand, id_col).join(
-        F.broadcast(queries), query_id_col
+        F.broadcast(qside), query_id_col
     )
     d = euclidean(F.col(vec_col), F.col(query_vec_col))
     scored = joined.select(query_id_col, id_col, d.alias("dist"))

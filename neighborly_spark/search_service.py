@@ -106,16 +106,10 @@ class SearchService:
             # (BinaryQuantization.cs encodes in the index constructor); every
             # query then prefilters on dim/32 of the float bytes
             self._bq_threshold = QZ.bq_global_threshold(self.df, self.vec_col)
-            # inline encode (not bq_encode_table, whose internal cache we
-            # couldn't extend) so the artifact can carry the tags column
-            cols = [
-                F.col(self.id_col),
-                QZ.bq_encode_expr(
-                    F.col(self.vec_col), self.dim, self._bq_threshold
-                ).alias("code"),
-            ] + ([F.col(self.tags_col)] if self.tags_col else [])
-            self._bq_codes = self.df.select(*cols).cache()
-            self._bq_codes.count()
+            self._bq_codes = QZ.bq_encode_table(
+                self.df, self.dim, self._bq_threshold, self.id_col, self.vec_col,
+                extra_cols=[self.tags_col] if self.tags_col else None,
+            )
         elif method in ("pq", "productquantization"):
             # sampled one-pass trainer: recall >= the MLlib fit at equal cost
             # at the 150k tier, and its cost is constant in data size where
@@ -137,12 +131,10 @@ class SearchService:
             # 8-bit scalar quantizer: one min/max pass trains, one encode
             # pass materializes the packed-byte table (1/4 the float bytes)
             self._sq_model = QZ.sq_train(self.df, self.dim, self.vec_col)
-            cols = [
-                F.col(self.id_col),
-                QZ.sq_encode_expr(F.col(self.vec_col), self._sq_model).alias("code"),
-            ] + ([F.col(self.tags_col)] if self.tags_col else [])
-            self._sq_codes = self.df.select(*cols).cache()
-            self._sq_codes.count()
+            self._sq_codes = QZ.sq_encode_table(
+                self.df, self._sq_model, self.id_col, self.vec_col,
+                extra_cols=[self.tags_col] if self.tags_col else None,
+            )
         elif method == "ivfpq":
             # composed coarse-quantizer + residual-PQ index (operators.ivfpq
             # — the FAISS IVFPQ recipe): sampled deterministic trainers, one
@@ -321,7 +313,9 @@ class SearchService:
             c = F.arrays_overlap(col, F.lit(list(tag_any)).cast(tags_type))
             pred = c
         if tag_all:
-            want = sorted({int(t) for t in tag_all})
+            # no int() coercion: tags may be any element type (the literal
+            # is cast to the table's own tags type); dedup via set only
+            want = sorted(set(tag_all))
             c = F.size(F.array_intersect(col, F.lit(want).cast(tags_type))) == len(want)
             pred = c if pred is None else (pred & c)
         return pred
@@ -755,6 +749,17 @@ class SearchService:
         residual LUTs), 'hnsw' (hnsw_search_batch: each shard graph
         rehydrates once for all queries). Returns (query_id, id, dist)."""
         method = method.lower()
+
+        # same non-finite guard as search(): a NaN query would silently
+        # return k arbitrary rows from every tier. List inputs are checked
+        # eagerly (raise); DataFrame inputs are filtered in-plan (a driver
+        # check would force an action).
+        if not isinstance(queries, DataFrame):
+            queries = [(q[0], self._check_query(q[1])) for q in queries]
+        else:
+            from neighborly_spark.operators.quantization import finite_vector_pred
+
+            queries = queries.filter(finite_vector_pred(F.col("query_embedding")))
 
         def as_list():
             if isinstance(queries, DataFrame):
