@@ -941,6 +941,44 @@ def sq_search_precoded(
     )
 
 
+def sq_range_search(
+    df: DataFrame,
+    codes: DataFrame,
+    model: SQModel,
+    query_vec: list[float],
+    radius: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """LOSSLESS radius search over the packed-code table (Q2's scale tier).
+
+    The per-dimension decode error is bounded by scale_d/2, so the L2
+    decode error of any vector is bounded by the model constant
+    eps = sqrt(sum_d (scale_d/2)^2); by the triangle inequality
+    |d(q, x) - d(q, dequant(x))| <= eps. Prefiltering the quantized
+    distance at radius + eps therefore has NO FALSE NEGATIVES — the scan
+    reads 1/4 the float bytes, and the exact verify (same expression as
+    operators.knn.range_search, same (dist, id) ordering and cosine-free
+    euclidean semantics) touches only the surviving candidates. Output is
+    row-for-row equal to the exact operator."""
+    import math as _math
+
+    eps = _math.sqrt(sum((s / 2.0) ** 2 for s in model.scale))
+    cand = codes.select(
+        F.col(id_col), sq_distance_expr(F.col("code"), model, query_vec).alias("_qd")
+    ).filter(F.col("_qd") <= F.lit(float(radius) + eps)).select(id_col)
+    joined = df.join(cand, id_col)
+    d = euclidean(F.col(vec_col), F.lit(query_vec).cast("array<float>"))
+    if round_to is not None:
+        d = F.round(d, round_to)
+    return (
+        joined.withColumn("dist", d)
+        .filter(F.col("dist") <= F.lit(float(radius)))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    )
+
+
 def pq_search(
     encoded: DataFrame,
     model: PQModel,

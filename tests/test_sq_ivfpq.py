@@ -435,3 +435,25 @@ def test_bq_knn_join_equals_single_query(spark, emb):
         ]
         assert sorted(got[qid]) == sorted(single), qid
     codes.unpersist()
+
+
+def test_sq_range_search_equals_exact(emb, query, sq_model):
+    """The decode-error bound makes the quantized radius prefilter lossless:
+    output rows (ids AND distances) equal operators.knn.range_search at
+    every radius, while the prefilter scans only the code table."""
+    from neighborly_spark.operators.knn import range_search
+
+    codes = QZ.sq_encode_table(emb, sq_model)
+    for radius in (0.5, 1.1, 1.4):
+        exact = [
+            (r.id, round(r.dist, 9))
+            for r in range_search(emb, query, radius, round_to=6).collect()
+        ]
+        got = [
+            (r.id, round(r.dist, 9))
+            for r in QZ.sq_range_search(
+                emb, codes, sq_model, query, radius, round_to=6
+            ).collect()
+        ]
+        assert got == exact, radius
+    codes.unpersist()
