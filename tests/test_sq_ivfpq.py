@@ -457,3 +457,32 @@ def test_sq_range_search_equals_exact(emb, query, sq_model):
         ]
         assert got == exact, radius
     codes.unpersist()
+
+
+def test_cosine_ann_via_normalization_sq_ivfpq(spark, emb, query):
+    """The cosine bridge extends to the new quantizers: euclidean SQ/IVFPQ
+    over L2-normalized vectors ranks by cosine — recall measured against
+    brute-force cosine (same contract as the IVF/LSH bridge test)."""
+    from neighborly_spark.functions.distance import normalize
+
+    normed = emb.select("id", normalize(F.col("embedding")).alias("embedding")).cache()
+    normed.count()
+    qn = list(normed.filter(F.col("id") == 7).collect()[0].embedding)
+    exact_cos = [r.id for r in exact_knn(emb, query, K, metric="cosine").collect()]
+
+    m = QZ.sq_train(normed, 64)
+    codes = QZ.sq_encode_table(normed, m)
+    sq_ids = [r.id for r in QZ.sq_search_precoded(normed, codes, m, qn, K).collect()]
+    assert _recall(sq_ids, exact_cos) >= 0.8
+    codes.unpersist()
+
+    ip = IVFPQ.ivfpq_train(normed, 64, nlist=16, m=16, num_centroids=32)
+    enc = IVFPQ.ivfpq_encode(normed, ip).cache()
+    enc.count()
+    ip_ids = [
+        r.id
+        for r in IVFPQ.ivfpq_search_rerank(normed, enc, ip, qn, K, nprobe=10).collect()
+    ]
+    assert _recall(ip_ids, exact_cos) >= 0.8
+    enc.unpersist()
+    normed.unpersist()
