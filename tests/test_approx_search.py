@@ -350,13 +350,23 @@ def test_incremental_quantizer_append(spark, emb, query):
     ]
     assert pq_got == pq_want
 
+    # default = the pure dequantized tier (round-5 VERDICT: its recall is
+    # 1.00 without rerank, and the rerank join dominated the old default)
     sq_got = [(r.id, round(r.dist, 9)) for r in svc.search(query_vec=query, k=5, method="sq").collect()]
     sq_codes = QZ.sq_encode_table(union, sq_model)
     sq_want = [
         (r.id, round(r.dist, 9))
-        for r in QZ.sq_search_precoded(union, sq_codes, sq_model, query, 5).collect()
+        for r in QZ.sq_search_precoded(union, sq_codes, sq_model, query, 5, rerank=False).collect()
     ]
     assert sq_got == sq_want
+    # rerank stays available opt-in
+    sq_rr = [(r.id, round(r.dist, 9)) for r in svc.search(
+        query_vec=query, k=5, method="sq", sq_rerank=True).collect()]
+    sq_rr_want = [
+        (r.id, round(r.dist, 9))
+        for r in QZ.sq_search_precoded(union, sq_codes, sq_model, query, 5, rerank=True).collect()
+    ]
+    assert sq_rr == sq_rr_want
     sq_codes.unpersist()
 
     from neighborly_spark.operators import ivfpq as IVFPQ
@@ -511,8 +521,13 @@ def test_tag_filtered_search_across_index_methods(spark, emb, query):
     ]
     lin = [r.id for r in svc.search(query_vec=query, k=5, method="linear", tag_any=[1]).collect()]
     assert lin == exact_filtered
-    sq = [r.id for r in svc.search(query_vec=query, k=5, method="sq", tag_any=[1]).collect()]
-    assert sq == exact_filtered  # SQ is lossless on this data + exact rerank
+    sq = [r.id for r in svc.search(
+        query_vec=query, k=5, method="sq", tag_any=[1], sq_rerank=True).collect()]
+    assert sq == exact_filtered  # SQ shortlist is lossless here + exact rerank
+    # default (no-rerank) tier: same id SET (dequantized ordering may flip
+    # exact near-ties, so ordered equality is only contracted with rerank)
+    sq_nr = [r.id for r in svc.search(query_vec=query, k=5, method="sq", tag_any=[1]).collect()]
+    assert set(sq_nr) == set(exact_filtered)
 
     for method in ("bq", "pq", "ivf", "ivfpq", "lsh"):
         got = [r.id for r in svc.search(query_vec=query, k=5, method=method, tag_any=[1]).collect()]
@@ -601,3 +616,67 @@ def test_query_validation_and_index_stats(emb, query):
     stats = {s["index"]: s for s in svc.index_stats()}
     assert stats["bq"]["rows"] == emb.count() and stats["bq"]["compression"] == 32.0
     assert stats["sq"]["compression"] == 4.0
+
+
+def test_search_batch_nonfinite_df_raises(spark, emb):
+    """DataFrame query inputs hit the SAME non-finite guard as list inputs
+    (round-5 ADVICE: silent filtering left unexplained gaps in results)."""
+    svc = SearchService(emb, dim=64)
+    bad = spark.createDataFrame(
+        [(0, [float("nan")] * 64), (1, [0.0] * 64)],
+        "query_id bigint, query_embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="null/NaN/Inf"):
+        svc.search_batch(bad, k=5, method="linear")
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        svc.search_batch([(0, [float("nan")] * 64)], k=5, method="linear")
+
+
+def test_index_stats_drift_flags(spark, emb):
+    """Q13 drift signal (round-5 VERDICT 7): a matched-distribution append
+    keeps needs_retrain off; a shifted-distribution append flips it (and
+    voids sq_lossless — the sq_range_search precondition); bulk appends
+    past the fraction threshold flag every stale-encode index."""
+    svc = SearchService(emb, dim=64)
+    svc.build_index("sq")
+    svc.build_index("bq")
+    n = emb.count()
+
+    # matched append: rows drawn from the trained table (in-range by
+    # construction) under fresh ids
+    matched = emb.filter(F.col("id") < 10).withColumn("id", F.col("id") + 800000)
+    svc.add_vectors(matched)
+    stats = {s["index"]: s for s in svc.index_stats()}
+    assert stats["sq"]["appended_rows"] == 10
+    assert stats["sq"]["sq_lossless"] is True
+    assert stats["sq"]["append_err_ratio"] <= 1.0
+    assert stats["sq"]["needs_retrain"] is False
+    assert stats["bq"]["needs_retrain"] is False
+
+    # shifted append: values far outside the trained [vmin, vmax] box clip,
+    # so the decode error blows past the in-range bound
+    shifted = (
+        emb.filter(F.col("id") < 5)
+        .withColumn("id", F.col("id") + 900000)
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x + F.lit(1000.0)).cast("array<float>"),
+        )
+    )
+    svc.add_vectors(shifted)
+    stats = {s["index"]: s for s in svc.index_stats()}
+    assert stats["sq"]["sq_lossless"] is False
+    assert stats["sq"]["append_err_ratio"] > 1.0
+    assert stats["sq"]["needs_retrain"] is True
+
+    # a rebuild retrains on the current table and clears the flags
+    svc.build_index("sq")
+    stats = {s["index"]: s for s in svc.index_stats()}
+    assert stats["sq"]["sq_lossless"] is True and stats["sq"]["needs_retrain"] is False
+
+    # volume threshold: appending > 25% of the base flags bq too
+    bulk = emb.limit(int(n * 0.3)).withColumn("id", F.col("id") + 700000)
+    svc.add_vectors(bulk)
+    stats = {s["index"]: s for s in svc.index_stats()}
+    assert stats["bq"]["appended_frac"] > 0.25
+    assert stats["bq"]["needs_retrain"] is True

@@ -126,6 +126,35 @@ def test_sq_null_embedding_ranks_last(spark, sq_model, emb, query):
     assert all(r.id != 999999 for r in out)
 
 
+def test_sq_knn_join_null_embedding_ranks_last(spark, sq_model, emb):
+    """Batch-path twin of the single-query null test (round-5 ADVICE high):
+    null code words must be dropped BEFORE the dequantized knn_join —
+    knn_join's struct array_sort orders null-dist structs FIRST, so without
+    the prefilter the null rows displace every real candidate."""
+    base = emb.select("id", "embedding").limit(20)
+    nulls = spark.createDataFrame(
+        [(999000 + i, None) for i in range(10)], base.schema
+    )
+    with_null = base.unionByName(nulls)
+    codes = with_null.select(
+        "id", QZ.sq_encode_expr(F.col("embedding"), sq_model).alias("code")
+    )
+    queries = emb.filter(F.col("id") < 2).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    for rer in (False, True):
+        got = {}
+        out = QZ.sq_knn_join(
+            codes, sq_model, queries, 5,
+            df=with_null if rer else None, rerank=rer,
+        ).collect()
+        for r in out:
+            got.setdefault(r.query_id, []).append(r.id)
+        for qid, ids in got.items():
+            assert len(ids) == 5, (rer, qid)
+            assert all(i < 999000 for i in ids), (rer, qid, ids)
+
+
 def test_sq_scan_reads_codes_not_floats(spark, emb, sq_model, tmp_path):
     """The pure tier's plan reads ONLY the packed-code parquet (the 4x I/O
     claim): a fresh-path code table scored without rerank never touches the
