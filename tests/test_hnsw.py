@@ -338,12 +338,12 @@ def test_add_string_id_routes_to_build_shard(spark, emb):
 def test_auto_shard_count(spark, emb):
     from neighborly_spark.operators.hnsw import hnsw_shard_count
 
-    # 10k-row target (round-5: measured per-shard build cost is superlinear,
-    # ~2 min per 10k x 64d shard — see TARGET_ROWS_PER_SHARD)
+    # 50k-row target (round-6: the array-based kernel's per-insert cost is
+    # near-constant in shard size — see TARGET_ROWS_PER_SHARD)
     assert hnsw_shard_count(10) == 1
-    assert hnsw_shard_count(10_000) == 1
-    assert hnsw_shard_count(10_001) == 2
-    assert hnsw_shard_count(1_000_000) == 100
+    assert hnsw_shard_count(50_000) == 1
+    assert hnsw_shard_count(50_001) == 2
+    assert hnsw_shard_count(1_000_000) == 20
     # num_partitions=None derives the count instead of inheriting a
     # pathological input layout (round-3 VERDICT item 8)
     g = hnsw_build(emb.repartition(32), dim=64)

@@ -299,6 +299,12 @@ def test_stream_ingest_incremental_quantizers(spark, events_landing, tmp_path):
     assert svc._bq_codes.count() == 1050
     assert (svc._bq_threshold, svc._sq_model, svc._ivfpq_model) == models
     probe = svc.df.filter(F.col("id").startswith("base-") == False).limit(1).collect()[0]  # noqa: E712
-    for m in ("sq", "ivfpq"):
-        got = svc.search(query_vec=list(probe.embedding), k=3, method=m).collect()
-        assert got[0].id == probe.id and got[0].dist == 0.0, m
+    # sq default (r6) is the pure dequantized tier: the self-query ranks
+    # first but its reported distance is the quantized one (~decode eps),
+    # not exact 0.0 — the rerank tier stays exact opt-in
+    got = svc.search(query_vec=list(probe.embedding), k=3, method="sq").collect()
+    assert got[0].id == probe.id, "sq"
+    got = svc.search(query_vec=list(probe.embedding), k=3, method="sq", sq_rerank=True).collect()
+    assert got[0].id == probe.id and got[0].dist == 0.0, "sq rerank"
+    got = svc.search(query_vec=list(probe.embedding), k=3, method="ivfpq").collect()
+    assert got[0].id == probe.id and got[0].dist == 0.0, "ivfpq"
