@@ -276,6 +276,63 @@ def test_probe_shards_spatial_recall(spark):
     vec.unpersist()
 
 
+def test_inplan_routing_matches_route_and_is_lazy(spark):
+    """Round-5 VERDICT 3: serving-path shard routing is expressed in the
+    plan. hnsw_route_queries must pick exactly the shards the driver-side
+    reference _route picks (same (lb, cd, part_id) ordering), and building
+    the batch-search DataFrame must trigger ZERO Spark jobs (no routing
+    collect)."""
+    import numpy as np
+
+    from neighborly_spark.operators.hnsw import (
+        _route, hnsw_build, hnsw_route_queries, hnsw_routing_table,
+        hnsw_search_batch,
+    )
+
+    vec = _clustered(spark, n=2000).cache()
+    vec.count()
+    g = hnsw_build(vec, dim=16, num_partitions=8, spatial=True).cache()
+    g.count()
+    rt = hnsw_routing_table(g).cache()
+    rt_rows = rt.collect()
+
+    queries = [list(r.embedding) for r in vec.orderBy(F.xxhash64("id")).limit(6).collect()]
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in q]) for i, q in enumerate(queries)],
+        "query_id bigint, query_embedding array<double>",
+    )
+    got = {}
+    for r in hnsw_route_queries(rt, qdf, 3).collect():
+        got.setdefault(r.query_id, set()).add(r.part_id)
+    for i, q in enumerate(queries):
+        want = set(_route(rt_rows, np.asarray(q, dtype=np.float64), 3))
+        assert got[i] == want, i
+
+    # construction is pure plan: no jobs fire until an action
+    sc = spark.sparkContext
+    sc.setJobGroup("hnsw-lazy-probe", "laziness check")
+    out = hnsw_search_batch(g, list(enumerate(queries)), 5, probe_shards=2, routing=rt)
+    lazy_jobs = sc.statusTracker().getJobIdsForGroup("hnsw-lazy-probe")
+    sc.setJobGroup("hnsw-lazy-probe-done", "")
+    assert list(lazy_jobs) == [], lazy_jobs
+
+    # and the results equal the per-query single probe path
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, []).append((round(r.dist, 9), r.id))
+    from neighborly_spark.operators.hnsw import hnsw_search
+
+    for i, q in enumerate(queries):
+        single = [
+            (round(r.dist, 9), r.id)
+            for r in hnsw_search(g, q, 5, probe_shards=2, routing=rt).collect()
+        ]
+        assert sorted(by_q[i]) == sorted(single), i
+    rt.unpersist()
+    g.unpersist()
+    vec.unpersist()
+
+
 def test_spatial_add_routes_by_centroid(spark):
     """Incremental adds to a spatial graph keep the spatial layout: each
     new row lands in its nearest-centroid shard (routing table passed to
