@@ -100,6 +100,10 @@ GRAPH_SCHEMA = (
     "part_id int, id long, level int, embedding array<float>, "
     "neighbors array<array<bigint>>"
 )
+#: The graph fields proper; any further artifact column (e.g. tags from
+#: hnsw_build(tags_col=...)) is a row-aligned passthrough that every
+#: mutation path (hnsw_add / hnsw_remove) must carry.
+_GRAPH_BASE_COLS = frozenset({"part_id", "id", "level", "embedding", "neighbors"})
 
 
 class _ShardGraph:
@@ -331,9 +335,131 @@ class _ShardGraph:
         order = np.argsort(d, kind="stable")
         return [(int(found[j]), float(d[j])) for j in order]
 
+    def _search_layer_filtered(
+        self, q: np.ndarray, eps: np.ndarray, ef: int, layer: int, allowed: np.ndarray
+    ) -> np.ndarray:
+        """Filtered beam (the filtered-HNSW standard, e.g. hnswlib's
+        filter functor): the TRAVERSAL sees every node (a disallowed node
+        still routes the beam through its neighborhood — pre-pruning edges
+        would disconnect the graph under selective filters), but only
+        ALLOWED nodes enter the result beam `best`, whose worst member
+        sets the termination/pruning bound. Until ef allowed nodes have
+        been seen the bound stays +inf (the beam keeps expanding), so the
+        filter cannot starve the search into early termination."""
+        import heapq
+
+        x = self.x
+        self.epoch += 1
+        cur = self.epoch
+        tag = self.visit_tag
+        tag[eps] = cur
+        d_eps = x[eps] - q
+        d0 = np.einsum("ij,ij->i", d_eps, d_eps)
+        cand = list(zip(d0.tolist(), eps.tolist()))
+        heapq.heapify(cand)
+        ok = allowed[eps]
+        best = [(-d, n) for d, n, o in zip(d0.tolist(), eps.tolist(), ok.tolist()) if o]
+        heapq.heapify(best)
+        nbest = len(best)
+        nbr, deg = self.nbr, self.deg
+        rows_base = self.row_off + layer
+        bsz = self._BEAM_BATCH
+        col = np.arange(self.cap)
+        heappop, heappush = heapq.heappop, heapq.heappush
+        heappushpop = heapq.heappushpop
+        inf = float("inf")
+        while cand:
+            full = nbest >= ef
+            bound = -best[0][0] if full else inf
+            batch = []
+            while cand and len(batch) < bsz:
+                d, n = cand[0]
+                if full and d > bound:
+                    break
+                heappop(cand)
+                batch.append(n)
+            if not batch:
+                break
+            rows = rows_base[batch]
+            nb = nbr[rows][col[None, :] < deg[rows][:, None]]
+            if nb.size == 0:
+                continue
+            nb = nb[tag[nb] != cur]
+            if nb.size == 0:
+                continue
+            nb = np.unique(nb)
+            tag[nb] = cur
+            dnb = x[nb] - q
+            nd = np.einsum("ij,ij->i", dnb, dnb)
+            if full:
+                keep = nd < bound
+                nb, nd = nb[keep], nd[keep]
+                if nb.size == 0:
+                    continue
+            for dd, v, o in zip(nd.tolist(), nb.tolist(), allowed[nb].tolist()):
+                if nbest < ef:
+                    heappush(cand, (dd, v))
+                    if o:
+                        heappush(best, (-dd, v))
+                        nbest += 1
+                elif dd < -best[0][0]:
+                    heappush(cand, (dd, v))
+                    if o:
+                        heappushpop(best, (-dd, v))
+        return np.fromiter(
+            (n for _, n in sorted((-b, n) for b, n in best)), dtype=np.int64, count=len(best)
+        )
+
+    #: Filtered search falls back to an EXACT scan of the allowed rows when
+    #: they number <= this multiple of max(ef, k): at that size the brute
+    #: force costs fewer distance evals than an inflated beam AND its
+    #: recall is 1.0 by construction — the documented extreme-selectivity
+    #: answer (a beam cannot be both cheap and reliable when the filter
+    #: keeps almost nothing).
+    _FILTER_BRUTE_MULT = 4
+    #: Beam-width inflation cap: ef / selectivity, but never more than this
+    #: multiple of ef (the standard filtered-HNSW heuristic; past it the
+    #: brute-force tier is the better tool and usually already triggered).
+    _FILTER_EF_CAP_MULT = 10
+
+    def search_filtered(
+        self, q: np.ndarray, k: int, ef: int, allowed: np.ndarray
+    ) -> list[tuple[int, float]]:
+        """Tag-filtered descent (P9 composed with Q8): `allowed` is a bool
+        mask over node positions. Selectivity-adaptive: tiny allowed sets
+        get an exact scan (recall 1.0); otherwise the layer-0 beam runs
+        with ef inflated by 1/selectivity (capped) and only allowed nodes
+        collect into the beam."""
+        if self.entry < 0:
+            return []
+        n_allowed = int(allowed.sum())
+        if n_allowed == 0:
+            return []
+        eff = max(ef, k)
+        if n_allowed <= self._FILTER_BRUTE_MULT * eff:
+            idx = np.flatnonzero(allowed)
+            d = self._dist(q, idx)
+            order = np.lexsort((idx, d))[:k]
+            return [(int(idx[j]), float(d[j])) for j in order]
+        sel = n_allowed / len(self.x)
+        ef_eff = int(min(
+            len(self.x),
+            max(eff, math.ceil(eff / sel)),
+            self._FILTER_EF_CAP_MULT * eff,
+        ))
+        q32 = np.asarray(q, dtype=np.float32)
+        ep = np.array([self.entry], dtype=np.int64)
+        for layer in range(int(self.levels[self.entry]), 0, -1):
+            ep = self._search_layer(q32, ep, 1, layer)  # descent is unfiltered
+        found = self._search_layer_filtered(q32, ep, ef_eff, 0, allowed)[:k]
+        d = self._dist(q, found)
+        order = np.argsort(d, kind="stable")
+        return [(int(found[j]), float(d[j])) for j in order]
+
 
 def _build_shard(
-    ids: np.ndarray, x: np.ndarray, part_id: int, m: int, max_m0: int, efc: int, ml: float, seed: int
+    ids: np.ndarray, x: np.ndarray, part_id: int, m: int, max_m0: int, efc: int, ml: float, seed: int,
+    extra: dict | None = None,
 ) -> pd.DataFrame:
     # per-shard RNG seeded by (seed, part_id): deterministic for a fixed
     # hash partitioning, independent across shards
@@ -344,18 +470,20 @@ def _build_shard(
     order = np.argsort(ids, kind="stable")
     for i in order:
         g.insert(int(i))
-    return pd.DataFrame(
-        {
-            "part_id": np.full(len(ids), part_id, dtype=np.int32),
-            "id": ids.astype(np.int64),
-            "level": g.levels.astype(np.int32),
-            "embedding": [row for row in x.astype(np.float32)],
-            "neighbors": [
-                [ids[np.asarray(layer, dtype=np.int64)].astype(np.int64).tolist() for layer in node]
-                for node in g.adj_lists()
-            ],
-        }
-    )
+    out = {
+        "part_id": np.full(len(ids), part_id, dtype=np.int32),
+        "id": ids.astype(np.int64),
+        "level": g.levels.astype(np.int32),
+        "embedding": [row for row in x.astype(np.float32)],
+        "neighbors": [
+            [ids[np.asarray(layer, dtype=np.int64)].astype(np.int64).tolist() for layer in node]
+            for node in g.adj_lists()
+        ],
+    }
+    # passthrough columns (e.g. tags, P9 x Q8): row-aligned with ids
+    for name, vals in (extra or {}).items():
+        out[name] = vals
+    return pd.DataFrame(out)
 
 
 def hnsw_build(
@@ -371,10 +499,18 @@ def hnsw_build(
     ml: float = ML_DEFAULT,
     rows_hint: int | None = None,
     spatial: bool = False,
+    tags_col: str | None = None,
+    coarse_model=None,
 ) -> DataFrame:
     """Build the partitioned HNSW graph artifact. One graph per shard of
     ``id_col``; returns the graph DataFrame (GRAPH_SCHEMA) — cache it or
     write it to parquet partitionBy('part_id').
+
+    ``tags_col`` copies that column INTO the artifact (same design as the
+    bq/sq/ivfpq code tables — P9 x the index family): a tag predicate then
+    evaluates as a pushdown expression on the graph scan, and
+    hnsw_search(allowed_col=...) runs the filtered descent over it — no
+    query-time join anywhere.
 
     ``num_partitions=None`` auto-sizes the shard count from the row count
     (``rows_hint`` skips the count() job — pass it from table stats) at
@@ -402,26 +538,34 @@ def hnsw_build(
     # finite vectors only: a NaN distance inside the insert kernel would
     # silently corrupt neighbor-list ordering (heap comparisons with NaN),
     # degrading recall with no error anywhere. Identity on clean data.
+    extra_sel = [F.col(tags_col)] if tags_col else []
     src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding")
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("embedding"),
+        *extra_sel,
     ).filter(finite_vector_pred(F.col("embedding")))
     if num_partitions is None:
         num_partitions = hnsw_shard_count(rows_hint if rows_hint is not None else src.count())
     if spatial:
         from neighborly_spark.operators.ivf import ivf_train_sampled
 
-        model = ivf_train_sampled(src, nlist=num_partitions, vec_col="embedding")
-        part = _nearest_centroid_expr(model.centroids, "embedding")
+        if coarse_model is None:
+            coarse_model = ivf_train_sampled(src, nlist=num_partitions, vec_col="embedding")
+        part = _nearest_centroid_expr(coarse_model.centroids, "embedding")
     else:
         part = F.pmod(F.hash(F.col("id")), F.lit(num_partitions)).cast("int")
     src = src.withColumn("part_id", part)
 
+    schema = GRAPH_SCHEMA
+    if tags_col:
+        schema += f", {tags_col} {df.schema[tags_col].dataType.simpleString()}"
+
     def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        return _build_shard(ids, x, int(key[0]), m, max_m0, ef_construction, ml, seed)
+        extra = {tags_col: pdf[tags_col].to_numpy()} if tags_col else None
+        return _build_shard(ids, x, int(key[0]), m, max_m0, ef_construction, ml, seed, extra)
 
-    return src.groupBy("part_id").applyInPandas(build, GRAPH_SCHEMA)
+    return src.groupBy("part_id").applyInPandas(build, schema)
 
 
 def _nearest_centroid_expr(centroids: list[list[float]], vec_col: str, part_ids: list[int] | None = None):
@@ -547,8 +691,16 @@ def hnsw_search(
     round_to: int | None = None,
     probe_shards: int | None = None,
     routing: DataFrame | None = None,
+    allowed_col: str | None = None,
 ) -> DataFrame:
     """Search shard graphs, merge shard top-k globally.
+
+    ``allowed_col`` names a BOOLEAN column on ``graph_df`` (e.g. a tag
+    predicate evaluated over artifact-embedded tags — pure pushdown
+    expression, no join): each shard then runs the filtered descent
+    (_ShardGraph.search_filtered — traversal sees everything, only allowed
+    nodes rank; selectivity-adaptive ef inflation with an exact-scan
+    fallback under extreme selectivity). Null flags count as disallowed.
 
     Per shard: rebuild the adjacency view from the artifact rows (grouped
     applyInPandas — one Python task per shard), run the standard descent,
@@ -581,7 +733,11 @@ def hnsw_search(
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         ids, g = _rehydrate_cached(pdf)
-        found = g.search(q, k, ef)
+        if allowed_col is not None:
+            mask = np.asarray(pdf[allowed_col].fillna(False), dtype=bool)
+            found = g.search_filtered(q, k, ef, mask)
+        else:
+            found = g.search(q, k, ef)
         return pd.DataFrame(
             {
                 "id": [int(ids[i]) for i, _ in found],
@@ -688,6 +844,7 @@ def hnsw_search_batch(
     ef: int = EF_DEFAULT,
     probe_shards: int | None = None,
     routing: DataFrame | None = None,
+    allowed_col: str | None = None,
 ) -> DataFrame:
     """Batch form: every shard answers ALL queries in one task (the graph
     is rehydrated once per shard, not once per query), emitting
@@ -707,9 +864,14 @@ def hnsw_search_batch(
 
     def _beam(graph_pdf: pd.DataFrame, mine) -> pd.DataFrame:
         ids, g = _rehydrate_cached(graph_pdf)
+        mask = (
+            np.asarray(graph_pdf[allowed_col].fillna(False), dtype=bool)
+            if allowed_col is not None else None
+        )
         out_q, out_id, out_d = [], [], []
         for qid, q in mine:
-            for i, d in g.search(q, k, ef):
+            found = g.search(q, k, ef) if mask is None else g.search_filtered(q, k, ef, mask)
+            for i, d in found:
                 out_q.append(qid)
                 out_id.append(int(ids[i]))
                 out_d.append(float(d))
@@ -817,10 +979,20 @@ def hnsw_add(
         part = F.pmod(F.hash(F.col(id_col).cast("long")), F.lit(num_shards)).cast("int")
     from neighborly_spark.operators.quantization import finite_vector_pred
 
+    # passthrough columns the artifact carries beyond the graph fields
+    # (e.g. tags from hnsw_build(tags_col=...)): new rows must supply them
+    extra_cols = [c for c in graph_df.columns if c not in _GRAPH_BASE_COLS]
+    missing = [c for c in extra_cols if c not in new_df.columns]
+    if missing:
+        raise ValueError(
+            f"the graph artifact carries column(s) {missing} that the new "
+            "rows lack — adds to a tagged graph must supply the same columns"
+        )
     new_tagged = new_df.select(
         part.alias("part_id"),
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("embedding"),
+        *[F.col(c) for c in extra_cols],
         # same finite-only contract as hnsw_build (NaN heap comparisons
         # would silently corrupt the receiving shard's neighbor lists)
     ).filter(finite_vector_pred(F.col("embedding")))
@@ -837,6 +1009,10 @@ def hnsw_add(
         F.lit(-1).cast("int").alias("level"),
         F.array().cast("array<float>").alias("embedding"),
         F.array().cast("array<array<bigint>>").alias("neighbors"),
+        *[
+            F.lit(None).cast(graph_df.schema[c].dataType).alias(c)
+            for c in extra_cols
+        ],
     )
     graph_with_sentinels = graph_df.unionByName(sentinels)
 
@@ -849,7 +1025,10 @@ def hnsw_add(
         new_ids = new_pdf["id"].to_numpy()
         new_x = np.asarray([np.asarray(v, dtype=np.float64) for v in new_pdf["embedding"]])
         if len(graph_pdf) == 0:
-            return _build_shard(new_ids, new_x, part_id, m, max_m0, ef_construction, ml, seed)
+            extra = {c: new_pdf[c].to_numpy() for c in extra_cols} or None
+            return _build_shard(
+                new_ids, new_x, part_id, m, max_m0, ef_construction, ml, seed, extra
+            )
         ids, g = _rehydrate(graph_pdf)
         # advance the shard RNG past the levels already drawn at build time
         # so incremental levels continue the same deterministic stream
@@ -865,23 +1044,26 @@ def hnsw_add(
         all_ids = np.concatenate([ids, new_ids])
         for i in np.argsort(new_ids, kind="stable"):
             g.insert(n0 + int(i))
-        return pd.DataFrame(
-            {
-                "part_id": np.full(len(all_ids), part_id, dtype=np.int32),
-                "id": all_ids.astype(np.int64),
-                "level": g.levels.astype(np.int32),
-                "embedding": [row for row in g.x.astype(np.float32)],
-                "neighbors": [
-                    [all_ids[np.asarray(layer, dtype=np.int64)].astype(np.int64).tolist() for layer in node]
-                    for node in g.adj_lists()
-                ],
-            }
-        )
+        out = {
+            "part_id": np.full(len(all_ids), part_id, dtype=np.int32),
+            "id": all_ids.astype(np.int64),
+            "level": g.levels.astype(np.int32),
+            "embedding": [row for row in g.x.astype(np.float32)],
+            "neighbors": [
+                [all_ids[np.asarray(layer, dtype=np.int64)].astype(np.int64).tolist() for layer in node]
+                for node in g.adj_lists()
+            ],
+        }
+        for c in extra_cols:
+            out[c] = pd.concat(
+                [graph_pdf[c], new_pdf[c]], ignore_index=True
+            ).to_numpy()
+        return pd.DataFrame(out)
 
     return (
         graph_with_sentinels.groupBy("part_id")
         .cogroup(new_tagged.groupBy("part_id"))
-        .applyInPandas(merge, GRAPH_SCHEMA)
+        .applyInPandas(merge, graph_df.schema)
     )
 
 
@@ -907,22 +1089,25 @@ def hnsw_remove(
     """
     gone = F.lit([int(i) for i in remove_ids]).cast("array<bigint>")
     drop = set(int(i) for i in remove_ids)
+    extra_cols = [c for c in graph_df.columns if c not in _GRAPH_BASE_COLS]
 
     def rebuild(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         keep = pdf[~pdf["id"].astype("int64").isin(drop)]
         if not len(keep):
-            return pd.DataFrame(
-                {
-                    "part_id": pd.Series(dtype="int32"),
-                    "id": pd.Series(dtype="int64"),
-                    "level": pd.Series(dtype="int32"),
-                    "embedding": pd.Series(dtype="object"),
-                    "neighbors": pd.Series(dtype="object"),
-                }
-            )
+            empty = {
+                "part_id": pd.Series(dtype="int32"),
+                "id": pd.Series(dtype="int64"),
+                "level": pd.Series(dtype="int32"),
+                "embedding": pd.Series(dtype="object"),
+                "neighbors": pd.Series(dtype="object"),
+            }
+            for c in extra_cols:
+                empty[c] = pd.Series(dtype="object")
+            return pd.DataFrame(empty)
         ids = keep["id"].to_numpy()
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in keep["embedding"]])
-        return _build_shard(ids, x, int(key[0]), m, max_m0, ef_construction, ml, seed)
+        extra = {c: keep[c].to_numpy() for c in extra_cols} or None
+        return _build_shard(ids, x, int(key[0]), m, max_m0, ef_construction, ml, seed, extra)
 
     hit = (
         graph_df.groupBy("part_id")
@@ -934,6 +1119,6 @@ def hnsw_remove(
     rebuilt = (
         graph_df.join(F.broadcast(hit), "part_id")
         .groupBy("part_id")
-        .applyInPandas(rebuild, GRAPH_SCHEMA)
+        .applyInPandas(rebuild, graph_df.schema)
     )
     return untouched.unionByName(rebuilt)

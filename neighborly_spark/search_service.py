@@ -168,6 +168,10 @@ class SearchService:
             graph = HN.hnsw_build(
                 self.df, self.dim, self.id_col, self.vec_col,
                 num_partitions=n, spatial=spatial,
+                # tags ride INTO the graph artifact like every other index
+                # (P9 x Q8): tag-filtered search is then a pushdown
+                # expression on the graph scan + a filtered beam descent
+                tags_col=self.tags_col,
             ).cache()
             graph.count()
             self._hnsw_graph = graph
@@ -652,16 +656,25 @@ class SearchService:
             if self._hnsw_graph is not None:
                 from neighborly_spark.operators import hnsw as HN
 
+                graph = self._hnsw_graph
+                allowed_col = None
                 if pred is not None:
-                    # graph traversal can't pre-filter (beam search would
-                    # need filter-aware expansion to keep recall); refuse
-                    # rather than silently post-filter k hits
-                    raise ValueError(
-                        "tag filters are not supported on the hnsw graph "
-                        "path; use method='sq'/'ivfpq'/'bq'/'ivf'/'lsh' or "
-                        "an exact method (their artifacts carry the tags "
-                        "column, so the filter prunes before ranking)"
-                    )
+                    # filtered descent (round-5 VERDICT 2, the
+                    # filtered-HNSW standard): the tag predicate evaluates
+                    # over the artifact-embedded tags column as a plain
+                    # expression (_allowed mask — no join); the shard beam
+                    # traverses everything but ranks only allowed nodes,
+                    # with ef inflated by the filter selectivity and an
+                    # exact-scan fallback under extreme selectivity
+                    # (operators.hnsw._ShardGraph.search_filtered)
+                    if self.tags_col not in graph.columns:
+                        raise ValueError(
+                            "the hnsw index was built without the tags "
+                            "column; rebuild it (build_index) to enable "
+                            "tag-filtered search"
+                        )
+                    allowed_col = "_allowed"
+                    graph = graph.withColumn(allowed_col, pred)
                 if hnsw_probe_shards is not None and not self._hnsw_spatial:
                     # the service KNOWS the layout (the standalone operator
                     # doesn't): hash shards are spatially uniform, so probe
@@ -677,8 +690,9 @@ class SearchService:
                 if hnsw_probe_shards is not None and self._hnsw_routing is None:
                     self._refresh_hnsw_routing()  # e.g. snapshot-loaded graph
                 hits = HN.hnsw_search(
-                    self._hnsw_graph, query_vec, k,
+                    graph, query_vec, k,
                     probe_shards=hnsw_probe_shards, routing=self._hnsw_routing,
+                    allowed_col=allowed_col,
                 )
                 # rejoin payload columns so the schema matches the exact
                 # path (k-row broadcast join; AQE picks broadcast)
@@ -912,13 +926,21 @@ class SearchService:
         if method == "hnsw":
             from neighborly_spark.operators.hnsw import hnsw_search_batch
 
-            if pred is not None:
-                raise ValueError(
-                    "tag filters are not supported on the hnsw graph path; "
-                    "use method='sq'/'ivfpq' or an exact method"
-                )
             if self._hnsw_graph is None:
                 self.build_index("hnsw")
+            graph = self._hnsw_graph
+            allowed_col = None
+            if pred is not None:
+                # same filtered-descent path as search() — the predicate
+                # evaluates over the artifact-embedded tags, no join
+                if self.tags_col not in graph.columns:
+                    raise ValueError(
+                        "the hnsw index was built without the tags column; "
+                        "rebuild it (build_index) to enable tag-filtered "
+                        "search"
+                    )
+                allowed_col = "_allowed"
+                graph = graph.withColumn(allowed_col, pred)
             if hnsw_probe_shards is not None and not self._hnsw_spatial:
                 raise ValueError(
                     "hnsw_probe_shards requires a spatial graph layout: "
@@ -927,9 +949,10 @@ class SearchService:
             if self._hnsw_spatial and self._hnsw_routing is None:
                 self._refresh_hnsw_routing()
             return hnsw_search_batch(
-                self._hnsw_graph, as_list(), k,
+                graph, as_list(), k,
                 probe_shards=hnsw_probe_shards,
                 routing=self._hnsw_routing if self._hnsw_spatial else None,
+                allowed_col=allowed_col,
             )
         raise ValueError(f"unknown batch search method {method!r}")
 

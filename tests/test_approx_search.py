@@ -545,10 +545,13 @@ def test_tag_filtered_search_across_index_methods(spark, emb, query):
     assert "tags" in svc._bq_codes.columns
     assert "tags" in svc._ivfpq_encoded.columns
 
-    # hnsw graph path refuses (would need filter-aware traversal)
+    # hnsw graph path (round-6): tags are embedded in the graph artifact
+    # and the filtered descent returns only allowed rows, finding the
+    # allowed query row itself
     svc.build_index("hnsw")
-    with pytest.raises(ValueError, match="tag filters"):
-        svc.search(query_vec=query, k=5, method="hnsw", tag_any=[1])
+    assert "tags" in svc._hnsw_graph.columns
+    got = [r.id for r in svc.search(query_vec=query, k=5, method="hnsw", tag_any=[1]).collect()]
+    assert set(got) <= allowed and 7 in got
 
     # incremental adds stay filterable: appended codes carry tags, and a
     # k >= |allowed| filtered search returns every allowed row incl. the
@@ -599,8 +602,11 @@ def test_tag_filtered_search_batch(spark, emb):
     for r in svc.search_batch(qlist, k=5, method="ivfpq", tag_any=[1]).collect():
         ip.setdefault(r.query_id, set()).add(r.id)
     assert all(v <= allowed for v in ip.values())
-    with pytest.raises(ValueError, match="tag filters"):
-        svc.search_batch(qlist, k=5, method="hnsw", tag_any=[1])
+    # hnsw batch path honors the filter too (round-6 filtered descent)
+    hn = {}
+    for r in svc.search_batch(qlist, k=5, method="hnsw", tag_any=[1]).collect():
+        hn.setdefault(r.query_id, set()).add(r.id)
+    assert hn and all(v <= allowed for v in hn.values())
     tagged.unpersist()
 
 

@@ -276,6 +276,52 @@ def test_probe_shards_spatial_recall(spark):
     vec.unpersist()
 
 
+def test_tag_filtered_hnsw_recall_and_extreme_selectivity(spark, emb):
+    """Round-5 VERDICT 2 (filtered-HNSW): tags embedded in the graph
+    artifact, filtered descent gated >= 0.8 recall against the
+    TAG-FILTERED exact oracle across selectivity tiers; under extreme
+    selectivity the per-shard exact-scan fallback makes the result set
+    EQUAL to the oracle."""
+    from neighborly_spark.operators.hnsw import hnsw_build, hnsw_search
+
+    # selectivity tiers via modulus tags: tag m kept by ~1/m of rows
+    tagged = emb.withColumn(
+        "tags",
+        F.array(
+            (F.col("id") % 3).cast("smallint"),          # ~1/3 selectivity
+            (F.lit(10) + F.col("id") % 10).cast("smallint"),  # ~1/10
+            (F.lit(100) + F.col("id") % 100).cast("smallint"),  # ~1/100
+        ),
+    ).cache()
+    tagged.count()
+    g = hnsw_build(tagged, dim=64, num_partitions=2, tags_col="tags").cache()
+    g.count()
+    assert "tags" in g.columns
+
+    queries = [list(r.embedding) for r in emb.orderBy(F.xxhash64("id")).limit(5).collect()]
+    for tag, min_recall in ((1, 0.8), (13, 0.8)):
+        allowed_df = tagged.filter(F.array_contains("tags", tag))
+        hits = total = 0
+        for q in queries:
+            exact = {r.id for r in knn(allowed_df, q, 10).collect()}
+            fg = g.withColumn("_allowed", F.array_contains("tags", tag))
+            got = {r.id for r in hnsw_search(fg, q, 10, allowed_col="_allowed").collect()}
+            assert got <= {r.id for r in allowed_df.select("id").collect()}, tag
+            hits += len(exact & got)
+            total += len(exact)
+        assert hits / total >= min_recall, (tag, hits / total)
+
+    # extreme selectivity (~1/100 of 500 rows = ~5 allowed): the brute
+    # fallback scans the allowed rows exactly -> set-equal to the oracle
+    allowed_df = tagged.filter(F.array_contains("tags", 142))
+    want = {r.id for r in knn(allowed_df, queries[0], 10).collect()}
+    fg = g.withColumn("_allowed", F.array_contains("tags", 142))
+    got = {r.id for r in hnsw_search(fg, queries[0], 10, allowed_col="_allowed").collect()}
+    assert got == want
+    g.unpersist()
+    tagged.unpersist()
+
+
 def test_inplan_routing_matches_route_and_is_lazy(spark):
     """Round-5 VERDICT 3: serving-path shard routing is expressed in the
     plan. hnsw_route_queries must pick exactly the shards the driver-side
