@@ -70,13 +70,22 @@ def ivfpq_train(
     num_centroids: int = 256,
     vec_col: str = "embedding",
     seed: int = 42,
+    coarse=None,
 ) -> IVFPQModel:
     """Train the coarse quantizer, then the PQ codebooks ON RESIDUALS:
     assign each vector its cell, subtract the cell centroid in-plan, and
     hand the residual column to the sampled PQ trainer. Two passes total
     (one sample scan each); both trainers are deterministic (hash-ordered
-    samples, seeded Lloyd)."""
-    ivf = ivf_train_sampled(df, nlist=nlist, vec_col=vec_col, seed=seed)
+    samples, seeded Lloyd).
+
+    ``coarse`` reuses a pre-fit IVFModel for the cell layer instead of
+    fitting a new one (SearchService shares one coarse model per table
+    version across ivf/ivfpq/spatial-hnsw — round-5 VERDICT 6). The
+    trainers are deterministic, so on the same table this changes nothing
+    but the fit cost."""
+    ivf = coarse if coarse is not None else ivf_train_sampled(
+        df, nlist=nlist, vec_col=vec_col, seed=seed
+    )
     assigned = ivf_assign(df, ivf, vec_col)
     residuals = assigned.select(
         _residual_expr(vec_col, ivf.centroids).alias("_res")

@@ -98,23 +98,70 @@ class SearchService:
         #: needs_retrain flag. Reset per index by build_index().
         self._appended: dict[str, int] = {}
         self._sq_drift = {"out_of_range_rows": 0, "err_sum": 0.0, "err_rows": 0}
+        #: ONE trained coarse-cell model per (table version, nlist), shared
+        #: by the ivf / ivfpq / spatial-hnsw builds (round-5 VERDICT 6):
+        #: the trainers are deterministic, so sharing changes nothing but
+        #: the fit cost — and probe semantics stay consistent across the
+        #: three indexes. Cleared on add/remove (a later build_index must
+        #: retrain on the CURRENT table).
+        self._coarse_models: dict[int, object] = {}
+        #: metric each quantized index was built for (round-5 VERDICT 8):
+        #: metric='cosine' builds encode the L2-NORMALIZED table (the
+        #: 2-2cos bridge: euclidean rank over unit vectors IS cosine rank),
+        #: and search maps the tier's euclidean distances back to exact
+        #: similarities via cos = 1 - d^2/2. Recall evidence:
+        #: docs/RECALL.md cosine-bridge section.
+        self._index_metric: dict[str, str] = {}
+
+    def _coarse(self, nlist: int):
+        m = self._coarse_models.get(nlist)
+        if m is None:
+            m = IVF.ivf_train_sampled(self.df, nlist=nlist, vec_col=self.vec_col)
+            self._coarse_models[nlist] = m
+        return m
 
     # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
 
-    def build_index(self, method: str, spatial: bool = False) -> None:
+    #: quantized methods that accept build_index(metric='cosine')
+    _COSINE_METHODS = frozenset({"bq", "binaryquantization", "sq", "ivfpq"})
+
+    def build_index(self, method: str, spatial: bool = False, metric: str = "euclidean") -> None:
         """``spatial=True`` (hnsw only) shards the graph by a coarse
         quantizer instead of id hash — the layout that makes
-        search(hnsw_probe_shards=p) discriminative (see operators.hnsw)."""
+        search(hnsw_probe_shards=p) discriminative (see operators.hnsw).
+
+        ``metric='cosine'`` (bq/sq/ivfpq) trains and encodes over the
+        L2-NORMALIZED table: on unit vectors ||a-b||^2 = 2 - 2 cos(a,b),
+        so the euclidean machinery ranks by cosine; search(metric=
+        'cosine') then normalizes the query and reports similarities (the
+        exact path's D2 semantics). LSH/HNSW/IVF take the same bridge by
+        building over distance.normalize-d input (documented in their
+        tests); the quantized tiers get it first-class here because their
+        artifacts bake the geometry into trained codes."""
         method = method.lower()
+        metric = metric.lower()
+        if metric not in ("euclidean", "cosine"):
+            raise ValueError(f"unsupported index metric {metric!r}")
+        if metric == "cosine" and method not in self._COSINE_METHODS:
+            raise ValueError(
+                "metric='cosine' index builds are supported for bq/sq/ivfpq; "
+                "for lsh/ivf/hnsw build over distance.normalize-d vectors"
+            )
+        if metric == "cosine":
+            from neighborly_spark.functions.distance import normalize
+
+            build_df = self.df.withColumn(self.vec_col, normalize(F.col(self.vec_col)))
+        else:
+            build_df = self.df
         if method == "lsh":
             self._lsh_model = LSH.fit_lsh(self.df, self.vec_col, dim=self.dim)
         elif method in ("bq", "binaryquantization"):
             # build = train threshold + materialize the (id, code) table once
             # (BinaryQuantization.cs encodes in the index constructor); every
             # query then prefilters on dim/32 of the float bytes
-            self._bq_threshold = QZ.bq_global_threshold(self.df, self.vec_col)
+            self._bq_threshold = QZ.bq_global_threshold(build_df, self.vec_col)
             self._bq_codes = QZ.bq_encode_table(
-                self.df, self.dim, self._bq_threshold, self.id_col, self.vec_col,
+                build_df, self.dim, self._bq_threshold, self.id_col, self.vec_col,
                 extra_cols=[self.tags_col] if self.tags_col else None,
             )
         elif method in ("pq", "productquantization"):
@@ -131,23 +178,31 @@ class SearchService:
             # sampled one-pass coarse quantizer: statistically equivalent
             # recall to the MLlib fit at the 150k tier once measured with
             # enough queries (docs/RECALL.md 20-query table), at one scan
-            # instead of iterations x scans
-            self._ivf_model = IVF.ivf_train_sampled(self.df, vec_col=self.vec_col)
+            # instead of iterations x scans; the model is the SHARED
+            # per-table-version coarse artifact (_coarse)
+            self._ivf_model = self._coarse(16)
             self._ivf_assigned = IVF.ivf_assign(self.df, self._ivf_model, self.vec_col).cache()
         elif method == "sq":
             # 8-bit scalar quantizer: one min/max pass trains, one encode
             # pass materializes the packed-byte table (1/4 the float bytes)
-            self._sq_model = QZ.sq_train(self.df, self.dim, self.vec_col)
+            self._sq_model = QZ.sq_train(build_df, self.dim, self.vec_col)
             self._sq_codes = QZ.sq_encode_table(
-                self.df, self._sq_model, self.id_col, self.vec_col,
+                build_df, self._sq_model, self.id_col, self.vec_col,
                 extra_cols=[self.tags_col] if self.tags_col else None,
             )
         elif method == "ivfpq":
             # composed coarse-quantizer + residual-PQ index (operators.ivfpq
             # — the FAISS IVFPQ recipe): sampled deterministic trainers, one
-            # Arrow encode pass materializes (id, cell, code)
-            self._ivfpq_model = IVFPQ.ivfpq_train(self.df, self.dim, vec_col=self.vec_col)
-            enc = IVFPQ.ivfpq_encode(self.df, self._ivfpq_model, self.id_col, self.vec_col)
+            # Arrow encode pass materializes (id, cell, code). The cell
+            # layer is the SHARED per-table-version coarse model.
+            self._ivfpq_model = IVFPQ.ivfpq_train(
+                build_df, self.dim, vec_col=self.vec_col,
+                # the shared coarse model is fit on the RAW table; a cosine
+                # build needs cells in the normalized space, so it fits its
+                # own (still deterministic, still snapshot-persisted)
+                coarse=self._coarse(16) if metric == "euclidean" else None,
+            )
+            enc = IVFPQ.ivfpq_encode(build_df, self._ivfpq_model, self.id_col, self.vec_col)
             if self.tags_col:
                 # one build-time join buys join-free tag-filtered queries
                 enc = enc.join(self.df.select(self.id_col, self.tags_col), self.id_col)
@@ -168,6 +223,7 @@ class SearchService:
             graph = HN.hnsw_build(
                 self.df, self.dim, self.id_col, self.vec_col,
                 num_partitions=n, spatial=spatial,
+                coarse_model=self._coarse(n) if spatial else None,
                 # tags ride INTO the graph artifact like every other index
                 # (P9 x Q8): tag-filtered search is then a pushdown
                 # expression on the graph scan + a filtered beam descent
@@ -186,6 +242,7 @@ class SearchService:
         # a (re)build trains on the CURRENT table: drift counters restart
         key = {"binaryquantization": "bq", "productquantization": "pq"}.get(method, method)
         self._appended[key] = 0
+        self._index_metric[key] = metric
         if key == "sq":
             self._sq_drift = {"out_of_range_rows": 0, "err_sum": 0.0, "err_rows": 0}
 
@@ -201,6 +258,20 @@ class SearchService:
         keeps serving untouched — BRP hyperplanes are data-independent."""
         new_rows = new_df.select(*self.df.columns)
         self.df = self.df.unionByName(new_rows)
+        # new table version: the NEXT build_index must train fresh (the
+        # already-built indexes keep serving their trained models)
+        self._coarse_models = {}
+
+        def rows_for(key: str) -> DataFrame:
+            # appends encode in the index's OWN metric space: a cosine
+            # build holds normalized codes, so its appends normalize too
+            if self._index_metric.get(key, "euclidean") == "cosine":
+                from neighborly_spark.functions.distance import normalize
+
+                return new_rows.withColumn(
+                    self.vec_col, normalize(F.col(self.vec_col))
+                )
+            return new_rows
         if self._hnsw_graph is not None and self._hnsw_shards is None:
             # legacy snapshot without a recorded shard count: full rebuild
             self.build_index("hnsw")
@@ -222,7 +293,7 @@ class SearchService:
             # encode the new rows with the bare expression (no intermediate
             # cache — bq_encode_table would cache+count a table we only read
             # once here, orphaning it in executor memory on every add)
-            new_codes = new_rows.select(
+            new_codes = rows_for("bq").select(
                 F.col(self.id_col),
                 QZ.bq_encode_expr(
                     F.col(self.vec_col), self.dim, self._bq_threshold
@@ -248,7 +319,7 @@ class SearchService:
             self._pq_encoded.unpersist()
             self._pq_encoded = appended
         if self._sq_model is not None and self._sq_codes is not None:
-            new_codes = new_rows.select(
+            new_codes = rows_for("sq").select(
                 F.col(self.id_col),
                 QZ.sq_encode_expr(F.col(self.vec_col), self._sq_model).alias("code"),
                 *([F.col(self.tags_col)] if self.tags_col else []),
@@ -259,7 +330,7 @@ class SearchService:
             self._sq_codes = appended
         if self._ivfpq_model is not None and self._ivfpq_encoded is not None:
             new_enc = IVFPQ.ivfpq_encode(
-                new_rows, self._ivfpq_model, self.id_col, self.vec_col
+                rows_for("ivfpq"), self._ivfpq_model, self.id_col, self.vec_col
             )
             if self.tags_col and self.tags_col in self._ivfpq_encoded.columns:
                 new_enc = new_enc.join(
@@ -282,7 +353,7 @@ class SearchService:
         ]
         if built:
             if self._sq_model is not None:
-                d = QZ.sq_append_drift(new_rows, self._sq_model, self.vec_col)
+                d = QZ.sq_append_drift(rows_for("sq"), self._sq_model, self.vec_col)
                 n_new = d["rows"]
                 self._sq_drift["out_of_range_rows"] += d["out_of_range_rows"]
                 self._sq_drift["err_sum"] += d["mean_sq_err"] * d["rows"]
@@ -382,6 +453,33 @@ class SearchService:
                         "needs_retrain": False})  # adds are real graph inserts
         return out
 
+    def _quant_metric_guard(self, key: str, built: bool, metric: str) -> None:
+        """Lazy-build the index for the REQUESTED metric, or refuse when an
+        existing artifact was built for the other one — the trained codes
+        bake the geometry in (a cosine query cannot be served off raw-space
+        codes), so serving across metrics would silently return garbage."""
+        want = "cosine" if metric == "cosine" else "euclidean"
+        if not built:
+            self.build_index(key, metric=want)
+            return
+        have = self._index_metric.get(key, "euclidean")
+        if have != want:
+            raise ValueError(
+                f"the {key} index was built for metric={have!r}; rebuild "
+                f"with build_index({key!r}, metric={want!r}) to serve "
+                f"{want} queries"
+            )
+
+    def _serve_cosine(self, out: DataFrame) -> DataFrame:
+        """Map a euclidean-over-unit-vectors result to the exact path's D2
+        cosine semantics: on unit vectors cos = 1 - d^2/2 EXACTLY, the
+        mapping is monotone-decreasing (euclid-asc order IS similarity-desc
+        order, ties unchanged), and the reported column becomes the
+        similarity — most-similar first, (sim desc, id asc)."""
+        d = F.col("dist")
+        out = out.withColumn("dist", F.lit(1.0) - d * d / F.lit(2.0))
+        return out.orderBy(F.col("dist").desc(), F.col(self.id_col).asc())
+
     def _tag_predicate(self, tag_any, tag_all):
         """Tag filter Column (P9 semantics: any = arrays_overlap, all =
         intersect-covers), or None when no filter is requested. Literals are
@@ -436,6 +534,7 @@ class SearchService:
         (a removal cannot invalidate a threshold/codebook — it only makes
         it slightly stale, the same eventual-freshness contract as adds)."""
         self.df = self.df.filter(~F.col(self.id_col).isin(ids))
+        self._coarse_models = {}  # new table version (see add_vectors)
         if self._hnsw_graph is not None:
             from neighborly_spark.operators import hnsw as HN
 
@@ -478,6 +577,9 @@ class SearchService:
         save_database(self.df, path, self.dim, models=models)
         extras: dict = {
             "id_col": self.id_col, "vec_col": self.vec_col, "text_col": self.text_col,
+            # which metric each quantized index was built for (cosine
+            # builds hold normalized codes — the loader must know)
+            "index_metric": self._index_metric,
         }
         if self._bq_codes is not None:
             self._bq_codes.write.mode("overwrite").parquet(f"{path}/indexes/bq_codes")
@@ -540,6 +642,7 @@ class SearchService:
             df, dim=manifest["dim"], id_col=extras["id_col"],
             vec_col=extras["vec_col"], text_col=extras["text_col"],
         )
+        svc._index_metric = dict(extras.get("index_metric", {}))
         if "lsh" in manifest.get("indexes", []):
             from pyspark.ml.feature import BucketedRandomProjectionLSHModel
 
@@ -555,6 +658,8 @@ class SearchService:
                 extras["ivf"]["nlist"],
             )
             svc._ivf_assigned = IVF.ivf_read(spark, f"{path}/indexes/ivf")
+            # the snapshot's coarse model IS the shared per-version artifact
+            svc._coarse_models[svc._ivf_model.nlist] = svc._ivf_model
         if "pq" in extras:
             p = extras["pq"]
             svc._pq_model = PQModel(
@@ -573,13 +678,23 @@ class SearchService:
             from neighborly_spark.operators.ivfpq import IVFPQModel
 
             ip = extras["ivfpq"]
+            # reuse the ivf snapshot's coarse model ONLY when the saved
+            # centroids are bit-equal (the two indexes may have been built
+            # on different table versions before the save)
+            saved = np.asarray(ip["coarse_centroids"])
+            cand = svc._coarse_models.get(ip["nlist"])
+            if cand is not None and np.array_equal(np.asarray(cand.centroids), saved):
+                coarse = cand
+            else:
+                coarse = IVFModel(_ArrayCentroids(saved), ip["nlist"])
             svc._ivfpq_model = IVFPQModel(
-                IVFModel(_ArrayCentroids(np.asarray(ip["coarse_centroids"])), ip["nlist"]),
+                coarse,
                 PQModel(
                     [_ArrayKMeansModel(np.asarray(c)) for c in ip["pq_centroids"]],
                     ip["m"], ip["sub_dim"], ip["num_centroids"],
                 ),
             )
+            svc._coarse_models.setdefault(ip["nlist"], coarse)
             svc._ivfpq_encoded = spark.read.parquet(f"{path}/indexes/ivfpq_encoded")
         if extras.get("hnsw"):
             svc._hnsw_graph = spark.read.parquet(f"{path}/indexes/hnsw_graph")
@@ -630,6 +745,20 @@ class SearchService:
         if query_vec is None:
             raise ValueError("provide query_vec or text")
         query_vec = self._check_query(query_vec)
+
+        # cosine through the quantized tiers (round-5 VERDICT 8): serve the
+        # euclidean machinery over the NORMALIZED index + normalized query
+        # (||a-b||^2 = 2 - 2 cos on unit vectors), then map distances back
+        # to exact similarities in _serve_cosine
+        cosine_quant = metric == "cosine" and method in self._COSINE_METHODS
+        if cosine_quant:
+            import math
+
+            from neighborly_spark.functions.distance import normalize
+
+            nrm = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+            query_vec = [v / nrm for v in query_vec]
+            base_df = base_df.withColumn(self.vec_col, normalize(F.col(self.vec_col)))
 
         if method in EXACT_METHODS:
             use_blas = exact_path == "blas" or (
@@ -708,8 +837,7 @@ class SearchService:
                 # not built: capability-mapped batch ANN (SURVEY §7.2 ph. 5)
                 out = LSH.hnsw_equivalent_knn(base_df, query_vec, k, self.vec_col, self.id_col)
         elif method in ("bq", "binaryquantization"):
-            if self._bq_codes is None:
-                self.build_index("bq")
+            self._quant_metric_guard("bq", self._bq_codes is not None, metric)
             out = QZ.bq_search_precoded(
                 base_df, self._filtered_artifact(self._bq_codes, pred, "bq"),
                 query_vec, k, self.dim,
@@ -743,8 +871,7 @@ class SearchService:
                 self._ivf_model, query_vec, k, id_col=self.id_col, vec_col=self.vec_col,
             )
         elif method == "sq":
-            if self._sq_model is None:
-                self.build_index("sq")
+            self._quant_metric_guard("sq", self._sq_model is not None, metric)
             # pure dequantized tier by default (recall 1.00 measured with
             # NO rerank — the eps decode bound); sq_rerank=True opts in
             out = QZ.sq_search_precoded(
@@ -753,8 +880,7 @@ class SearchService:
                 id_col=self.id_col, vec_col=self.vec_col, rerank=sq_rerank,
             )
         elif method == "ivfpq":
-            if self._ivfpq_model is None:
-                self.build_index("ivfpq")
+            self._quant_metric_guard("ivfpq", self._ivfpq_model is not None, metric)
             # serving default = ADC shortlist + exact rerank, the tier that
             # clears the 0.8 bar on uniform data (pure ADC is the documented
             # fast tier — operators.ivfpq)
@@ -767,6 +893,8 @@ class SearchService:
         else:
             raise ValueError(f"unknown search method {method!r}")
 
+        if cosine_quant:
+            out = self._serve_cosine(out)
         return threshold_filter(out, threshold, self.dim)
 
     def knn_join(
@@ -813,13 +941,19 @@ class SearchService:
                 query_count=query_count,
                 allow_approx=allow_approx,
                 hnsw_graph=self._hnsw_graph,
+                # cosine-built artifacts hold NORMALIZED-space codes — the
+                # euclidean join planner must not serve them
                 ivfpq_index=(
                     (self._ivfpq_encoded, self._ivfpq_model)
-                    if self._ivfpq_model is not None else None
+                    if self._ivfpq_model is not None
+                    and self._index_metric.get("ivfpq", "euclidean") == "euclidean"
+                    else None
                 ),
                 sq_index=(
                     (self._sq_codes, self._sq_model)
-                    if self._sq_model is not None else None
+                    if self._sq_model is not None
+                    and self._index_metric.get("sq", "euclidean") == "euclidean"
+                    else None
                 ),
             )
         self.last_join_plan = plan
@@ -836,6 +970,7 @@ class SearchService:
         hnsw_probe_shards: int | None = None,
         tag_any: list | None = None,
         tag_all: list | None = None,
+        metric: str = "euclidean",
     ) -> DataFrame:
         """Index-backed batch search: top-k per query in ONE pass over the
         method's index artifact (vs one scan per query via search()).
@@ -846,8 +981,21 @@ class SearchService:
         of the packed codes), 'sq' (sq_knn_join: one dequantized code-table
         scan), 'ivfpq' (ivfpq_knn_join: one probed-cells pass, per-query
         residual LUTs), 'hnsw' (hnsw_search_batch: each shard graph
-        rehydrates once for all queries). Returns (query_id, id, dist)."""
+        rehydrates once for all queries). Returns (query_id, id, dist).
+
+        ``metric='cosine'`` (bq/sq/ivfpq, against a cosine-built index —
+        see build_index) normalizes the queries and maps the returned dist
+        column to the similarity (cos = 1 - d^2/2; the per-query top-k is
+        unchanged since the mapping is monotone)."""
         method = method.lower()
+        metric = metric.lower()
+        cosine_quant = metric == "cosine" and method in self._COSINE_METHODS
+        if metric == "cosine" and not cosine_quant:
+            raise ValueError(
+                "metric='cosine' batch search is served by the bq/sq/ivfpq "
+                "cosine-built indexes; exact cosine joins go through "
+                "knn_join over distance.normalize-d input"
+            )
 
         # same non-finite guard as search(), SYMMETRIC across input shapes:
         # a NaN query would silently return k arbitrary rows from every
@@ -887,6 +1035,29 @@ class SearchService:
 
         pred = self._tag_predicate(tag_any, tag_all)
         base_df = self.df.filter(pred) if pred is not None else self.df
+        if cosine_quant:
+            # normalized table view for the rerank joins + normalized
+            # queries: the cosine-built artifacts hold normalized codes
+            from neighborly_spark.functions.distance import normalize
+
+            base_df = base_df.withColumn(self.vec_col, normalize(F.col(self.vec_col)))
+            if isinstance(queries, DataFrame):
+                queries = queries.withColumn(
+                    "query_embedding", normalize(F.col("query_embedding"))
+                )
+            else:
+                import math
+
+                queries = [
+                    (qid, [v / (math.sqrt(sum(x * x for x in vec)) or 1.0) for v in vec])
+                    for qid, vec in queries
+                ]
+
+        def _serve(out: DataFrame) -> DataFrame:
+            if not cosine_quant:
+                return out
+            d = F.col("dist")
+            return out.withColumn("dist", F.lit(1.0) - d * d / F.lit(2.0))
 
         if method in EXACT_METHODS:
             if pred is not None:
@@ -897,32 +1068,29 @@ class SearchService:
                 )
             return self.knn_join(as_df(), k)
         if method in ("bq", "binaryquantization"):
-            if self._bq_codes is None:
-                self.build_index("bq")
-            return QZ.bq_knn_join(
+            self._quant_metric_guard("bq", self._bq_codes is not None, metric)
+            return _serve(QZ.bq_knn_join(
                 base_df, self._filtered_artifact(self._bq_codes, pred, "bq"),
                 as_df(), k, self.dim, self._bq_threshold,
                 id_col=self.id_col, vec_col=self.vec_col,
-            )
+            ))
         if method == "sq":
-            if self._sq_model is None:
-                self.build_index("sq")
-            return QZ.sq_knn_join(
+            self._quant_metric_guard("sq", self._sq_model is not None, metric)
+            return _serve(QZ.sq_knn_join(
                 self._filtered_artifact(self._sq_codes, pred, "sq"),
                 self._sq_model, as_df(), k,
                 df=base_df if rerank else None, id_col=self.id_col,
                 vec_col=self.vec_col, rerank=rerank, shortlist=shortlist,
-            )
+            ))
         if method == "ivfpq":
-            if self._ivfpq_model is None:
-                self.build_index("ivfpq")
-            return IVFPQ.ivfpq_knn_join(
+            self._quant_metric_guard("ivfpq", self._ivfpq_model is not None, metric)
+            return _serve(IVFPQ.ivfpq_knn_join(
                 self._filtered_artifact(self._ivfpq_encoded, pred, "ivfpq"),
                 self._ivfpq_model, as_list(), k,
                 nprobe=ivfpq_nprobe, df=base_df if rerank else None,
                 rerank=rerank, shortlist=shortlist,
                 id_col=self.id_col, vec_col=self.vec_col,
-            )
+            ))
         if method == "hnsw":
             from neighborly_spark.operators.hnsw import hnsw_search_batch
 

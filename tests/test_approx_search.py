@@ -624,6 +624,40 @@ def test_query_validation_and_index_stats(emb, query):
     assert stats["sq"]["compression"] == 4.0
 
 
+def test_shared_coarse_quantizer(spark, emb, tmp_path):
+    """Round-5 VERDICT 6: one coarse-cell model per (table version, nlist)
+    serves ivf, ivfpq and spatial-hnsw builds; add/remove invalidates the
+    memo so the next build retrains; a snapshot round-trip restores the
+    sharing."""
+    svc = SearchService(emb, dim=64)
+    svc.build_index("ivf")
+    svc.build_index("ivfpq")
+    # literally the same object — one fit, consistent probe semantics
+    assert svc._ivfpq_model.ivf is svc._ivf_model
+    svc.build_index("hnsw", spatial=True)
+    assert svc._hnsw_shards in svc._coarse_models  # spatial layout reused it
+
+    # a new table version invalidates the memo; rebuild trains fresh
+    old = svc._ivf_model
+    svc.add_vectors(emb.limit(3).withColumn("id", F.col("id") + 500000))
+    assert svc._coarse_models == {}
+    assert svc._ivf_model is old  # built index keeps serving (Q13)
+    svc.build_index("ivf")
+    assert svc._ivf_model is not old
+
+    # snapshot round-trip: loaded service shares the restored coarse model
+    svc2 = SearchService(emb, dim=64)
+    svc2.build_index("ivf")
+    svc2.build_index("ivfpq")
+    path = str(tmp_path / "snap_coarse")
+    svc2.save(path)
+    loaded = SearchService.load(spark, path)
+    assert loaded._ivfpq_model.ivf is loaded._ivf_model
+    assert loaded._coarse_models[16] is loaded._ivf_model
+    q = list(emb.first().embedding)
+    assert loaded.search(query_vec=q, k=3, method="ivfpq").count() == 3
+
+
 def test_search_batch_nonfinite_df_raises(spark, emb):
     """DataFrame query inputs hit the SAME non-finite guard as list inputs
     (round-5 ADVICE: silent filtering left unexplained gaps in results)."""

@@ -515,3 +515,103 @@ def test_cosine_ann_via_normalization_sq_ivfpq(spark, emb, query):
     assert _recall(ip_ids, exact_cos) >= 0.8
     enc.unpersist()
     normed.unpersist()
+
+
+# --- cosine through the quantized tiers (round 6 — VERDICT 8) -----------------
+
+
+def test_cosine_metric_matrix_quantized_tiers(spark, emb):
+    """method x metric matrix: bq/sq/ivfpq built with metric='cosine'
+    serve search(metric='cosine') — recall gated vs the exact cosine
+    oracle, reported values equal the true similarity via cos = 1 - d^2/2
+    on the rerank tiers, batch path agrees with single, and metric
+    mismatch (either direction) raises instead of serving garbage."""
+    from neighborly_spark.search_service import SearchService
+
+    q = list(emb.filter(F.col("id") == 7).first().embedding)
+    exact = [
+        (r.id, float(r.dist))
+        for r in exact_knn(emb, q, K, metric="cosine").collect()
+    ]
+    exact_ids = [i for i, _ in exact]
+    exact_sim = dict(exact)
+
+    svc = SearchService(emb, dim=64)
+    for method in ("sq", "ivfpq", "bq"):
+        svc.build_index(method, metric="cosine")
+    assert svc._index_metric["sq"] == "cosine"
+
+    # sq: near-lossless -> top-k ids equal the exact cosine oracle
+    got = [(r.id, float(r.dist)) for r in svc.search(
+        query_vec=q, k=K, method="sq", metric="cosine", sq_rerank=True
+    ).collect()]
+    assert _recall([i for i, _ in got], exact_ids) >= 0.9
+    for rid, sim in got:
+        if rid in exact_sim:
+            assert abs(sim - exact_sim[rid]) < 5e-5, (rid, sim, exact_sim[rid])
+    # similarity DESC ordering (the exact path's D2 semantics)
+    sims = [s for _, s in got]
+    assert sims == sorted(sims, reverse=True)
+    # default (no-rerank) tier still clears the bar on ids
+    got_nr = [r.id for r in svc.search(query_vec=q, k=K, method="sq", metric="cosine").collect()]
+    assert _recall(got_nr, exact_ids) >= 0.8
+
+    # ivfpq rerank tier: recall bar + true similarities
+    got = [(r.id, float(r.dist)) for r in svc.search(
+        query_vec=q, k=K, method="ivfpq", metric="cosine", ivfpq_nprobe=10
+    ).collect()]
+    assert _recall([i for i, _ in got], exact_ids) >= 0.8
+    for rid, sim in got:
+        if rid in exact_sim:
+            assert abs(sim - exact_sim[rid]) < 5e-5
+
+    # bq: only-allowed semantics (strict prefilter may return < k), values true
+    got = [(r.id, float(r.dist)) for r in svc.search(
+        query_vec=q, k=K, method="bq", metric="cosine"
+    ).collect()]
+    assert got and got[0][0] == 7  # the query row survives its own prefilter
+    for rid, sim in got:
+        if rid in exact_sim:
+            assert abs(sim - exact_sim[rid]) < 5e-5
+
+    # batch path agrees with the single-query path (sq, rounded values)
+    qdf = [(7, q), (11, list(emb.filter(F.col("id") == 11).first().embedding))]
+    batch = {}
+    for r in svc.search_batch(qdf, k=5, method="sq", metric="cosine").collect():
+        batch.setdefault(r.query_id, []).append((r.id, round(r.dist, 9)))
+    single = [
+        (r.id, round(r.dist, 9))
+        for r in svc.search(query_vec=q, k=5, method="sq", metric="cosine", sq_rerank=True).collect()
+    ]
+    assert sorted(batch[7]) == sorted(single)
+
+    # mismatch guards, both directions
+    with pytest.raises(ValueError, match="metric"):
+        svc.search(query_vec=q, k=5, method="sq")  # euclidean on cosine build
+    svc_e = SearchService(emb, dim=64)
+    svc_e.build_index("sq")  # euclidean build
+    with pytest.raises(ValueError, match="metric"):
+        svc_e.search(query_vec=q, k=5, method="sq", metric="cosine")
+    with pytest.raises(ValueError, match="cosine"):
+        svc_e.search_batch(qdf, k=5, method="linear", metric="cosine")
+
+
+def test_cosine_index_snapshot_roundtrip(spark, emb, tmp_path):
+    """A cosine-built sq index survives save/load: the loaded service
+    knows the metric and serves identical results."""
+    from neighborly_spark.search_service import SearchService
+
+    q = list(emb.filter(F.col("id") == 7).first().embedding)
+    svc = SearchService(emb, dim=64)
+    svc.build_index("sq", metric="cosine")
+    want = [(r.id, round(r.dist, 9)) for r in svc.search(
+        query_vec=q, k=5, method="sq", metric="cosine").collect()]
+    path = str(tmp_path / "snap_cos")
+    svc.save(path)
+    loaded = SearchService.load(spark, path)
+    assert loaded._index_metric.get("sq") == "cosine"
+    got = [(r.id, round(r.dist, 9)) for r in loaded.search(
+        query_vec=q, k=5, method="sq", metric="cosine").collect()]
+    assert got == want
+    with pytest.raises(ValueError, match="metric"):
+        loaded.search(query_vec=q, k=5, method="sq")
