@@ -800,37 +800,51 @@ def sq_encode_table(
     return codes
 
 
-def sq_distance_expr(code: Column, model: SQModel, query_vec: list[float]) -> Column:
+def _deq_sql(code_col: str, model: SQModel, d: int) -> str:
+    """SQL fragment dequantizing dim d: vmin_d + byte_d * scale_d, with
+    byte_d = (code[w] >> 8j) & 255 — the string twin of sq_byte_expr.
+    `D` suffixes pin every literal to DOUBLE (a bare decimal parses as
+    DECIMAL in Spark SQL, which would change rounding)."""
+    w, j = divmod(d, SQ_BYTES_PER_WORD)
+    byte = f"(shiftright({code_col}[{w}], {8 * j}) & 255)"
+    return f"({model.vmin[d]!r}D + cast({byte} as double) * {model.scale[d]!r}D)"
+
+
+def sq_distance_expr(code_col: str, model: SQModel, query_vec: list[float]) -> Column:
     """Approximate euclidean distance query <-> dequantized codes, as one
     flat expression tree: per dim, dequant = vmin_d + byte * scale_d;
     accumulate (q_d - dequant)^2; sqrt. All literals fold at plan time, the
     per-row work is dim (shift, mask, fma) ops inside codegen — the same
     cost class as an exact scan but over 1/4 the bytes. (For dim >> 512
     the flat tree would strain codegen; this engine's vectors are <= 256.)
-    """
-    scale = model.scale
-    total = None
+
+    ``code_col`` is the packed-code COLUMN NAME: the tree is built as ONE
+    F.expr string — building it per-op through the Column API costs ~0.8 s
+    of py4j round trips PER QUERY at dim 64 (measured; over half the old
+    sq_search wall), vs ~5 ms to format + 0.3 s to parse/analyze the
+    string. Same expression, same floats (repeated multiplication for the
+    square, left-chained sum — the cross-engine float contract)."""
+    import math as _math
+
+    if any(not _math.isfinite(float(v)) for v in query_vec):
+        raise ValueError("query_vec contains NaN/Inf — distances would be undefined")
+    terms = []
     for d in range(model.dim):
-        byte = sq_byte_expr(code, d)
-        deq = F.lit(model.vmin[d]) + byte.cast("double") * F.lit(scale[d])
-        diff = F.lit(float(query_vec[d])) - deq
-        term = diff * diff
-        total = term if total is None else total + term
-    return F.sqrt(total)
+        deq = _deq_sql(code_col, model, d)
+        diff = f"({float(query_vec[d])!r}D - {deq})"
+        terms.append(f"({diff} * {diff})")
+    return F.expr(f"sqrt({' + '.join(terms)})")
 
 
-def sq_decode_expr(code: Column, model: SQModel) -> Column:
+def sq_decode_expr(code_col: str, model: SQModel) -> Column:
     """Dequantize a packed code back to array<double> — one flat expression
     (dim shift/mask/fma ops, whole-stage codegen). The column twin of
     sq_distance_expr's inlined dequant, for consumers that need the vector
     itself (the batched kNN join dequantizes ONCE per row and scores every
-    query against it)."""
-    scale = model.scale
-    elems = []
-    for d in range(model.dim):
-        byte = sq_byte_expr(code, d)
-        elems.append(F.lit(model.vmin[d]) + byte.cast("double") * F.lit(scale[d]))
-    return F.array(*elems)
+    query against it). Built as one F.expr string for the same
+    construction-cost reason as sq_distance_expr."""
+    elems = ", ".join(_deq_sql(code_col, model, d) for d in range(model.dim))
+    return F.expr(f"array({elems})")
 
 
 def sq_append_drift(df: DataFrame, model: SQModel, vec_col: str = "embedding") -> dict:
@@ -919,7 +933,7 @@ def sq_knn_join(
     # treatment from asc_nulls_last.
     decoded = codes.filter(
         F.forall(F.col("code"), lambda w: w.isNotNull())
-    ).select(F.col(id_col), sq_decode_expr(F.col("code"), model).alias("_deq"))
+    ).select(F.col(id_col), sq_decode_expr("code", model).alias("_deq"))
     # same shortlist floor as sq_search_precoded (max(5k, 50)) so batch and
     # single-query candidate sets match at small k
     fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
@@ -983,7 +997,7 @@ def sq_search_precoded(
     (1/4 the float bytes); candidate floats come back via an id point-join.
     """
     scored = codes.select(
-        F.col(id_col), sq_distance_expr(F.col("code"), model, query_vec).alias("dist")
+        F.col(id_col), sq_distance_expr("code", model, query_vec).alias("dist")
     )
     if not rerank:
         return scored.orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc()).limit(k)
@@ -1039,7 +1053,7 @@ def sq_range_search(
 
     eps = _math.sqrt(sum((s / 2.0) ** 2 for s in model.scale))
     cand = codes.select(
-        F.col(id_col), sq_distance_expr(F.col("code"), model, query_vec).alias("_qd")
+        F.col(id_col), sq_distance_expr("code", model, query_vec).alias("_qd")
     ).filter(F.col("_qd") <= F.lit(float(radius) + eps)).select(id_col)
     joined = df.join(cand, id_col)
     d = euclidean(F.col(vec_col), F.lit(query_vec).cast("array<float>"))
