@@ -727,7 +727,7 @@ def sq_train(df: DataFrame, dim: int, vec_col: str = "embedding") -> SQModel:
     return SQModel(vmin, vmax)
 
 
-def sq_encode_expr(vec: Column, model: SQModel) -> Column:
+def sq_encode_expr(vec_col: str, model: SQModel) -> Column:
     """Pack per-dim byte codes 8-per-long into array<long> — a pure Column
     expression (JVM whole-stage codegen, no Python in the scan). Byte j of
     word w holds dim d = 8w+j via shiftleft (bitwise, two's-complement
@@ -737,36 +737,39 @@ def sq_encode_expr(vec: Column, model: SQModel) -> Column:
     last by every consumer (consistent with the exact path, where a NaN
     distance also sorts last); ±Inf elements CLIP to byte 0/255 (standard
     scalar-quantizer saturation, matching the exact path's near-last
-    infinite distances)."""
+    infinite distances).
+
+    ``vec_col`` is the embedding COLUMN NAME: like sq_distance_expr, the
+    tree is ONE F.expr string — the per-op Column form cost ~0.7 s of
+    py4j construction per call site at dim 64, paid by every append batch
+    and every encode-table build."""
     scale = model.scale
     n_words = (model.dim + SQ_BYTES_PER_WORD - 1) // SQ_BYTES_PER_WORD
     words = []
     for w in range(n_words):
-        word = None
+        terms = []
         for j in range(SQ_BYTES_PER_WORD):
             d = w * SQ_BYTES_PER_WORD + j
             if d >= model.dim:
                 break
-            el = F.element_at(vec, d + 1).cast("double")
+            el = f"cast({vec_col}[{d}] as double)"
             if scale[d] == 0.0:
-                valid_code = F.lit(0).cast("bigint")  # degenerate dim: one byte fits all
+                valid = "cast(0 as bigint)"  # degenerate dim: one byte fits all
             else:
-                valid_code = F.round(
-                    F.least(
-                        F.greatest((el - F.lit(model.vmin[d])) / F.lit(scale[d]), F.lit(0.0)),
-                        F.lit(255.0),
-                    )
-                ).cast("bigint")
+                valid = (
+                    f"cast(round(least(greatest(({el} - {model.vmin[d]!r}D) / "
+                    f"{scale[d]!r}D, 0.0D), 255.0D)) as bigint)"
+                )
             # explicit null gate: greatest/least SKIP nulls (a null or
             # NaN-nulled element would silently clip to byte 0 instead of
             # nulling the word), so the null/NaN case is decided up front
-            code = F.when(
-                el.isNull() | F.isnan(el), F.lit(None).cast("bigint")
-            ).otherwise(valid_code)
-            term = F.shiftleft(code, 8 * j) if j else code
-            word = term if word is None else word + term
-        words.append(word)
-    return F.array(*words)
+            code = (
+                f"(case when {el} is null or isnan({el}) "
+                f"then cast(null as bigint) else {valid} end)"
+            )
+            terms.append(f"shiftleft({code}, {8 * j})" if j else code)
+        words.append("(" + " + ".join(terms) + ")")
+    return F.expr("array(" + ", ".join(words) + ")")
 
 
 def sq_byte_expr(code: Column, d: int) -> Column:
@@ -789,7 +792,7 @@ def sq_encode_table(
     of the float bytes. `path` writes the durable parquet artifact."""
     codes = df.select(
         F.col(id_col),
-        sq_encode_expr(F.col(vec_col), model).alias("code"),
+        sq_encode_expr(vec_col, model).alias("code"),
         *[F.col(c) for c in (extra_cols or [])],
     )
     if path is not None:

@@ -1298,7 +1298,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bare encode expression (sq_encode_table would cache internally,
     # escaping the gate's _GATE_PERSISTED unpersist hygiene)
     sq_codes = _gate_persist(
-        emb.select("id", sq_encode_expr(F.col("embedding"), sq_model).alias("code"))
+        emb.select("id", sq_encode_expr("embedding", sq_model).alias("code"))
     )
     sq_legs = [
         sq_search_precoded(emb, sq_codes, sq_model, q, _ANN_K, rerank=False).select(

@@ -321,7 +321,7 @@ class SearchService:
         if self._sq_model is not None and self._sq_codes is not None:
             new_codes = rows_for("sq").select(
                 F.col(self.id_col),
-                QZ.sq_encode_expr(F.col(self.vec_col), self._sq_model).alias("code"),
+                QZ.sq_encode_expr(self.vec_col, self._sq_model).alias("code"),
                 *([F.col(self.tags_col)] if self.tags_col else []),
             )
             appended = self._sq_codes.unionByName(new_codes).cache()

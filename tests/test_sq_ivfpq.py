@@ -82,7 +82,7 @@ def test_sq_error_bound_and_compression(emb, sq_model):
     dec = sample.select(
         "id",
         "embedding",
-        QZ.sq_encode_expr(F.col("embedding"), sq_model).alias("code"),
+        QZ.sq_encode_expr("embedding", sq_model).alias("code"),
     )
     got = {r.id: (list(r.embedding), list(r.code)) for r in dec.collect()}
     for rid, (vec, code) in got.items():
@@ -105,7 +105,7 @@ def test_sq_determinism_and_degenerate_dim(spark):
     m2 = QZ.sq_train(df.repartition(7), 3)
     assert m1.vmin == m2.vmin and m1.vmax == m2.vmax
     assert m1.vmin[1] == m1.vmax[1] == 3.25 and m1.scale[1] == 0.0
-    enc = df.select("id", QZ.sq_encode_expr(F.col("embedding"), m1).alias("code"))
+    enc = df.select("id", QZ.sq_encode_expr("embedding", m1).alias("code"))
     got = enc.filter(F.col("id") == 5).collect()[0].code
     assert ((got[0] >> 8) & 255) == 0  # degenerate dim -> code 0
 
@@ -118,7 +118,7 @@ def test_sq_null_embedding_ranks_last(spark, sq_model, emb, query):
         spark.createDataFrame([(999999, None)], base.schema)
     )
     codes = with_null.select(
-        "id", QZ.sq_encode_expr(F.col("embedding"), sq_model).alias("code")
+        "id", QZ.sq_encode_expr("embedding", sq_model).alias("code")
     )
     out = QZ.sq_search_precoded(
         with_null, codes, sq_model, query, 5, rerank=False
@@ -137,7 +137,7 @@ def test_sq_knn_join_null_embedding_ranks_last(spark, sq_model, emb):
     )
     with_null = base.unionByName(nulls)
     codes = with_null.select(
-        "id", QZ.sq_encode_expr(F.col("embedding"), sq_model).alias("code")
+        "id", QZ.sq_encode_expr("embedding", sq_model).alias("code")
     )
     queries = emb.filter(F.col("id") < 2).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
@@ -406,7 +406,7 @@ def test_non_finite_vectors_do_not_poison_models(spark):
 
     m = QZ.sq_train(df, 3)
     assert all(math.isfinite(v) for v in m.vmin + m.vmax + m.scale)
-    codes = df.select("id", QZ.sq_encode_expr(F.col("embedding"), m).alias("code"))
+    codes = df.select("id", QZ.sq_encode_expr("embedding", m).alias("code"))
     got = {r.id: r.code for r in codes.collect()}
 
     def nulled(code):  # null array OR null words — either nulls the distance
