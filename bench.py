@@ -190,6 +190,30 @@ def bench_hnsw_batch32_150k(spark, sf_dir):
     return hnsw_search_batch(_STATE["hnsw"], _STATE["hnsw_queries"], 10)
 
 
+def bench_hnsw_snapshot32_150k(spark, sf_dir):
+    """Snapshot serving tier (round 6): the same 32 queries as
+    hnsw_batch32, answered from the SAVED graph — worker-resident shard
+    graphs loaded from parquet and LRU-cached per worker, ZERO graph bytes
+    in the plan (the durable-index serving shape; the batch32 entry above
+    re-ships every shard through Arrow per query). Save is untimed setup,
+    like every index build."""
+    from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
+
+    bench_hnsw_batch32_150k(spark, sf_dir)  # graph + queries ready
+    if "hnsw_snap" not in _STATE:
+        import tempfile
+        import uuid
+
+        path = tempfile.mkdtemp(prefix="bench_hnsw_snap_") + "/graph"
+        _STATE["hnsw"].write.mode("overwrite").partitionBy("part_id").parquet(path)
+        pids = [r.part_id for r in _STATE["hnsw"].select("part_id").distinct().collect()]
+        _STATE["hnsw_snap"] = (path, pids, uuid.uuid4().hex)
+    path, pids, ver = _STATE["hnsw_snap"]
+    return hnsw_search_batch_snapshot(
+        spark, path, pids, _STATE["hnsw_queries"], 10, version=ver
+    )
+
+
 def bench_pq_150k(spark, sf_dir):
     """PQ at its serving default (the rerank tier, search_service method
     'pq'): codebook + code table build once untimed (index artifacts,
@@ -397,6 +421,7 @@ BENCH_LOCAL = {
     "ivfpq_search_150k": bench_ivfpq_150k,
     "hnsw_search_150k": bench_hnsw_150k,
     "hnsw_batch32_150k": bench_hnsw_batch32_150k,
+    "hnsw_snapshot32_150k": bench_hnsw_snapshot32_150k,
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,

@@ -824,8 +824,7 @@ def _rehydrate(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
     total_rows = int(counts.sum())
     rows = np.arange(total_rows, dtype=np.int64)  # == repeat(row_off)+layer
     flat = np.concatenate(flat_l) if flat_l else np.zeros(0, dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    pos_flat = order[np.searchsorted(ids[order], flat)]
+    pos_flat = _positions_of(ids.astype(np.int64), flat)
     col = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
         np.cumsum(lens) - lens, lens
     )
@@ -887,10 +886,9 @@ def hnsw_search_batch(
     if probe_shards is not None:
         rt = routing if routing is not None else hnsw_routing_table(graph_df)
         spark = graph_df.sparkSession
-        qdf = spark.createDataFrame(
-            [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
-            "query_id bigint, query_embedding array<double>",
-        )
+        # JVM LocalRelation: see hnsw_search_batch_snapshot — a local-list
+        # frame would put a python-RDD scan in front of every batch
+        qdf = _queries_local_relation(spark, queries)
         assigned = hnsw_route_queries(rt, qdf, probe_shards)
         probed = graph_df.join(
             F.broadcast(assigned.select("part_id").distinct()), "part_id", "semi"
@@ -919,6 +917,174 @@ def hnsw_search_batch(
             return _beam(pdf, qlist)
 
         local = graph_df.groupBy("part_id").applyInPandas(per_shard, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return local.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+#: Per-worker cache of SNAPSHOT shard graphs, keyed (path, part_id,
+#: version) — the version string changes on every save, so a stale entry
+#: cannot be served. Same sizing rationale as _GRAPH_CACHE.
+_SNAPSHOT_CACHE: dict = {}
+_SNAPSHOT_CACHE_MAX = 8
+
+
+def _queries_local_relation(spark, queries) -> DataFrame:
+    """(query_id, query_embedding) frame as a JVM LocalRelation (VALUES
+    clause). createDataFrame over a local python list builds a
+    python-RDD-backed plan whose every scan round-trips a python worker —
+    measured ~4 s of per-query latency on the snapshot serving path; the
+    VALUES relation scans JVM-side for free. D-suffixed literals pin
+    DOUBLE. Non-finite query values raise (their SQL literals don't
+    exist, and a NaN query is undefined anyway)."""
+    import math as _math
+
+    rows = []
+    for qid, vec in queries:
+        if any(not _math.isfinite(float(v)) for v in vec):
+            raise ValueError("query vectors contain NaN/Inf — distances would be undefined")
+        vals = ", ".join(repr(float(v)) + "D" for v in vec)
+        rows.append(f"({int(qid)}, array({vals}))")
+    return spark.sql(
+        "SELECT cast(col1 as bigint) query_id, col2 query_embedding "
+        f"FROM VALUES {', '.join(rows)}"
+    )
+
+
+def _positions_of(ids: np.ndarray, flat: np.ndarray) -> np.ndarray:
+    """Map neighbor IDS to node POSITIONS, vectorized. Dense ids (range
+    within 32x the count — the common case for sequential keys) take an
+    O(1)-per-lookup table; otherwise argsort + searchsorted. The mapping
+    is ~all of rehydration cost at 50k-row shards (1.7M lookups)."""
+    if len(flat) == 0:
+        return flat.astype(np.int64)
+    lo, hi = int(ids.min()), int(ids.max())
+    rng = hi - lo + 1
+    if rng <= 32 * len(ids):
+        table = np.empty(rng, dtype=np.int64)
+        table[ids - lo] = np.arange(len(ids), dtype=np.int64)
+        return table[flat - lo]
+    order = np.argsort(ids, kind="stable")
+    return order[np.searchsorted(ids[order], flat)]
+
+
+def _rehydrate_arrow(tbl) -> tuple[np.ndarray, _ShardGraph]:
+    """Arrow-native twin of _rehydrate for the snapshot tier: the nested
+    neighbors column flattens through its LIST OFFSETS (two flatten calls
+    + one np.diff) instead of a per-row python loop — measured ~10x on a
+    50k-row shard, which is the cold-load cost the per-worker LRU can't
+    hide when traffic rotates across workers."""
+    ids = tbl["id"].to_numpy().astype(np.int64)
+    g = _ShardGraph.__new__(_ShardGraph)
+    emb = tbl["embedding"].combine_chunks()
+    flat_emb = emb.flatten().to_numpy(zero_copy_only=False)
+    g.x = np.ascontiguousarray(
+        flat_emb.reshape(len(ids), -1) if len(ids) else flat_emb.reshape(0, 0),
+        dtype=np.float32,
+    )
+    g.levels = tbl["level"].to_numpy().astype(np.int64)
+    g.m, g.max_m0, g.efc = M_DEFAULT, MAX_M0_DEFAULT, EF_CONSTRUCTION_DEFAULT
+    outer = tbl["neighbors"].combine_chunks()
+    layer_lists = outer.flatten()  # one row per (node, layer), row order
+    off = layer_lists.offsets.to_numpy()
+    lens = np.diff(off).astype(np.int64)
+    flat = layer_lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    g.max_m0 = max(g.max_m0, int(lens.max()) if len(lens) else 0)
+    g._alloc()
+    rows = np.arange(len(lens), dtype=np.int64)  # == row_off[i] + layer
+    pos_flat = _positions_of(ids, flat)
+    col = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    g.nbr[np.repeat(rows, lens), col] = pos_flat
+    g.deg[rows] = lens
+    top = int(g.levels.max())
+    entries = np.flatnonzero(g.levels == top)
+    g.entry = int(entries[np.argmin(ids[entries])])
+    return ids, g
+
+
+def _load_snapshot_shard(path: str, part_id: int, version: str):
+    """Worker-side load of one shard graph from its parquet partition
+    directory (pyarrow, no Spark plan involved), LRU-cached per worker."""
+    key = (path, part_id, version)
+    hit = _SNAPSHOT_CACHE.pop(key, None)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        hit = _rehydrate_arrow(pq.read_table(f"{path}/part_id={part_id}"))
+    _SNAPSHOT_CACHE[key] = hit  # re-insert = MRU
+    while len(_SNAPSHOT_CACHE) > _SNAPSHOT_CACHE_MAX:
+        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+    return hit
+
+
+def hnsw_search_batch_snapshot(
+    spark,
+    graph_path: str,
+    part_ids: list[int],
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    version: str,
+    ef: int = EF_DEFAULT,
+    probe_shards: int | None = None,
+    routing: DataFrame | None = None,
+) -> DataFrame:
+    """Serve a SAVED graph (SearchService.save layout:
+    partitionBy('part_id') parquet) with ZERO graph bytes in the plan —
+    the Lucene segment-reader shape, and the serving tier that matters at
+    100 TB: the applyInPandas input is only the (query_id, embedding,
+    part_id) assignment rows (query-sized), each worker reads its shard's
+    immutable parquet files directly and keeps the rehydrated graph hot in
+    a per-worker LRU keyed by the snapshot ``version``. The DataFrame
+    serving path (hnsw_search_batch) re-ships every shard's embeddings +
+    adjacency through Arrow on EVERY query — fine for freshly-built cached
+    graphs, a ~20 MB/shard/query tax when serving a durable index.
+
+    ``part_ids`` is the saved shard list (the snapshot manifest carries
+    it); ``probe_shards`` + ``routing`` route per query in-plan exactly
+    like hnsw_search_batch. Results equal the DataFrame path up to
+    distance TIES (shard-local candidate positions follow file row order).
+    """
+    # JVM LocalRelations end to end: a python-list createDataFrame would
+    # put a python-RDD scan (one worker round trip per scan — measured
+    # ~4 s/query) in front of every search, and a bare crossJoin of two
+    # such frames compiles to a 32x32-task CartesianProduct (measured 11 s
+    # for 1x3 rows). VALUES + explicit broadcast keeps the whole
+    # assignment plan JVM-side at task-count ~ shards.
+    qdf = _queries_local_relation(spark, queries)
+    if probe_shards is not None:
+        if routing is None:
+            raise ValueError("probe_shards needs the routing table")
+        assigned = hnsw_route_queries(routing, qdf, probe_shards)
+    else:
+        pid_df = spark.sql(
+            "SELECT cast(col1 as int) part_id FROM VALUES "
+            + ", ".join(f"({int(p)})" for p in part_ids)
+        )
+        assigned = qdf.crossJoin(F.broadcast(pid_df))
+
+    def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, g = _load_snapshot_shard(graph_path, int(key[0]), version)
+        out_q, out_id, out_d = [], [], []
+        for r in pdf.itertuples():
+            q = np.asarray(r.query_embedding, dtype=np.float64)
+            for i, d in g.search(q, k, ef):
+                out_q.append(int(r.query_id))
+                out_id.append(int(ids[i]))
+                out_d.append(float(d))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "id": pd.Series(out_id, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="float64"),
+            }
+        )
+
+    from pyspark.sql import Window
+
+    local = assigned.groupBy("part_id").applyInPandas(
+        per_shard, "query_id long, id long, dist double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     return local.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 

@@ -91,6 +91,11 @@ class SearchService:
         self._hnsw_shards: int | None = None
         self._hnsw_routing: DataFrame | None = None
         self._hnsw_spatial: bool = False
+        #: (path, version, part_ids) when the graph came from a snapshot:
+        #: hnsw searches then serve via the worker-resident tier
+        #: (hnsw_search_batch_snapshot) — graph bytes never enter the plan.
+        #: Cleared by any mutation (the in-memory graph diverges).
+        self._hnsw_snapshot: tuple | None = None
         #: Q13 drift bookkeeping: encode-only appends are cheap but encode
         #: against the TRAINED model — rows appended since each quantizer's
         #: build, plus the SQ batch-drift accumulators (operators.
@@ -233,6 +238,7 @@ class SearchService:
             self._hnsw_graph = graph
             self._hnsw_shards = n
             self._hnsw_spatial = spatial
+            self._hnsw_snapshot = None  # fresh build: no snapshot backs it
             self._hnsw_routing = HN.hnsw_routing_table(graph).cache()
             self._hnsw_routing.count()
         elif method in EXACT_METHODS or method == "range":
@@ -278,6 +284,7 @@ class SearchService:
         elif self._hnsw_graph is not None:
             from neighborly_spark.operators import hnsw as HN
 
+            self._hnsw_snapshot = None  # in-memory graph diverges from disk
             if self._hnsw_spatial and self._hnsw_routing is None:
                 self._refresh_hnsw_routing()
             updated = HN.hnsw_add(
@@ -538,6 +545,7 @@ class SearchService:
         if self._hnsw_graph is not None:
             from neighborly_spark.operators import hnsw as HN
 
+            self._hnsw_snapshot = None  # in-memory graph diverges from disk
             updated = HN.hnsw_remove(self._hnsw_graph, [int(i) for i in ids]).cache()
             updated.count()
             self._hnsw_graph.unpersist()
@@ -619,7 +627,20 @@ class SearchService:
             self._hnsw_graph.write.mode("overwrite").partitionBy("part_id").parquet(
                 f"{path}/indexes/hnsw_graph"
             )
-            extras["hnsw"] = {"num_shards": self._hnsw_shards, "spatial": self._hnsw_spatial}
+            import uuid
+
+            extras["hnsw"] = {
+                "num_shards": self._hnsw_shards, "spatial": self._hnsw_spatial,
+                # snapshot-serving manifest (operators.hnsw.
+                # hnsw_search_batch_snapshot): the shard list saves the
+                # server a listing, the version keys the per-worker graph
+                # LRU so a re-save can never serve stale graphs
+                "version": uuid.uuid4().hex,
+                "part_ids": sorted(
+                    r.part_id
+                    for r in self._hnsw_graph.select("part_id").distinct().collect()
+                ),
+            }
         with open(f"{path}/service.json", "w") as f:
             json.dump(extras, f)
 
@@ -701,6 +722,13 @@ class SearchService:
             hn = extras["hnsw"]
             svc._hnsw_shards = hn.get("num_shards") if isinstance(hn, dict) else None
             svc._hnsw_spatial = bool(hn.get("spatial")) if isinstance(hn, dict) else False
+            if isinstance(hn, dict) and hn.get("version") and hn.get("part_ids"):
+                # snapshot-loaded graphs serve through the worker-resident
+                # tier: queries ship, graph bytes don't (see search())
+                svc._hnsw_snapshot = (
+                    f"{path}/indexes/hnsw_graph", hn["version"],
+                    [int(p) for p in hn["part_ids"]],
+                )
         return svc
 
     # --- queries -------------------------------------------------------------
@@ -818,11 +846,24 @@ class SearchService:
                     )
                 if hnsw_probe_shards is not None and self._hnsw_routing is None:
                     self._refresh_hnsw_routing()  # e.g. snapshot-loaded graph
-                hits = HN.hnsw_search(
-                    graph, query_vec, k,
-                    probe_shards=hnsw_probe_shards, routing=self._hnsw_routing,
-                    allowed_col=allowed_col,
-                )
+                if self._hnsw_snapshot is not None and allowed_col is None:
+                    # snapshot-loaded graph: serve via the worker-resident
+                    # tier — only the query enters the plan, each worker
+                    # reads + LRU-caches its shard's parquet directly
+                    # (tag-filtered queries keep the DataFrame path: the
+                    # predicate is a plan expression)
+                    pth, ver, pids = self._hnsw_snapshot
+                    hits = HN.hnsw_search_batch_snapshot(
+                        self.df.sparkSession, pth, pids, [(0, query_vec)], k,
+                        version=ver, probe_shards=hnsw_probe_shards,
+                        routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
+                    ).drop("query_id")
+                else:
+                    hits = HN.hnsw_search(
+                        graph, query_vec, k,
+                        probe_shards=hnsw_probe_shards, routing=self._hnsw_routing,
+                        allowed_col=allowed_col,
+                    )
                 # rejoin payload columns so the schema matches the exact
                 # path (k-row broadcast join; AQE picks broadcast)
                 out = (
@@ -1116,6 +1157,15 @@ class SearchService:
                 )
             if self._hnsw_spatial and self._hnsw_routing is None:
                 self._refresh_hnsw_routing()
+            if self._hnsw_snapshot is not None and allowed_col is None:
+                from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
+
+                pth, ver, pids = self._hnsw_snapshot
+                return hnsw_search_batch_snapshot(
+                    self.df.sparkSession, pth, pids, as_list(), k,
+                    version=ver, probe_shards=hnsw_probe_shards,
+                    routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
+                )
             return hnsw_search_batch(
                 graph, as_list(), k,
                 probe_shards=hnsw_probe_shards,

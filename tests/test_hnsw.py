@@ -90,6 +90,66 @@ def test_service_integration_and_snapshot(spark, emb, tmp_path):
     assert after == before
 
 
+def test_snapshot_serving_tier(spark, emb, tmp_path):
+    """Worker-resident snapshot serving (round 6): a snapshot-loaded
+    service answers hnsw searches with ZERO graph bytes in the plan (the
+    applyInPandas input is the query rows; shards load from parquet on the
+    workers, LRU-keyed by the saved version). Results equal the DataFrame
+    path; any mutation drops back to the in-memory path."""
+    from neighborly_spark.operators.hnsw import hnsw_search_batch, hnsw_search_batch_snapshot
+    from neighborly_spark.search_service import SearchService
+
+    svc = SearchService(emb, dim=64)
+    svc.build_index("hnsw")
+    q = list(emb.first().embedding)
+    want = [(r.id, round(r.dist, 9)) for r in svc.search(query_vec=q, k=5, method="hnsw").collect()]
+    path = str(tmp_path / "snapshot_tier")
+    svc.save(path)
+
+    loaded = SearchService.load(spark, path)
+    assert loaded._hnsw_snapshot is not None
+    pth, ver, pids = loaded._hnsw_snapshot
+    assert sorted(pids) == sorted(
+        r.part_id for r in svc._hnsw_graph.select("part_id").distinct().collect()
+    )
+    got = [(r.id, round(r.dist, 9)) for r in loaded.search(query_vec=q, k=5, method="hnsw").collect()]
+    assert got == want
+
+    # the snapshot plan carries no graph scan and builds lazily (no jobs)
+    sc = spark.sparkContext
+    sc.setJobGroup("snap-lazy", "")
+    out = hnsw_search_batch_snapshot(spark, pth, pids, [(0, q)], 5, version=ver)
+    assert list(sc.statusTracker().getJobIdsForGroup("snap-lazy")) == []
+    sc.setJobGroup("snap-lazy-done", "")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "hnsw_graph" not in plan  # queries in, graph bytes NOT
+
+    # operator-level: snapshot == DataFrame path (rounded)
+    qs = [(i, list(r.embedding)) for i, r in enumerate(emb.limit(4).collect())]
+    a = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in hnsw_search_batch_snapshot(spark, pth, pids, qs, 5, version=ver).collect()
+    )
+    b = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in hnsw_search_batch(loaded._hnsw_graph, qs, 5).collect()
+    )
+    assert a == b
+
+    # batch facade rides the tier too
+    got_b = {r.query_id for r in loaded.search_batch(qs, k=5, method="hnsw").collect()}
+    assert got_b == {i for i, _ in qs}
+
+    # mutation invalidates: adds serve from the updated in-memory graph
+    new = emb.limit(2).withColumn("id", F.col("id") + 880000)
+    loaded.add_vectors(new)
+    assert loaded._hnsw_snapshot is None
+    # the new row copies an existing row's vector, so BOTH rank at 0.0
+    probe = list(new.first().embedding)
+    hits = loaded.search(query_vec=probe, k=2, method="hnsw").collect()
+    assert any(r.id == int(new.first().id) and r.dist == 0.0 for r in hits)
+
+
 def test_incremental_add(spark, emb):
     """hnsw_add: inserts land in the shard their id hashes to, untouched
     shards pass through byte-identical, and the updated graphs serve both
