@@ -127,8 +127,10 @@ class SearchService:
 
     # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
 
-    #: quantized methods that accept build_index(metric='cosine')
-    _COSINE_METHODS = frozenset({"bq", "binaryquantization", "sq", "ivfpq"})
+    #: index methods that accept build_index(metric='cosine') — their
+    #: artifacts bake the geometry in (codes / graph edges), so the cosine
+    #: bridge must be applied at BUILD time
+    _COSINE_METHODS = frozenset({"bq", "binaryquantization", "sq", "ivfpq", "hnsw"})
 
     def build_index(self, method: str, spatial: bool = False, metric: str = "euclidean") -> None:
         """``spatial=True`` (hnsw only) shards the graph by a coarse
@@ -149,8 +151,9 @@ class SearchService:
             raise ValueError(f"unsupported index metric {metric!r}")
         if metric == "cosine" and method not in self._COSINE_METHODS:
             raise ValueError(
-                "metric='cosine' index builds are supported for bq/sq/ivfpq; "
-                "for lsh/ivf/hnsw build over distance.normalize-d vectors"
+                "metric='cosine' index builds are supported for "
+                "bq/sq/ivfpq/hnsw; for lsh/ivf build over "
+                "distance.normalize-d vectors"
             )
         if metric == "cosine":
             from neighborly_spark.functions.distance import normalize
@@ -226,9 +229,13 @@ class SearchService:
 
             n = HN.hnsw_shard_count(self.df.count())
             graph = HN.hnsw_build(
-                self.df, self.dim, self.id_col, self.vec_col,
+                # cosine builds graph over the NORMALIZED vectors (same
+                # bridge as the quantized tiers; the graph stores them)
+                build_df, self.dim, self.id_col, self.vec_col,
                 num_partitions=n, spatial=spatial,
-                coarse_model=self._coarse(n) if spatial else None,
+                # the shared coarse model is fit on the RAW table; cosine
+                # needs cells in the normalized space (own deterministic fit)
+                coarse_model=self._coarse(n) if spatial and metric == "euclidean" else None,
                 # tags ride INTO the graph artifact like every other index
                 # (P9 x Q8): tag-filtered search is then a pushdown
                 # expression on the graph scan + a filtered beam descent
@@ -280,7 +287,7 @@ class SearchService:
             return new_rows
         if self._hnsw_graph is not None and self._hnsw_shards is None:
             # legacy snapshot without a recorded shard count: full rebuild
-            self.build_index("hnsw")
+            self.build_index("hnsw", metric=self._index_metric.get("hnsw", "euclidean"))
         elif self._hnsw_graph is not None:
             from neighborly_spark.operators import hnsw as HN
 
@@ -288,7 +295,9 @@ class SearchService:
             if self._hnsw_spatial and self._hnsw_routing is None:
                 self._refresh_hnsw_routing()
             updated = HN.hnsw_add(
-                self._hnsw_graph, new_df, self._hnsw_shards,
+                # a cosine-built graph stores normalized vectors: inserts
+                # normalize too (rows_for)
+                self._hnsw_graph, rows_for("hnsw"), self._hnsw_shards,
                 id_col=self.id_col, vec_col=self.vec_col,
                 routing=self._hnsw_routing if self._hnsw_spatial else None,
             ).cache()
@@ -810,9 +819,15 @@ class SearchService:
             # row subset: the tag filter simply prunes the hashed table
             out = LSH.lsh_knn(base_df, query_vec, k, self.vec_col, model=self._lsh_model)
         elif method == "hnsw":
+            if self._hnsw_graph is None and metric == "cosine":
+                # cosine must be baked into the graph edges — build it so
+                # (the euclidean no-graph case keeps the capability-mapped
+                # fallback below, which a cosine query cannot use)
+                self.build_index("hnsw", metric="cosine")
             if self._hnsw_graph is not None:
                 from neighborly_spark.operators import hnsw as HN
 
+                self._quant_metric_guard("hnsw", True, metric)
                 graph = self._hnsw_graph
                 allowed_col = None
                 if pred is not None:
@@ -1136,7 +1151,8 @@ class SearchService:
             from neighborly_spark.operators.hnsw import hnsw_search_batch
 
             if self._hnsw_graph is None:
-                self.build_index("hnsw")
+                self.build_index("hnsw", metric=metric)
+            self._quant_metric_guard("hnsw", True, metric)
             graph = self._hnsw_graph
             allowed_col = None
             if pred is not None:
@@ -1161,17 +1177,17 @@ class SearchService:
                 from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
 
                 pth, ver, pids = self._hnsw_snapshot
-                return hnsw_search_batch_snapshot(
+                return _serve(hnsw_search_batch_snapshot(
                     self.df.sparkSession, pth, pids, as_list(), k,
                     version=ver, probe_shards=hnsw_probe_shards,
                     routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
-                )
-            return hnsw_search_batch(
+                ))
+            return _serve(hnsw_search_batch(
                 graph, as_list(), k,
                 probe_shards=hnsw_probe_shards,
                 routing=self._hnsw_routing if self._hnsw_spatial else None,
                 allowed_col=allowed_col,
-            )
+            ))
         raise ValueError(f"unknown batch search method {method!r}")
 
     def range_search(

@@ -574,6 +574,24 @@ def test_cosine_metric_matrix_quantized_tiers(spark, emb):
         if rid in exact_sim:
             assert abs(sim - exact_sim[rid]) < 5e-5
 
+    # hnsw: graph built over normalized vectors, similarities reported
+    svc_h = SearchService(emb, dim=64)
+    got = [(r.id, float(r.dist)) for r in svc_h.search(
+        query_vec=q, k=K, method="hnsw", metric="cosine"
+    ).collect()]
+    assert svc_h._index_metric["hnsw"] == "cosine"
+    assert _recall([i for i, _ in got], exact_ids) >= 0.8
+    for rid, sim in got:
+        if rid in exact_sim:
+            assert abs(sim - exact_sim[rid]) < 5e-5
+    with pytest.raises(ValueError, match="metric"):
+        svc_h.search(query_vec=q, k=5, method="hnsw")  # euclid on cosine graph
+    # batch facade too
+    hb = {}
+    for r in svc_h.search_batch([(7, q)], k=5, method="hnsw", metric="cosine").collect():
+        hb.setdefault(r.query_id, []).append(r.id)
+    assert _recall(hb[7], exact_ids[:5]) >= 0.8
+
     # batch path agrees with the single-query path (sq, rounded values)
     qdf = [(7, q), (11, list(emb.filter(F.col("id") == 11).first().embedding))]
     batch = {}
