@@ -866,28 +866,27 @@ def sq_append_drift(df: DataFrame, model: SQModel, vec_col: str = "embedding") -
       NaN/null dims contribute 0 (those rows encode to null codes and are
       ranked last / excluded by every consumer — not a staleness issue).
     """
-    inf = F.lit(float("inf"))
-    out_pred = None
-    err = None
+    # F.expr strings, like the other sq expressions: the per-op Column
+    # form cost ~0.8 s of py4j construction per append batch at dim 64
+    out_terms, err_terms = [], []
     for d in range(model.dim):
-        el = F.element_at(F.col(vec_col), d + 1).cast("double")
-        finite = el.isNotNull() & ~F.isnan(el) & (F.abs(el) < inf)
-        o = finite & ((el < F.lit(model.vmin[d])) | (el > F.lit(model.vmax[d])))
-        out_pred = o if out_pred is None else (out_pred | o)
+        el = f"cast({vec_col}[{d}] as double)"
+        finite = f"({el} is not null and not isnan({el}) and abs({el}) < double('inf'))"
+        out_terms.append(
+            f"({finite} and ({el} < {model.vmin[d]!r}D or {el} > {model.vmax[d]!r}D))"
+        )
         s = model.scale[d]
         if s == 0.0:
-            deq = F.lit(model.vmin[d])
+            deq = f"{model.vmin[d]!r}D"
         else:
-            byte = F.round(
-                F.least(
-                    F.greatest((el - F.lit(model.vmin[d])) / F.lit(s), F.lit(0.0)),
-                    F.lit(255.0),
-                )
+            byte = (
+                f"round(least(greatest(({el} - {model.vmin[d]!r}D) / {s!r}D, 0.0D), 255.0D))"
             )
-            deq = F.lit(model.vmin[d]) + byte * F.lit(s)
-        diff = el - deq
-        term = F.when(finite, diff * diff).otherwise(F.lit(0.0))
-        err = term if err is None else err + term
+            deq = f"({model.vmin[d]!r}D + {byte} * {s!r}D)"
+        diff = f"({el} - {deq})"
+        err_terms.append(f"(case when {finite} then {diff} * {diff} else 0.0D end)")
+    out_pred = F.expr(" or ".join(out_terms))
+    err = F.expr(" + ".join(err_terms))
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.coalesce(out_pred.cast("int"), F.lit(0))).alias("n_out"),

@@ -128,23 +128,30 @@ class SearchService:
     # --- index lifecycle (Q12 BuildIndex / BuildAllIndexes) -----------------
 
     #: index methods that accept build_index(metric='cosine') — their
-    #: artifacts bake the geometry in (codes / graph edges), so the cosine
-    #: bridge must be applied at BUILD time
-    _COSINE_METHODS = frozenset({"bq", "binaryquantization", "sq", "ivfpq", "hnsw"})
+    #: artifacts bake the geometry in (codes / assignments / graph edges),
+    #: so the cosine bridge must be applied at BUILD time
+    _COSINE_METHODS = frozenset(
+        {"bq", "binaryquantization", "sq", "ivfpq", "hnsw",
+         "ivf", "pq", "productquantization"}
+    )
+    #: methods cosine-SERVABLE at query time: everything above plus lsh,
+    #: whose BRP hyperplanes are data-independent — the raw-fit model
+    #: projects normalized vectors just as well, so no cosine build exists
+    _COSINE_SERVE = _COSINE_METHODS | {"lsh"}
 
     def build_index(self, method: str, spatial: bool = False, metric: str = "euclidean") -> None:
         """``spatial=True`` (hnsw only) shards the graph by a coarse
         quantizer instead of id hash — the layout that makes
         search(hnsw_probe_shards=p) discriminative (see operators.hnsw).
 
-        ``metric='cosine'`` (bq/sq/ivfpq) trains and encodes over the
-        L2-NORMALIZED table: on unit vectors ||a-b||^2 = 2 - 2 cos(a,b),
-        so the euclidean machinery ranks by cosine; search(metric=
-        'cosine') then normalizes the query and reports similarities (the
-        exact path's D2 semantics). LSH/HNSW/IVF take the same bridge by
-        building over distance.normalize-d input (documented in their
-        tests); the quantized tiers get it first-class here because their
-        artifacts bake the geometry into trained codes."""
+        ``metric='cosine'`` (bq/sq/pq/ivf/ivfpq/hnsw) trains and encodes
+        over the L2-NORMALIZED table: on unit vectors
+        ||a-b||^2 = 2 - 2 cos(a,b), so the euclidean machinery ranks by
+        cosine; search(metric='cosine') then normalizes the query and
+        reports similarities (the exact path's D2 semantics). LSH needs no
+        cosine build — its hyperplanes are data-independent, so
+        search(method='lsh', metric='cosine') simply normalizes at query
+        time."""
         method = method.lower()
         metric = metric.lower()
         if metric not in ("euclidean", "cosine"):
@@ -152,8 +159,9 @@ class SearchService:
         if metric == "cosine" and method not in self._COSINE_METHODS:
             raise ValueError(
                 "metric='cosine' index builds are supported for "
-                "bq/sq/ivfpq/hnsw; for lsh/ivf build over "
-                "distance.normalize-d vectors"
+                "bq/sq/pq/ivf/ivfpq/hnsw; lsh serves cosine directly at "
+                "query time (its hyperplanes are data-independent — no "
+                "cosine build exists)"
             )
         if metric == "cosine":
             from neighborly_spark.functions.distance import normalize
@@ -176,20 +184,24 @@ class SearchService:
             # sampled one-pass trainer: recall >= the MLlib fit at equal cost
             # at the 150k tier, and its cost is constant in data size where
             # MLlib's is m x iters full scans (docs/RECALL.md verdict)
-            self._pq_model = QZ.pq_train_sampled(self.df, self.dim, vec_col=self.vec_col)
+            self._pq_model = QZ.pq_train_sampled(build_df, self.dim, vec_col=self.vec_col)
             # vectorized encode: the serving tier (Arrow-batched matmul argmin,
             # ~150x the interpreted-HOF pq_encode, identical codes test-gated)
             self._pq_encoded = QZ.pq_encode_vectorized(
-                self.df, self._pq_model, self.vec_col
+                build_df, self._pq_model, self.vec_col
             ).cache()
         elif method == "ivf":
             # sampled one-pass coarse quantizer: statistically equivalent
             # recall to the MLlib fit at the 150k tier once measured with
             # enough queries (docs/RECALL.md 20-query table), at one scan
             # instead of iterations x scans; the model is the SHARED
-            # per-table-version coarse artifact (_coarse)
-            self._ivf_model = self._coarse(16)
-            self._ivf_assigned = IVF.ivf_assign(self.df, self._ivf_model, self.vec_col).cache()
+            # per-table-version coarse artifact (_coarse) — except cosine
+            # builds, whose cells live in the normalized space
+            self._ivf_model = (
+                self._coarse(16) if metric == "euclidean"
+                else IVF.ivf_train_sampled(build_df, vec_col=self.vec_col)
+            )
+            self._ivf_assigned = IVF.ivf_assign(build_df, self._ivf_model, self.vec_col).cache()
         elif method == "sq":
             # 8-bit scalar quantizer: one min/max pass trains, one encode
             # pass materializes the packed-byte table (1/4 the float bytes)
@@ -322,14 +334,14 @@ class SearchService:
             self._bq_codes = appended
         if self._ivf_model is not None and self._ivf_assigned is not None:
             appended = self._ivf_assigned.unionByName(
-                IVF.ivf_assign(new_rows, self._ivf_model, self.vec_col)
+                IVF.ivf_assign(rows_for("ivf"), self._ivf_model, self.vec_col)
             ).cache()
             appended.count()
             self._ivf_assigned.unpersist()
             self._ivf_assigned = appended
         if self._pq_model is not None and self._pq_encoded is not None:
             appended = self._pq_encoded.unionByName(
-                QZ.pq_encode_vectorized(new_rows, self._pq_model, self.vec_col)
+                QZ.pq_encode_vectorized(rows_for("pq"), self._pq_model, self.vec_col)
             ).cache()
             appended.count()
             self._pq_encoded.unpersist()
@@ -766,6 +778,8 @@ class SearchService:
         ivfpq_nprobe: int = 10,  # method='ivfpq': probed coarse cells —
         # 10/16 clears the 0.8 bar on uniform data (docs/RECALL.md);
         # clusterable data probes far fewer
+        ivf_nprobe: int = 4,  # method='ivf': probed coarse cells (the
+        # operator default; raise on hard/uniform geometries)
         tag_any: list | None = None,  # P9 x search: keep rows overlapping
         # ANY of these tag ids; filter-then-rank (the top-k is computed
         # WITHIN the filtered set — post-filtering a shortlist would lose
@@ -783,11 +797,11 @@ class SearchService:
             raise ValueError("provide query_vec or text")
         query_vec = self._check_query(query_vec)
 
-        # cosine through the quantized tiers (round-5 VERDICT 8): serve the
+        # cosine through the index tiers (round-5 VERDICT 8): serve the
         # euclidean machinery over the NORMALIZED index + normalized query
         # (||a-b||^2 = 2 - 2 cos on unit vectors), then map distances back
         # to exact similarities in _serve_cosine
-        cosine_quant = metric == "cosine" and method in self._COSINE_METHODS
+        cosine_quant = metric == "cosine" and method in self._COSINE_SERVE
         if cosine_quant:
             import math
 
@@ -900,8 +914,7 @@ class SearchService:
                 self._bq_threshold, self.id_col, self.vec_col,
             )
         elif method in ("pq", "productquantization"):
-            if self._pq_model is None:
-                self.build_index("pq")
+            self._quant_metric_guard("pq", self._pq_model is not None, metric)
             if pq_rerank:
                 # serve the rerank tier by default: same trained artifacts,
                 # but recall 0.89-1.00 vs pure ADC's 0.36-0.66 measured in
@@ -920,11 +933,11 @@ class SearchService:
                     self._pq_model, query_vec, k, self.id_col,
                 )
         elif method == "ivf":
-            if self._ivf_model is None:
-                self.build_index("ivf")
+            self._quant_metric_guard("ivf", self._ivf_model is not None, metric)
             out = IVF.ivf_search(
                 self._filtered_artifact(self._ivf_assigned, pred, "ivf"),
-                self._ivf_model, query_vec, k, id_col=self.id_col, vec_col=self.vec_col,
+                self._ivf_model, query_vec, k, nprobe=ivf_nprobe,
+                id_col=self.id_col, vec_col=self.vec_col,
             )
         elif method == "sq":
             self._quant_metric_guard("sq", self._sq_model is not None, metric)
@@ -996,7 +1009,11 @@ class SearchService:
                 data_count=data_count,
                 query_count=query_count,
                 allow_approx=allow_approx,
-                hnsw_graph=self._hnsw_graph,
+                hnsw_graph=(
+                    self._hnsw_graph
+                    if self._index_metric.get("hnsw", "euclidean") == "euclidean"
+                    else None
+                ),
                 # cosine-built artifacts hold NORMALIZED-space codes — the
                 # euclidean join planner must not serve them
                 ivfpq_index=(

@@ -592,6 +592,36 @@ def test_cosine_metric_matrix_quantized_tiers(spark, emb):
         hb.setdefault(r.query_id, []).append(r.id)
     assert _recall(hb[7], exact_ids[:5]) >= 0.8
 
+    # ivf / pq: cosine builds (normalized assignments / codebooks) +
+    # similarity values on the intersecting ids
+    svc_ip = SearchService(emb, dim=64)
+    for m in ("ivf", "pq"):
+        svc_ip.build_index(m, metric="cosine")
+        # nprobe=10/16 for ivf: normalized uniform data is the adversarial
+        # geometry (same operating point the ivfpq gate leg documents)
+        got = [(r.id, float(r.dist)) for r in svc_ip.search(
+            query_vec=q, k=K, method=m, metric="cosine", ivf_nprobe=10
+        ).collect()]
+        assert _recall([i for i, _ in got], exact_ids) >= 0.8, m
+        for rid, sim in got:
+            if rid in exact_sim:
+                assert abs(sim - exact_sim[rid]) < 5e-5, m
+        with pytest.raises(ValueError, match="metric"):
+            svc_ip.search(query_vec=q, k=5, method=m)
+
+    # lsh: no cosine build exists (data-independent hyperplanes) — the
+    # query-time bridge alone serves it
+    svc_l = SearchService(emb, dim=64)
+    got = [(r.id, float(r.dist)) for r in svc_l.search(
+        query_vec=q, k=K, method="lsh", metric="cosine"
+    ).collect()]
+    assert _recall([i for i, _ in got], exact_ids) >= 0.8
+    for rid, sim in got:
+        if rid in exact_sim:
+            assert abs(sim - exact_sim[rid]) < 5e-5
+    with pytest.raises(ValueError, match="cosine"):
+        svc_l.build_index("lsh", metric="cosine")
+
     # batch path agrees with the single-query path (sq, rounded values)
     qdf = [(7, q), (11, list(emb.filter(F.col("id") == 11).first().embedding))]
     batch = {}
