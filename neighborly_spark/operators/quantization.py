@@ -752,7 +752,7 @@ def sq_encode_expr(vec_col: str, model: SQModel) -> Column:
             d = w * SQ_BYTES_PER_WORD + j
             if d >= model.dim:
                 break
-            el = f"cast({vec_col}[{d}] as double)"
+            el = f"cast(`{vec_col}`[{d}] as double)"
             if scale[d] == 0.0:
                 valid = "cast(0 as bigint)"  # degenerate dim: one byte fits all
             else:
@@ -809,7 +809,7 @@ def _deq_sql(code_col: str, model: SQModel, d: int) -> str:
     `D` suffixes pin every literal to DOUBLE (a bare decimal parses as
     DECIMAL in Spark SQL, which would change rounding)."""
     w, j = divmod(d, SQ_BYTES_PER_WORD)
-    byte = f"(shiftright({code_col}[{w}], {8 * j}) & 255)"
+    byte = f"(shiftright(`{code_col}`[{w}], {8 * j}) & 255)"
     return f"({model.vmin[d]!r}D + cast({byte} as double) * {model.scale[d]!r}D)"
 
 
@@ -870,7 +870,7 @@ def sq_append_drift(df: DataFrame, model: SQModel, vec_col: str = "embedding") -
     # form cost ~0.8 s of py4j construction per append batch at dim 64
     out_terms, err_terms = [], []
     for d in range(model.dim):
-        el = f"cast({vec_col}[{d}] as double)"
+        el = f"cast(`{vec_col}`[{d}] as double)"
         finite = f"({el} is not null and not isnan({el}) and abs({el}) < double('inf'))"
         out_terms.append(
             f"({finite} and ({el} < {model.vmin[d]!r}D or {el} > {model.vmax[d]!r}D))"
