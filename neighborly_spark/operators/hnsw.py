@@ -44,7 +44,14 @@ the final k rows.
   (coarse-quantizer cells, the DiskANN/SPANN layout); hash shards are
   uniform subsamples and must be searched exhaustively
   (docs/RECALL.md round-4 table: spatial p=1 -> recall 1.00, hash p=8 of
-  16 -> 0.41).
+  16 -> 0.41). Routing is expressed IN the plan (hnsw_route_queries):
+  no query ever collects the routing table.
+- SNAPSHOT SERVING (`hnsw_search_batch_snapshot`): a SAVED graph serves
+  with zero graph bytes in the plan — tasks carry only (query, shard)
+  assignment rows; each worker reads its shard's immutable parquet
+  directly and LRU-caches the rehydrated graph keyed by the snapshot
+  version. The durable-index tier: graph bytes move executor<-storage
+  once per worker per version, never executor<-executor per query.
 """
 
 from __future__ import annotations
