@@ -150,6 +150,35 @@ def test_snapshot_serving_tier(spark, emb, tmp_path):
     assert any(r.id == int(new.first().id) and r.dist == 0.0 for r in hits)
 
 
+def test_snapshot_serving_with_probe_routing(spark, tmp_path):
+    """Snapshot tier x spatial probe routing: a snapshot-loaded spatial
+    graph serves probed searches through the worker-resident tier with
+    results equal to the DataFrame probe path."""
+    from neighborly_spark.search_service import SearchService
+
+    vec = _clustered(spark, n=2000).cache()
+    vec.count()
+    svc = SearchService(vec, dim=16)
+    svc.build_index("hnsw", spatial=True)
+    q = list(vec.first().embedding)
+    want = [(r.id, round(r.dist, 9)) for r in svc.search(
+        query_vec=q, k=5, method="hnsw", hnsw_probe_shards=2).collect()]
+    path = str(tmp_path / "snap_spatial")
+    svc.save(path)
+    loaded = SearchService.load(spark, path)
+    assert loaded._hnsw_snapshot is not None and loaded._hnsw_spatial
+    got = [(r.id, round(r.dist, 9)) for r in loaded.search(
+        query_vec=q, k=5, method="hnsw", hnsw_probe_shards=2).collect()]
+    assert got == want
+    # batch facade with probes on the snapshot tier
+    qs = [(0, q), (1, list(vec.filter(F.col("id") == 7).first().embedding))]
+    by_q = {}
+    for r in loaded.search_batch(qs, k=5, method="hnsw", hnsw_probe_shards=2).collect():
+        by_q.setdefault(r.query_id, set()).add(r.id)
+    assert set(by_q) == {0, 1} and all(len(v) == 5 for v in by_q.values())
+    vec.unpersist()
+
+
 def test_incremental_add(spark, emb):
     """hnsw_add: inserts land in the shard their id hashes to, untouched
     shards pass through byte-identical, and the updated graphs serve both
