@@ -936,25 +936,12 @@ _SNAPSHOT_CACHE_MAX = 8
 
 
 def _queries_local_relation(spark, queries) -> DataFrame:
-    """(query_id, query_embedding) frame as a JVM LocalRelation (VALUES
-    clause). createDataFrame over a local python list builds a
-    python-RDD-backed plan whose every scan round-trips a python worker —
-    measured ~4 s of per-query latency on the snapshot serving path; the
-    VALUES relation scans JVM-side for free. D-suffixed literals pin
-    DOUBLE. Non-finite query values raise (their SQL literals don't
-    exist, and a NaN query is undefined anyway)."""
-    import math as _math
+    """(query_id, query_embedding) frame as a JVM LocalRelation — see
+    session.local_relation_queries (createDataFrame(list) would put a
+    python-RDD scan in front of every serving query)."""
+    from neighborly_spark.session import local_relation_queries
 
-    rows = []
-    for qid, vec in queries:
-        if any(not _math.isfinite(float(v)) for v in vec):
-            raise ValueError("query vectors contain NaN/Inf — distances would be undefined")
-        vals = ", ".join(repr(float(v)) + "D" for v in vec)
-        rows.append(f"({int(qid)}, array({vals}))")
-    return spark.sql(
-        "SELECT cast(col1 as bigint) query_id, col2 query_embedding "
-        f"FROM VALUES {', '.join(rows)}"
-    )
+    return local_relation_queries(spark, queries, elem_type="double")
 
 
 def _positions_of(ids: np.ndarray, flat: np.ndarray) -> np.ndarray:

@@ -1101,9 +1101,14 @@ class SearchService:
         def as_df():
             if isinstance(queries, DataFrame):
                 return queries
-            return self.df.sparkSession.createDataFrame(
-                [(int(q[0]), [float(v) for v in q[1]]) for q in queries],
-                "query_id bigint, query_embedding array<float>",
+            # JVM LocalRelation, not createDataFrame(list): the batch tiers
+            # scan the query frame in MULTIPLE plan branches (prefilter,
+            # pass counts, fallback pools), and a python-RDD-backed frame
+            # pays a python worker round trip per scan
+            from neighborly_spark.session import local_relation_queries
+
+            return local_relation_queries(
+                self.df.sparkSession, queries, elem_type="float"
             )
 
         pred = self._tag_predicate(tag_any, tag_all)

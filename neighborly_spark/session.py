@@ -48,3 +48,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def local_relation_queries(spark: SparkSession, queries, elem_type: str = "double"):
+    """(query_id, query_embedding) DataFrame as a JVM LocalRelation
+    (VALUES clause) — NOT createDataFrame(list), which builds a
+    python-RDD-backed plan whose every scan round-trips a python worker
+    (measured ~4 s/query on serving paths; a crossJoin of two such frames
+    even compiles to a defaultParallelism^2-task CartesianProduct).
+    D-suffixed literals pin DOUBLE elements (bare decimals parse as
+    DECIMAL); ``elem_type='float'`` casts the array for float32 consumers.
+    Non-finite values raise — their SQL literals don't exist, and a NaN
+    query is undefined in every consumer anyway."""
+    import math
+
+    rows = []
+    for qid, vec in queries:
+        if any(not math.isfinite(float(v)) for v in vec):
+            raise ValueError("query vectors contain NaN/Inf — distances would be undefined")
+        vals = ", ".join(repr(float(v)) + "D" for v in vec)
+        rows.append(f"({int(qid)}, array({vals}))")
+    emb = "col2" if elem_type == "double" else f"cast(col2 as array<{elem_type}>)"
+    return spark.sql(
+        f"SELECT cast(col1 as bigint) query_id, {emb} query_embedding "
+        f"FROM VALUES {', '.join(rows)}"
+    )
