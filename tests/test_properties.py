@@ -237,3 +237,73 @@ def test_exact_substr_guarantee(spark, shared, pre_a, post_b, other):
     assert any(st_ <= start1 and en >= start1 + L - 1 for _, st_, en in s1)
     s2 = [s for s in spans if s[0] == 2]
     assert any(st_ <= 0 and en >= L - 1 for _, st_, en in s2)
+
+
+# --- HNSW shard-kernel laws (round 6 — pure NumPy, no Spark job) --------------
+
+_hnsw_vec = st.lists(
+    st.floats(min_value=-10.0, max_value=10.0, allow_nan=False, width=32),
+    min_size=6, max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_hnsw_vec, min_size=2, max_size=120, unique_by=tuple),
+       st.integers(min_value=0, max_value=2**31 - 2))
+def test_hnsw_kernel_small_n_is_exact(vecs, seed):
+    """With n <= ef the beam explores the whole connected graph, and HNSW
+    graphs are connected by construction (every insert links to >= 1
+    prior node, edges added both ways) — so search(k) must equal the
+    brute-force top-k ID SET on any input (float ties may reorder within
+    equals; set equality is the law)."""
+    import numpy as np
+
+    from neighborly_spark.operators.hnsw import ML_DEFAULT, _ShardGraph
+
+    x = np.asarray(vecs, dtype=np.float64)
+    g = _ShardGraph(x, 16, 32, 200, ML_DEFAULT, __import__("numpy").random.RandomState(seed))
+    for i in range(len(x)):
+        g.insert(i)
+    q = x[0] + 0.01
+    k = min(5, len(x))
+    got = [i for i, _ in g.search(q, k, 200)]
+    assert len(set(got)) == len(got) == k
+    d = np.sqrt(((x - q) ** 2).sum(axis=1))
+    kth = np.sort(d)[k - 1]
+    want_at_most = set(np.flatnonzero(d <= kth + 1e-12).tolist())
+    assert set(got) <= want_at_most  # top-k up to distance ties
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_hnsw_vec, min_size=3, max_size=120, unique_by=tuple),
+       st.integers(min_value=0, max_value=2**31 - 2),
+       st.integers(min_value=1, max_value=6))
+def test_hnsw_kernel_filtered_laws(vecs, seed, modulus):
+    """Filtered search returns ONLY allowed nodes; when the allowed set is
+    small it equals the brute-force filtered top-k set; degree bounds hold
+    at every layer after all inserts."""
+    import numpy as np
+
+    from neighborly_spark.operators.hnsw import ML_DEFAULT, _ShardGraph
+
+    x = np.asarray(vecs, dtype=np.float64)
+    g = _ShardGraph(x, 16, 32, 200, ML_DEFAULT, np.random.RandomState(seed))
+    for i in range(len(x)):
+        g.insert(i)
+    allowed = (np.arange(len(x)) % modulus) == 0
+    q = x[-1]
+    k = 3
+    got = [i for i, _ in g.search_filtered(q, k, 200, allowed)]
+    assert all(allowed[i] for i in got)
+    assert len(got) == min(k, int(allowed.sum()))
+    d = np.sqrt(((x - q) ** 2).sum(axis=1))
+    d[~allowed] = np.inf
+    kk = min(k, int(allowed.sum()))
+    kth = np.sort(d)[kk - 1]
+    assert set(got) <= set(np.flatnonzero(d <= kth + 1e-12).tolist())
+    # degree bounds (HNSWConfig): layer 0 <= MaxM0, upper layers <= M
+    for i in range(len(x)):
+        base = int(g.row_off[i])
+        for layer in range(int(g.levels[i]) + 1):
+            deg = int(g.deg[base + layer])
+            assert deg <= (32 if layer == 0 else 16), (i, layer, deg)
