@@ -658,6 +658,31 @@ def test_shared_coarse_quantizer(spark, emb, tmp_path):
     assert loaded.search(query_vec=q, k=3, method="ivfpq").count() == 3
 
 
+def test_range_search_sq_tier_and_lossless_gating(spark, emb):
+    """range_search(method='sq'): identical rows to the exact scan while
+    the lossless precondition holds; an out-of-range append voids the
+    bound and the service silently serves the exact scan instead (still
+    correct — including the appended rows)."""
+    svc = SearchService(emb, dim=64)
+    q = list(emb.first().embedding)
+    exact = [(r.id, round(r.dist, 9)) for r in svc.range_search(query_vec=q, radius=2.0).collect()]
+    got = [(r.id, round(r.dist, 9)) for r in svc.range_search(query_vec=q, radius=2.0, method="sq").collect()]
+    assert got == exact and len(got) > 0
+
+    # out-of-range append -> sq_lossless False -> exact fallback, which
+    # still returns the appended row inside the radius
+    shifted = emb.limit(1).withColumn("id", F.col("id") + 910000).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(50.0)).cast("array<float>"),
+    )
+    svc.add_vectors(shifted)
+    stats = {s["index"]: s for s in svc.index_stats()}
+    assert stats["sq"]["sq_lossless"] is False
+    probe = list(shifted.select("embedding").collect()[0].embedding)
+    got = {r.id for r in svc.range_search(query_vec=probe, radius=0.5, method="sq").collect()}
+    assert 910000 in got  # the quantized prefilter would have lost it
+
+
 def test_search_batch_nonfinite_df_raises(spark, emb):
     """DataFrame query inputs hit the SAME non-finite guard as list inputs
     (round-5 ADVICE: silent filtering left unexplained gaps in results)."""
