@@ -337,6 +337,20 @@ def bench_sq_150k(spark, sf_dir):
     return sq_search_precoded(vec, codes, model, QUERY_VEC, 10, rerank=False)
 
 
+def bench_sq_range_150k(spark, sf_dir):
+    """Lossless SQ radius search (Q2's scale tier, round 6 as its own
+    entry): quantized prefilter at radius+eps over the packed codes (1/4
+    the float bytes), exact verify touching candidates only — rows
+    IDENTICAL to the exact scan (decode-error bound, test-gated). Radius
+    3.77 ~ the 100th-NN distance at this tier (~100 rows out)."""
+    from neighborly_spark.operators.quantization import sq_range_search
+
+    bench_sq_150k(spark, sf_dir)  # model + codes ready (untimed build)
+    vec = _synth_vectors(spark, sf_dir)
+    model, codes = _STATE["sq"]
+    return sq_range_search(vec, codes, model, QUERY_VEC, radius=3.77)
+
+
 def bench_ivfpq_150k(spark, sf_dir):
     """Composed IVF+PQ at its serving default (ADC shortlist + exact
     rerank, search_service method 'ivfpq'): coarse + residual codebooks
@@ -418,6 +432,7 @@ BENCH_LOCAL = {
     "bq_search_150k": bench_bq_150k,
     "pq_search_150k": bench_pq_150k,
     "sq_search_150k": bench_sq_150k,
+    "sq_range_150k": bench_sq_range_150k,
     "ivfpq_search_150k": bench_ivfpq_150k,
     "hnsw_search_150k": bench_hnsw_150k,
     "hnsw_batch32_150k": bench_hnsw_batch32_150k,
