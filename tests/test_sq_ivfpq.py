@@ -644,6 +644,37 @@ def test_cosine_metric_matrix_quantized_tiers(spark, emb):
         svc_e.search_batch(qdf, k=5, method="linear", metric="cosine")
 
 
+def test_cosine_composes_with_tag_filters(spark, emb):
+    """metric='cosine' x tag filters: the filtered exact cosine oracle is
+    matched set-wise by the lossless sq tier, and every quantized tier
+    returns only allowed rows with true similarity values."""
+    from neighborly_spark.search_service import SearchService
+
+    tagged = emb.withColumn("tags", F.array((F.col("id") % 3).cast("smallint"))).cache()
+    tagged.count()
+    svc = SearchService(tagged, dim=64)
+    for m in ("sq", "ivfpq"):
+        svc.build_index(m, metric="cosine")
+    q = list(emb.filter(F.col("id") == 7).first().embedding)
+    allowed_df = tagged.filter(F.array_contains("tags", 1))
+    allowed = {r.id for r in allowed_df.select("id").collect()}
+    exact = {
+        r.id: float(r.dist)
+        for r in exact_knn(allowed_df, q, 5, metric="cosine").collect()
+    }
+    got = [(r.id, float(r.dist)) for r in svc.search(
+        query_vec=q, k=5, method="sq", metric="cosine", tag_any=[1], sq_rerank=True
+    ).collect()]
+    assert {i for i, _ in got} == set(exact)
+    for rid, sim in got:
+        assert abs(sim - exact[rid]) < 5e-5
+    ip = [(r.id, float(r.dist)) for r in svc.search(
+        query_vec=q, k=5, method="ivfpq", metric="cosine", tag_any=[1]
+    ).collect()]
+    assert {i for i, _ in ip} <= allowed and 7 in {i for i, _ in ip}
+    tagged.unpersist()
+
+
 def test_cosine_index_snapshot_roundtrip(spark, emb, tmp_path):
     """A cosine-built sq index survives save/load: the loaded service
     knows the metric and serves identical results."""
