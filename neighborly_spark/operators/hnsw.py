@@ -84,18 +84,20 @@ ML_DEFAULT = 1.0 / math.log(float(M_DEFAULT))
 #: Auto-sizing target for hnsw_build when the caller passes no shard count.
 #: Build TIME per shard is the binding constraint. The round-6 kernel
 #: (flat int32 adjacency + epoch visited tags + batched beam expansion +
-#: bound-prefiltered heap entry, plus the paper's mL) made per-insert cost
-#: NEAR-CONSTANT in shard size — measured at 64d uniform: 2.07 ms/insert
-#: at 5k rows, 2.11 at 10k, 2.51 at 20k, 2.64 at 35k, 2.70 at 50k
-#: (1.3x per-insert growth over 10x rows; the round-5 kernel grew 2.7x
-#: over 3.8x and forced a 10k target). A 50k x 64d shard builds in ~126 s
-#: and searches at ~2.4 ms; memory per shard (~20 MB: float32 matrix +
-#: int32 adjacency) is nowhere near the bound. Bigger shards mean 5x
-#: fewer routing rows and rehydrations at 100 TB — at 10^10 rows this
-#: target yields ~2x10^5 shards, and shard count is further controlled by
-#: raising the target (insert cost no longer punishes it). Search cost is
-#: linear in shard count on hash layouts — spatial builds + probe routing
-#: restore sublinearity.
+#: bound-prefiltered heap entry, the paper's mL, and Alg.-4 neighbor
+#: selection with slack-capacity pruning) keeps per-insert cost
+#: near-linear in shard size — measured at 64d uniform: 2.45 ms/insert
+#: at 5k rows, 2.99 at 10k, 3.34 at 20k, 3.78 at 35k, 4.14 at 50k
+#: (1.7x per-insert growth over 10x rows at recall 1.0; the round-5
+#: kernel grew 2.7x over 3.8x and forced a 10k target). A 50k x 64d
+#: shard builds in ~190 s and searches at ~2.4 ms; memory per shard
+#: (~25 MB: float32 matrix + int32 adjacency incl. slack) is nowhere
+#: near the bound. Bigger shards mean 5x fewer routing rows and
+#: rehydrations at 100 TB — at 10^10 rows this target yields ~2x10^5
+#: shards, and shard count is further controlled by raising the target
+#: (insert cost no longer punishes it). Search cost is linear in shard
+#: count on hash layouts — spatial builds + probe routing restore
+#: sublinearity.
 TARGET_ROWS_PER_SHARD = 50_000
 
 
@@ -153,14 +155,22 @@ class _ShardGraph:
         self.entry = -1
 
     def _alloc(self) -> None:
-        """(Re)allocate the flat adjacency arrays for the current levels."""
+        """(Re)allocate the flat adjacency arrays for the current levels.
+
+        Row capacity is 2 x max_conn (SLACK): reverse-edge appends
+        accumulate up to twice the cap before a single Alg.-4 re-selection
+        trims the row back to max_conn — pruning on every overflow would
+        run the selection ~max_conn times more often for the same final
+        graph quality (the slack edges only ADD recall during
+        construction). finalize() trims every row before serving/
+        serialization."""
         counts = self.levels + 1
         n = len(self.levels)
         self.row_off = np.zeros(n, dtype=np.int64)
         if n > 1:
             np.cumsum(counts[:-1], out=self.row_off[1:])
         total = int(counts.sum())
-        self.cap = max(self.max_m0, self.m) + 1
+        self.cap = 2 * max(self.max_m0, self.m)
         self.nbr = np.full((total, self.cap), -1, dtype=np.int32)
         self.deg = np.zeros(total, dtype=np.int32)
         self.visit_tag = np.zeros(n, dtype=np.int64)
@@ -288,6 +298,61 @@ class _ShardGraph:
             (n for _, n in sorted((-b, n) for b, n in best)), dtype=np.int64, count=len(best)
         )
 
+    @staticmethod
+    def _heuristic_keep(d_target: np.ndarray, D: np.ndarray, max_conn: int) -> list[int]:
+        """Neighbor selection, Malkov-Yashunin Algorithm 4 over candidates
+        SORTED ascending by distance-to-target: keep candidate c iff it is
+        closer to the target than to every already-kept neighbor — the
+        DIVERSITY rule that keeps dense regions connected. Closest-k
+        selection (the reference's SelectNeighbors/PruneConnections,
+        HNSW.cs:253-304) fragments clustered data at layer 0 into
+        mutually-closest islands (measured: an 8-cluster shard's layer-0
+        graph split into per-cluster components and an early-node island
+        the beam could not reach — recall MISSED an exact-match neighbor);
+        the reference escapes it only via its very deep level hierarchy.
+        Leftover slots fill with the nearest rejected candidates
+        (hnswlib's keepPrunedConnections), so degree — and with it recall
+        on uniform data — is preserved.
+
+        ``d_target``: ascending squared distances to the target;
+        ``D``: pairwise squared distances among the candidates."""
+        # vectorized greedy: keeping candidate k eliminates (for keeping)
+        # every candidate closer to k than to the target — ONE boolean AND
+        # over all candidates per KEEP (<= max_conn vector ops total)
+        # instead of a per-candidate check against the kept set. ok[c] at
+        # the moment c is scanned == "farther from every kept-so-far than
+        # from the target", the sequential Alg.-4 condition exactly.
+        n = len(d_target)
+        ok = np.ones(n, dtype=bool)
+        kept: list[int] = []
+        for c in range(n):
+            if len(kept) >= max_conn:
+                break
+            if ok[c]:
+                kept.append(c)
+                ok &= D[:, c] > d_target
+        if len(kept) < max_conn:
+            keep_flag = np.zeros(n, dtype=bool)
+            keep_flag[kept] = True
+            for c in np.flatnonzero(~keep_flag).tolist():
+                if len(kept) >= max_conn:
+                    break
+                kept.append(c)  # keepPrunedConnections: nearest rejected
+        return kept
+
+    def _select_neighbors(self, q: np.ndarray, cands: np.ndarray, max_conn: int) -> np.ndarray:
+        """Alg.-4 selection for a new node's own edges: one pairwise
+        squared-distance matrix over the beam candidates (bounded by efC),
+        then the greedy diversity filter."""
+        if len(cands) <= 1:
+            return cands
+        xc = self.x[cands].astype(np.float64)
+        dq = ((xc - q) ** 2).sum(axis=1)  # ascending already (beam order)
+        sq = (xc * xc).sum(axis=1)
+        D = sq[:, None] + sq[None, :] - 2.0 * (xc @ xc.T)
+        keep = self._heuristic_keep(dq, D, max_conn)
+        return cands[np.asarray(keep, dtype=np.int64)]
+
     def insert(self, i: int) -> None:
         l_new = int(self.levels[i])
         if self.entry < 0:
@@ -302,31 +367,74 @@ class _ShardGraph:
             cands = self._search_layer(q, ep, self.efc, layer)
             max_conn = self.max_m0 if layer == 0 else self.m
             # layer 0 connects up to MaxM0 (HNSW.cs Insert:
-            # maxConnections = lc==0 ? MaxM0 : M); upper layers up to M
-            neigh = cands[:max_conn]
+            # maxConnections = lc==0 ? MaxM0 : M); upper layers up to M.
+            # Selection is the paper's Alg. 4, not closest-k — see
+            # _heuristic_keep for why (connectivity on clustered data).
+            neigh = self._select_neighbors(
+                self.x[i].astype(np.float64), cands, max_conn
+            )
             row_i = self.row_off[i] + layer
             self.nbr[row_i, : len(neigh)] = neigh
             self.deg[row_i] = len(neigh)
-            # reverse edges in one vectorized append, then ONE batched prune
-            # over every overflowing neighbor (HNSW.cs:253-304's
-            # simple-select): row capacity is max_conn+1, so the append
-            # always fits and overflow rows hold exactly max_conn+1 entries
+            # reverse edges in one vectorized append; a row re-selects
+            # (Alg. 4) only when it fills its SLACK capacity 2*max_conn —
+            # see _alloc. finalize() trims the rest at the end.
             rows_v = self.row_off[neigh] + layer
             dv = self.deg[rows_v]
             self.nbr[rows_v, dv] = i
             self.deg[rows_v] = dv + 1
-            over = rows_v[dv >= max_conn]
+            over_mask = (dv + 1) >= 2 * max_conn
+            over = rows_v[over_mask]
             if over.size:
-                lists = self.nbr[over, : max_conn + 1]
-                centers = self.x[neigh[dv >= max_conn]][:, None, :]
-                dl = self.x[lists] - centers
-                d = np.einsum("ijk,ijk->ij", dl, dl)
-                keep = np.argsort(d, axis=1, kind="stable")[:, :max_conn]
-                self.nbr[over, :max_conn] = np.take_along_axis(lists, keep, axis=1)
-                self.deg[over] = max_conn
+                self._reselect_rows(
+                    over, self.x[neigh[over_mask]].astype(np.float64), max_conn
+                )
             ep = cands
         if l_new > top:
             self.entry = i
+
+    def _reselect_rows(self, rows: np.ndarray, centers64: np.ndarray, max_conn: int) -> None:
+        """Alg.-4 re-selection of FULL adjacency rows (all ``rows`` share
+        one width = their current degree): one batched gram-trick pairwise
+        matrix, then the greedy filter per row. ``centers64``: the row
+        owners' vectors, float64 (o, dim)."""
+        w = int(self.deg[rows[0]])
+        lists = self.nbr[rows, :w]  # (o, w)
+        xl = self.x[lists].astype(np.float64)  # (o, w, dim)
+        diff = xl - centers64[:, None, :]
+        d_tgt = np.einsum("ijk,ijk->ij", diff, diff)  # (o, w)
+        sq = np.einsum("owk,owk->ow", xl, xl)
+        G = np.einsum("oik,ojk->oij", xl, xl)
+        D = sq[:, :, None] + sq[:, None, :] - 2.0 * G  # (o, w, w)
+        order = np.argsort(d_tgt, axis=1, kind="stable")
+        for oi in range(len(rows)):
+            o = order[oi]
+            keep = self._heuristic_keep(d_tgt[oi][o], D[oi][np.ix_(o, o)], max_conn)
+            sel = lists[oi][o[np.asarray(keep, dtype=np.int64)]]
+            self.nbr[rows[oi], : len(sel)] = sel
+            self.deg[rows[oi]] = len(sel)
+
+    def finalize(self) -> None:
+        """Trim every adjacency row to its layer cap with the Alg.-4
+        selection — the one-shot complement of the slack-capacity build.
+        Idempotent; _build_shard / hnsw_add run it before serializing (the
+        artifact contract stays deg <= MaxM0 / M per layer)."""
+        counts = self.levels + 1
+        total = int(counts.sum())
+        row_layer = np.arange(total, dtype=np.int64) - np.repeat(self.row_off, counts)
+        max_conn_row = np.where(row_layer == 0, self.max_m0, self.m)
+        over = np.flatnonzero(self.deg > max_conn_row)
+        if not len(over):
+            return
+        owners = np.repeat(np.arange(len(self.levels), dtype=np.int64), counts)
+        from collections import defaultdict
+
+        groups: dict = defaultdict(list)
+        for r in over.tolist():
+            groups[(int(self.deg[r]), int(max_conn_row[r]))].append(r)
+        for (_, mc), rws in groups.items():
+            rr = np.asarray(rws, dtype=np.int64)
+            self._reselect_rows(rr, self.x[owners[rr]].astype(np.float64), mc)
 
     def search(self, q: np.ndarray, k: int, ef: int) -> list[tuple[int, float]]:
         if self.entry < 0:
@@ -477,6 +585,7 @@ def _build_shard(
     order = np.argsort(ids, kind="stable")
     for i in order:
         g.insert(int(i))
+    g.finalize()  # trim slack rows: the artifact contract is deg <= cap
     out = {
         "part_id": np.full(len(ids), part_id, dtype=np.int32),
         "id": ids.astype(np.int64),
@@ -1204,6 +1313,7 @@ def hnsw_add(
         all_ids = np.concatenate([ids, new_ids])
         for i in np.argsort(new_ids, kind="stable"):
             g.insert(n0 + int(i))
+        g.finalize()  # trim slack rows before re-serializing
         out = {
             "part_id": np.full(len(all_ids), part_id, dtype=np.int32),
             "id": all_ids.astype(np.int64),

@@ -503,7 +503,14 @@ class SearchService:
         cosine semantics: on unit vectors cos = 1 - d^2/2 EXACTLY, the
         mapping is monotone-decreasing (euclid-asc order IS similarity-desc
         order, ties unchanged), and the reported column becomes the
-        similarity — most-similar first, (sim desc, id asc)."""
+        similarity — most-similar first, (sim desc, id asc).
+
+        Edge divergence (documented, not handled): a ZERO-magnitude row
+        normalizes to itself (distance.normalize's no-NaN contract), so
+        the bridged tiers report sim = 1 - (1 + 0)/2 = 0.5 for it, where
+        the exact path computes NaN (0/0) and ranks it last. Zero vectors
+        are degenerate input either way; the exact path is authoritative
+        for them."""
         d = F.col("dist")
         out = out.withColumn("dist", F.lit(1.0) - d * d / F.lit(2.0))
         return out.orderBy(F.col("dist").desc(), F.col(self.id_col).asc())

@@ -90,6 +90,30 @@ def test_service_integration_and_snapshot(spark, emb, tmp_path):
     assert after == before
 
 
+def test_clustered_single_shard_finds_exact_match(spark):
+    """Regression (round 6): with closest-k neighbor selection an
+    8-cluster single-shard graph FRAGMENTED at layer 0 (per-cluster
+    islands plus an early-node island), and the beam missed a
+    DISTANCE-ZERO neighbor entirely. The Alg.-4 diversity selection
+    (_ShardGraph._heuristic_keep) keeps the graph connected: the
+    self-query must rank first at dist 0, and recall vs exact must clear
+    the bar on clustered data in ONE shard."""
+    vec = _clustered(spark, n=2000).cache()
+    vec.count()
+    g = hnsw_build(vec, dim=16, num_partitions=1).cache()
+    g.count()
+    hits = 0
+    for r in vec.orderBy(F.xxhash64("id")).limit(8).collect():
+        q = list(r.embedding)
+        got = [(x.id, x.dist) for x in hnsw_search(g, q, 10).collect()]
+        assert got[0][0] == r.id and got[0][1] == 0.0, r.id
+        exact = {x.id for x in knn(vec, q, 10).collect()}
+        hits += len(exact & {i for i, _ in got})
+    assert hits / 80 >= 0.8
+    g.unpersist()
+    vec.unpersist()
+
+
 def test_snapshot_serving_tier(spark, emb, tmp_path):
     """Worker-resident snapshot serving (round 6): a snapshot-loaded
     service answers hnsw searches with ZERO graph bytes in the plan (the
@@ -409,6 +433,32 @@ def test_tag_filtered_hnsw_recall_and_extreme_selectivity(spark, emb):
     assert got == want
     g.unpersist()
     tagged.unpersist()
+
+
+def test_filter_composes_with_spatial_probe_routing(spark):
+    """Tag filter x spatial probe routing: the _allowed mask rides the
+    graph frame through the routing semi-join / cogroup, so a probed
+    filtered search returns only allowed rows (both single and batch)."""
+    from neighborly_spark.search_service import SearchService
+
+    vec = _clustered(spark, n=2000).withColumn(
+        "tags", F.array((F.col("id") % 2).cast("smallint"))
+    ).cache()
+    vec.count()
+    svc = SearchService(vec, dim=16)
+    svc.build_index("hnsw", spatial=True)
+    allowed = {r.id for r in vec.filter(F.array_contains("tags", 1)).select("id").collect()}
+    q = list(vec.filter(F.col("id") == 7).first().embedding)  # id 7 allowed
+    got = [r.id for r in svc.search(
+        query_vec=q, k=5, method="hnsw", tag_any=[1], hnsw_probe_shards=2
+    ).collect()]
+    assert got and set(got) <= allowed and 7 in got
+    by_q = {}
+    for r in svc.search_batch([(7, q)], k=5, method="hnsw", tag_any=[1],
+                              hnsw_probe_shards=2).collect():
+        by_q.setdefault(r.query_id, set()).add(r.id)
+    assert by_q and by_q[7] <= allowed and 7 in by_q[7]
+    vec.unpersist()
 
 
 def test_tagged_graph_remove_keeps_tags(spark, emb):

@@ -290,6 +290,7 @@ def test_hnsw_kernel_filtered_laws(vecs, seed, modulus):
     g = _ShardGraph(x, 16, 32, 200, ML_DEFAULT, np.random.RandomState(seed))
     for i in range(len(x)):
         g.insert(i)
+    g.finalize()  # degree caps are the POST-finalize (artifact) contract
     allowed = (np.arange(len(x)) % modulus) == 0
     q = x[-1]
     k = 3
