@@ -557,11 +557,21 @@ class _ShardGraph:
             order = np.lexsort((idx, d))[:k]
             return [(int(idx[j]), float(d[j])) for j in order]
         sel = n_allowed / len(self.x)
+        # cap the inflated beam at n_allowed: an ef_eff the filter can never
+        # fill leaves the termination bound at +inf and the beam walks the
+        # whole shard — when that would happen, the exact scan of the
+        # allowed rows is strictly cheaper AND recall-1.0
         ef_eff = int(min(
             len(self.x),
             max(eff, math.ceil(eff / sel)),
             self._FILTER_EF_CAP_MULT * eff,
+            n_allowed,
         ))
+        if ef_eff >= n_allowed:
+            idx = np.flatnonzero(allowed)
+            d = self._dist(q, idx)
+            order = np.lexsort((idx, d))[:k]
+            return [(int(idx[j]), float(d[j])) for j in order]
         q32 = np.asarray(q, dtype=np.float32)
         ep = np.array([self.entry], dtype=np.int64)
         for layer in range(int(self.levels[self.entry]), 0, -1):

@@ -743,6 +743,13 @@ def sq_encode_expr(vec_col: str, model: SQModel) -> Column:
     tree is ONE F.expr string — the per-op Column form cost ~0.7 s of
     py4j construction per call site at dim 64, paid by every append batch
     and every encode-table build."""
+    if isinstance(vec_col, Column):
+        # str(Column) renders as Column<'name'> inside the SQL string —
+        # a silent parse failure at call time; reject loudly instead.
+        raise TypeError(
+            "sq_encode_expr takes the embedding COLUMN NAME (str), not a "
+            "Column — pass 'embedding', not F.col('embedding')"
+        )
     scale = model.scale
     n_words = (model.dim + SQ_BYTES_PER_WORD - 1) // SQ_BYTES_PER_WORD
     words = []

@@ -62,6 +62,15 @@ def local_relation_queries(spark: SparkSession, queries, elem_type: str = "doubl
     query is undefined in every consumer anyway."""
     import math
 
+    queries = list(queries)
+    if not queries:
+        # 'FROM VALUES ' with zero rows is a ParseException; preserve the old
+        # createDataFrame behavior of an empty frame with the right schema.
+        return spark.sql(
+            "SELECT cast(null as bigint) query_id, "
+            f"cast(null as array<{elem_type}>) query_embedding WHERE false"
+        )
+
     rows = []
     for qid, vec in queries:
         if any(not math.isfinite(float(v)) for v in vec):

@@ -133,7 +133,7 @@ def main() -> None:
         t0 = time.perf_counter()
         sq_model = sq_train(vec, 64, "embedding")
         sq_codes = vec.select(
-            "id", sq_encode_expr(F.col("embedding"), sq_model).alias("code")
+            "id", sq_encode_expr("embedding", sq_model).alias("code")
         ).cache()
         sq_codes.count()
         results.append(("sq_build", label, n_vec, n_vec, time.perf_counter() - t0))
