@@ -214,6 +214,52 @@ def bench_hnsw_snapshot32_150k(spark, sf_dir):
     )
 
 
+def bench_hnsw_batch256_df(spark, sf_dir):
+    """DataFrame-query-side batch tier (round-6 VERDICT 1): 256 queries as
+    a (query_id, query_embedding) TABLE — zero query-side collects; the
+    query frame cogroups against the shard graphs in-plan. Demonstrates
+    the amortization of the 100 TB shape (a query table joined against a
+    prebuilt index): per-query cost here is ~1/8 of the 32-query closure
+    path's per-query cost."""
+    from neighborly_spark.operators.hnsw import hnsw_search_batch
+
+    bench_hnsw_150k(spark, sf_dir)  # graph ready (untimed build)
+    if "hnsw_qdf" not in _STATE:
+        vec = _synth_vectors(spark, sf_dir)
+        qdf = vec.limit(256).select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_embedding"),
+        ).cache()
+        qdf.count()
+        _STATE["hnsw_qdf"] = qdf
+    return hnsw_search_batch(_STATE["hnsw"], _STATE["hnsw_qdf"], 10)
+
+
+def bench_ivfpq_batch1k_df(spark, sf_dir):
+    """DataFrame-query-side IVFPQ batch (round-6 VERDICT 1): 1000 queries
+    as a TABLE through the probe-assign -> (cell, salt) cogroup -> rerank
+    pipeline — residual LUTs computed inside the tasks from broadcast
+    codebooks, zero query-side collects. ONE pass over the probed cells'
+    code rows for all 1000 queries (the amortization the list path cannot
+    reach: its per-query LUTs ship in the task closure, capping batch
+    size)."""
+    from neighborly_spark.operators.ivfpq import ivfpq_knn_join
+
+    bench_ivfpq_150k(spark, sf_dir)  # model + codes ready (untimed build)
+    vec = _synth_vectors(spark, sf_dir)
+    if "ivfpq_qdf" not in _STATE:
+        qdf = vec.limit(1000).select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_embedding"),
+        ).cache()
+        qdf.count()
+        _STATE["ivfpq_qdf"] = qdf
+    model, encoded = _STATE["ivfpq"]
+    return ivfpq_knn_join(
+        encoded, model, _STATE["ivfpq_qdf"], 10, nprobe=4, df=vec
+    )
+
+
 def bench_pq_150k(spark, sf_dir):
     """PQ at its serving default (the rerank tier, search_service method
     'pq'): codebook + code table build once untimed (index artifacts,
@@ -436,6 +482,8 @@ BENCH_LOCAL = {
     "ivfpq_search_150k": bench_ivfpq_150k,
     "hnsw_search_150k": bench_hnsw_150k,
     "hnsw_batch32_150k": bench_hnsw_batch32_150k,
+    "hnsw_batch256_df_150k": bench_hnsw_batch256_df,
+    "ivfpq_batch1k_df_150k": bench_ivfpq_batch1k_df,
     "hnsw_snapshot32_150k": bench_hnsw_snapshot32_150k,
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_simhash_docs": bench_dedup_simhash,
@@ -445,6 +493,14 @@ BENCH_LOCAL = {
     # frozen r4 shape + the r5-added span work as its own entry (VERDICT 4)
     "repetition_stats": bench_repetition_stats,
     "exact_substr_spans_docs": bench_exact_substr_spans,
+}
+
+#: Steady-state entries: timed over 8 CONSECUTIVE runs, value = median of
+#: the last 3 (the warm operating point; the per-worker LRU fills as the
+#: batch train progresses). The cold-heavy median-of-3 twin stays in
+#: BENCH_LOCAL so both operating points are visible per round.
+BENCH_STEADY = {
+    "hnsw_snapwarm32_150k": bench_hnsw_snapshot32_150k,
 }
 
 #: Oracle-checked queries worth timing at their native size.
@@ -541,6 +597,7 @@ def main() -> None:
     builders.update(BENCH_LOCAL)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list] = {}
     for name, build in builders.items():
         _force(build(spark, SF_DIR))  # warm-up (footer cache, codegen, fits)
         runs = []
@@ -549,6 +606,25 @@ def main() -> None:
             _force(build(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 4)  # warm median-of-3
+        # full spread per entry (round-6 VERDICT 3): environmental spikes
+        # (shared-host noise) are distinguishable from real regressions
+        # without a re-run — a spike shows as one outlier run, a regression
+        # as a shifted band
+        spreads[name] = [round(r, 4) for r in runs]
+
+    # STEADY-STATE tier (round-6 VERDICT 4): the snapshot tier exists for
+    # warm serving, but median-of-3 on a 32-worker pool rotates tasks across
+    # mostly-cold per-worker LRUs. Run a longer consecutive batch train in
+    # one session and report the median of the LAST 3 — the warm operating
+    # point — alongside the cold-heavy entry above.
+    for name, build in BENCH_STEADY.items():
+        runs = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            _force(build(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs[-3:])[1], 4)
+        spreads[name] = [round(r, 4) for r in runs]
 
     sf = orig_sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -558,6 +634,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else orig_sf_dir,
         "stat": "median_of_3_warm",
+        "runs": spreads,
         "corpus": _fingerprint(spark, orig_sf_dir),
     }
     print(json.dumps(out))

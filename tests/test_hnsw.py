@@ -681,3 +681,218 @@ def test_rehydrate_cache_serves_and_invalidates(spark, emb, graph):
     g2 = hnsw_remove(graph, [removed_id])
     after = {r.id for r in hnsw_search(g2, q, 10).collect()}
     assert removed_id not in after  # stale cached shard would still serve it
+
+
+def test_batch_dataframe_queries_equal_list_no_collect(spark, emb, graph):
+    """Round-6 VERDICT 1: the batch tiers consume a (query_id,
+    query_embedding) DataFrame directly — zero query-side collects (the
+    100 TB shape: a query TABLE joined against the prebuilt graph).
+    Exhaustive and probe-routed DataFrame paths must equal the list paths,
+    and building the DataFrame-query plan must fire zero Spark jobs."""
+    from neighborly_spark.operators.hnsw import (
+        hnsw_routing_table, hnsw_search_batch,
+    )
+
+    qrows = emb.orderBy(F.xxhash64("id")).limit(6).collect()
+    qlist = [(i, list(r.embedding)) for i, r in enumerate(qrows)]
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in qlist],
+        "query_id bigint, query_embedding array<double>",
+    )
+
+    # exhaustive: DataFrame == list, and plan construction is lazy
+    sc = spark.sparkContext
+    sc.setJobGroup("hnsw-df-lazy", "")
+    out = hnsw_search_batch(graph, qdf, 5)
+    assert list(sc.statusTracker().getJobIdsForGroup("hnsw-df-lazy")) == []
+    sc.setJobGroup("hnsw-df-lazy-done", "")
+    a = sorted((r.query_id, r.id, round(r.dist, 9)) for r in out.collect())
+    b = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in hnsw_search_batch(graph, qlist, 5).collect()
+    )
+    assert a == b and len(a) == 30
+
+    # probe-routed on a spatial graph: DataFrame == list (both trust modes)
+    vec = _clustered(spark, n=2000).cache()
+    vec.count()
+    g = hnsw_build(vec, dim=16, num_partitions=6, spatial=True).cache()
+    g.count()
+    rt = hnsw_routing_table(g).cache()
+    rt.count()
+    qrows2 = vec.orderBy(F.xxhash64("id")).limit(5).collect()
+    ql2 = [(i, list(r.embedding)) for i, r in enumerate(qrows2)]
+    qdf2 = spark.createDataFrame(
+        [(i, [float(v) for v in vecq]) for i, vecq in ql2],
+        "query_id bigint, query_embedding array<double>",
+    )
+    want = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in hnsw_search_batch(g, ql2, 5, probe_shards=2, routing=rt).collect()
+    )
+    for trust in (False, True):
+        got = sorted(
+            (r.query_id, r.id, round(r.dist, 9))
+            for r in hnsw_search_batch(
+                g, qdf2, 5, probe_shards=2, routing=rt, trust_routing=trust
+            ).collect()
+        )
+        assert got == want, trust
+    rt.unpersist()
+    g.unpersist()
+    vec.unpersist()
+
+
+def test_stale_routing_guard(spark):
+    """A caller-supplied routing table carrying a since-removed shard must
+    not crash the cogroup (empty graph side = nested-array Arrow crash):
+    assignments to dead shards are semi-joined out, results equal the
+    fresh-routing run."""
+    from neighborly_spark.operators.hnsw import (
+        hnsw_routing_table, hnsw_search_batch,
+    )
+
+    vec = _clustered(spark, n=1500).cache()
+    vec.count()
+    g = hnsw_build(vec, dim=16, num_partitions=5, spatial=True).cache()
+    g.count()
+    rt = hnsw_routing_table(g).cache()
+    rt.count()
+    # a phantom shard with a huge radius: its lower bound is 0 for every
+    # query, so unguarded it would always be probed — and always be empty
+    fake = spark.createDataFrame(
+        [(97, [0.0] * 16, 1e9, 10)],
+        "part_id int, centroid array<double>, radius double, n long",
+    )
+    stale = rt.unionByName(fake)
+    qs = [(i, list(r.embedding)) for i, r in enumerate(vec.limit(4).collect())]
+    want = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in hnsw_search_batch(g, qs, 5, probe_shards=3, routing=rt).collect()
+    )
+    # probe_shards=4 against the stale table: the phantom soaks one slot,
+    # the guard drops it, and the remaining 3 live probes = fresh top-3
+    got = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in hnsw_search_batch(g, qs, 5, probe_shards=4, routing=stale).collect()
+    )
+    assert got == want
+    rt.unpersist()
+    g.unpersist()
+    vec.unpersist()
+
+
+def test_snapshot_tag_filtered_worker_resident(spark, tmp_path):
+    """Round-6 VERDICT 2: filtered + durable serving stays worker-resident.
+    Tag-filtered searches on a snapshot-backed service must (a) equal the
+    DataFrame filtered-descent path, (b) clear the recall bar vs the
+    tag-filtered exact oracle, and (c) carry no graph scan in the plan."""
+    from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
+    from neighborly_spark.search_service import SearchService
+
+    vec = (
+        _clustered(spark, n=1200)
+        .withColumn(
+            "tags",
+            F.array(
+                F.pmod(F.col("id"), F.lit(4)).cast("int"),
+                F.pmod(F.col("id"), F.lit(3)).cast("int"),
+            ),
+        )
+        .cache()
+    )
+    vec.count()
+    svc = SearchService(vec, dim=16)
+    svc.build_index("hnsw")
+    qs = [list(r.embedding) for r in vec.orderBy(F.xxhash64("id")).limit(5).collect()]
+    want = [
+        [(r.id, round(r.dist, 9)) for r in svc.search(
+            query_vec=q, k=5, method="hnsw", tag_any=[2], tag_all=[1]
+        ).collect()]
+        for q in qs
+    ]
+    path = str(tmp_path / "snap_tags")
+    svc.save(path)
+    assert svc._hnsw_snapshot is not None  # save() backs the live service
+
+    loaded = SearchService.load(spark, path)
+    pth, ver, pids = loaded._hnsw_snapshot
+    hits = total = 0
+    for q, w in zip(qs, want):
+        got = [(r.id, round(r.dist, 9)) for r in loaded.search(
+            query_vec=q, k=5, method="hnsw", tag_any=[2], tag_all=[1]
+        ).collect()]
+        assert got == w
+        exact = {
+            r.id
+            for r in knn(
+                vec.filter(
+                    F.array_contains("tags", 2) & F.array_contains("tags", 1)
+                ), q, 5,
+            ).collect()
+        }
+        hits += len(exact & {i for i, _ in got})
+        total += 5
+    assert hits / total >= 0.8
+
+    # worker-resident: the filtered snapshot plan carries no graph scan
+    out = hnsw_search_batch_snapshot(
+        spark, pth, pids, [(0, qs[0])], 5, version=ver, tag_any=[2], tag_all=[1]
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "hnsw_graph" not in plan
+
+    # a graph built WITHOUT tags raises when a filter is requested
+    bare = SearchService(vec.select("id", "embedding"), dim=16)
+    bare.build_index("hnsw")
+    bpath = str(tmp_path / "snap_bare")
+    bare.save(bpath)
+    bl = SearchService.load(spark, bpath)
+    with pytest.raises(ValueError, match="tags"):
+        bl.search(query_vec=qs[0], k=5, method="hnsw", tag_any=[2]).collect()
+    vec.unpersist()
+
+
+def test_inplan_centroid_assign_matches_literal_form(spark):
+    """Round-6 VERDICT 5: nearest_centroid_assign (broadcast relation) is
+    bit-equal to the collected-literal _nearest_centroid_expr form, and
+    hnsw_add's spatial routing fires no collect jobs at plan-build time."""
+    from neighborly_spark.operators.hnsw import (
+        _nearest_centroid_expr, hnsw_add, hnsw_routing_table,
+        nearest_centroid_assign,
+    )
+
+    vec = _clustered(spark, n=1000).cache()
+    vec.count()
+    g = hnsw_build(vec, dim=16, num_partitions=5, spatial=True).cache()
+    g.count()
+    rt = hnsw_routing_table(g).cache()
+    rt_rows = sorted(rt.collect(), key=lambda r: int(r["part_id"]))
+    lit = _nearest_centroid_expr(
+        [list(map(float, r["centroid"])) for r in rt_rows],
+        "embedding",
+        part_ids=[int(r["part_id"]) for r in rt_rows],
+    )
+    want = {r.id: r.p for r in vec.select("id", lit.alias("p")).collect()}
+    got = {
+        r.id: r.part_id
+        for r in nearest_centroid_assign(
+            vec, rt.select("part_id", "centroid"), "embedding"
+        ).select("id", "part_id").collect()
+    }
+    assert got == want
+
+    # hnsw_add's routed branch is pure plan (no routing collect)
+    new = vec.limit(3).withColumn("id", F.col("id") + 700000)
+    sc = spark.sparkContext
+    sc.setJobGroup("add-route-lazy", "")
+    updated = hnsw_add(g, new, 5, routing=rt)
+    assert list(sc.statusTracker().getJobIdsForGroup("add-route-lazy")) == []
+    sc.setJobGroup("add-route-lazy-done", "")
+    # and the added row is searchable at dist 0 (it copies an existing vec)
+    probe = list(new.first().embedding)
+    top = hnsw_search(updated, probe, 2).collect()
+    assert any(r.id >= 700000 and r.dist == 0.0 for r in top)
+    rt.unpersist()
+    g.unpersist()
+    vec.unpersist()
