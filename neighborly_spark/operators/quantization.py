@@ -1075,6 +1075,60 @@ def sq_range_search(
     )
 
 
+def sq_range_search_cosine(
+    df: DataFrame,
+    codes: DataFrame,
+    model: SQModel,
+    query_vec: list[float],
+    radius: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Cosine twin of sq_range_search (round-6 VERDICT 7), for a
+    COSINE-BUILT sq index: ``codes`` encode the L2-NORMALIZED table and
+    ``model`` was trained on it (SearchService build_index('sq',
+    metric='cosine')).
+
+    Semantics replicate the exact operator's D2 quirk (knn.range_search:
+    cosine SIMILARITY fed through dist <= radius, so this KEEPS
+    LOW-similarity rows). Bridge: on unit vectors sim <= t iff
+    ||q_n - x_n|| >= r_t = sqrt(max(0, 2 - 2t)), so the quantized
+    prefilter keeps code rows with approx distance >= r_t - eps - slack:
+    eps = sqrt(sum_d (scale_d/2)^2) bounds the decode error against the
+    normalized column actually encoded (triangle inequality, same as the
+    euclidean tier), and the 1e-4 slack absorbs the float discrepancy
+    between the exact path's raw-vector cosine (dot/(|a||b|), float32)
+    and the normalized-euclid bridge (~1e-6 measured; 1e-4 is 100x
+    margin and prunes nothing that matters). The exact verify runs the
+    SAME cosine expression as operators.knn.range_search over the
+    candidate float rows — output rows AND dist values are row-for-row
+    equal to the exact operator. Same lossless PRECONDITION as the
+    euclidean tier: no out-of-range appends (the appends to a cosine
+    build are normalized before encoding, so the drift flag applies
+    unchanged)."""
+    import math as _math
+
+    from neighborly_spark.operators.knn import range_search as _exact_range
+
+    eps = _math.sqrt(sum((s / 2.0) ** 2 for s in model.scale))
+    nrm = _math.sqrt(sum(float(v) * float(v) for v in query_vec)) or 1.0
+    qn = [float(v) / nrm for v in query_vec]
+    r_t = _math.sqrt(max(0.0, 2.0 - 2.0 * float(radius)))
+    cand = (
+        codes.select(
+            F.col(id_col), sq_distance_expr("code", model, qn).alias("_qd")
+        )
+        .filter(F.col("_qd") >= F.lit(r_t - eps - 1e-4))
+        .select(id_col)
+    )
+    joined = df.join(cand, id_col)
+    return _exact_range(
+        joined, [float(v) for v in query_vec], radius, "cosine",
+        id_col, vec_col, round_to=round_to,
+    )
+
+
 def pq_search(
     encoded: DataFrame,
     model: PQModel,

@@ -1259,14 +1259,16 @@ class SearchService:
         first — SearchService.cs RangeSearch(text, radius, ...) overload).
 
         ``method='sq'`` serves the LOSSLESS quantized tier
-        (operators.quantization.sq_range_search — identical rows to the
-        exact scan at 1/4 the scanned float bytes, backed by the decode-
-        error bound) WHEN the bound's precondition holds: a euclidean sq
-        index with no out-of-range appends (index_stats' sq_lossless
-        flag). When an append has escaped the trained box — the one case
-        where the bound is void — the call silently serves the exact scan
-        instead: same rows, just without the byte savings, until
-        build_index('sq') restores the guarantee."""
+        (operators.quantization.sq_range_search / sq_range_search_cosine —
+        identical rows to the exact scan at 1/4 the scanned float bytes,
+        backed by the decode-error bound) WHEN the bound's precondition
+        holds: an sq index built for the REQUESTED metric (euclidean, or
+        cosine against a cosine build — round-6 VERDICT 7) with no
+        out-of-range appends (index_stats' sq_lossless flag). When an
+        append has escaped the trained box — the one case where the bound
+        is void — the call silently serves the exact scan instead: same
+        rows, just without the byte savings, until build_index('sq')
+        restores the guarantee."""
         if radius <= 0:
             raise ValueError("Radius must be greater than 0")  # SearchService.cs:229
         if text is not None:
@@ -1275,11 +1277,16 @@ class SearchService:
         if query_vec is None:
             raise ValueError("provide query_vec or text")
         if method.lower() == "sq":
-            if metric != "euclidean":
-                raise ValueError("the sq range tier is euclidean-only")
+            if metric not in ("euclidean", "cosine"):
+                raise ValueError("the sq range tier serves euclidean or cosine")
             self._quant_metric_guard("sq", self._sq_model is not None, metric)
             query_vec = self._check_query(query_vec)
             if self._sq_drift["out_of_range_rows"] == 0:
+                if metric == "cosine":
+                    return QZ.sq_range_search_cosine(
+                        self.df, self._sq_codes, self._sq_model, query_vec,
+                        radius, id_col=self.id_col, vec_col=self.vec_col,
+                    )
                 return QZ.sq_range_search(
                     self.df, self._sq_codes, self._sq_model, query_vec, radius,
                     id_col=self.id_col, vec_col=self.vec_col,

@@ -308,3 +308,102 @@ def test_hnsw_kernel_filtered_laws(vecs, seed, modulus):
         for layer in range(int(g.levels[i]) + 1):
             deg = int(g.deg[base + layer])
             assert deg <= (32 if layer == 0 else 16), (i, layer, deg)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_hnsw_vec, min_size=2, max_size=60, unique_by=tuple),
+       st.integers(min_value=0, max_value=2**31 - 2),
+       st.integers(min_value=1, max_value=8))
+def test_hnsw_filtered_subset_and_exact_scan_fallback(vecs, seed, modulus):
+    """Round-6 VERDICT 8 law 1: search_filtered returns ONLY allowed nodes
+    with their EXACT float64 distances, and whenever the selectivity tiers
+    route to an exact scan (tiny allowed set, or ef_eff >= n_allowed) the
+    result LIST equals the brute-force filtered top-k under the engine's
+    (dist, id) tiebreak — not just the id set."""
+    import numpy as np
+
+    from neighborly_spark.operators.hnsw import ML_DEFAULT, _ShardGraph
+
+    x = np.asarray(vecs, dtype=np.float64)
+    g = _ShardGraph(x, 16, 32, 200, ML_DEFAULT, np.random.RandomState(seed))
+    for i in range(len(x)):
+        g.insert(i)
+    g.finalize()
+    allowed = (np.arange(len(x)) % modulus) == 0
+    q = x[0] * 0.5 + x[-1] * 0.5
+    k, ef = 3, 10
+    got = g.search_filtered(q, k, ef, allowed)
+    # the kernel's reported-distance contract is _dist (float64 over the
+    # stored float32 vectors, einsum reduction) — use it as the oracle;
+    # an independent (x-q)**2 sum can differ in the last ulp
+    d = g._dist(q, np.arange(len(x)))
+    # law: only allowed nodes, exact distances, (dist, id)-sorted output
+    assert all(allowed[i] for i, _ in got)
+    assert all(dv == float(d[i]) for i, dv in got)
+    keys = [(dv, i) for i, dv in got]
+    assert keys == sorted(keys)
+    n_allowed = int(allowed.sum())
+    eff = max(ef, k)
+    sel = n_allowed / len(x)
+    ef_eff = int(min(
+        len(x),
+        max(eff, -(-eff // sel) if sel else len(x)),
+        g._FILTER_EF_CAP_MULT * eff,
+        n_allowed,
+    ))
+    routes_exact = (
+        n_allowed <= g._FILTER_BRUTE_MULT * eff or ef_eff >= n_allowed
+    )
+    if routes_exact and n_allowed:
+        idx = np.flatnonzero(allowed)
+        order = np.lexsort((idx, d[idx]))[:k]
+        want = [(int(idx[j]), float(d[idx[j]])) for j in order]
+        assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_hnsw_vec, min_size=1, max_size=50, unique_by=tuple),
+       st.integers(min_value=0, max_value=2**31 - 2))
+def test_rehydrate_arrow_bit_equals_rehydrate(vecs, seed):
+    """Round-6 VERDICT 8 law 2: the snapshot tier's Arrow-offset
+    rehydrator reconstructs BIT-IDENTICAL graph state to the pandas
+    rehydrator on arbitrary shard artifacts — same vectors, levels,
+    adjacency (via adj_lists), entry point, and search results."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from neighborly_spark.operators.hnsw import (
+        _build_shard, _rehydrate, _rehydrate_arrow,
+    )
+
+    rng = np.random.RandomState(seed)
+    x = np.asarray(vecs, dtype=np.float64)
+    # non-contiguous, shuffled ids — exercises _positions_of's two tiers
+    ids = rng.permutation(len(x)).astype(np.int64) * (1 + seed % 50)
+    pdf = _build_shard(ids, x, part_id=0, m=16, max_m0=32, efc=200,
+                       ml=0.36, seed=seed % 1000)
+    a_ids, a_g = _rehydrate(pdf)
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame({
+            "id": pdf["id"],
+            "level": pdf["level"],
+            "embedding": pdf["embedding"],
+            "neighbors": pdf["neighbors"],
+        }),
+        schema=pa.schema([
+            ("id", pa.int64()),
+            ("level", pa.int32()),
+            ("embedding", pa.list_(pa.float32())),
+            ("neighbors", pa.list_(pa.list_(pa.int64()))),
+        ]),
+    )
+    b_ids, b_g = _rehydrate_arrow(tbl)
+    assert np.array_equal(a_ids, b_ids)
+    assert np.array_equal(a_g.x, b_g.x) and a_g.x.dtype == b_g.x.dtype
+    assert np.array_equal(a_g.levels, b_g.levels)
+    assert a_g.entry == b_g.entry
+    assert a_g.adj_lists() == b_g.adj_lists()
+    q = x[0] + 0.25
+    k = min(4, len(x))
+    assert a_g.search(q, k, 50) == b_g.search(q, k, 50)

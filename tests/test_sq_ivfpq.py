@@ -745,3 +745,73 @@ def test_ivfpq_knn_join_dataframe_queries_equal_list(spark, emb, ivfpq_model):
         )
         assert pure_df == pure_list, salt
     enc.unpersist()
+
+
+def test_sq_range_search_cosine_equals_exact(spark, emb, query):
+    """Round-6 VERDICT 7: the lossless SQ radius tier serves cosine. The
+    reference's D2 quirk applies (similarity through dist<=radius keeps
+    LOW-similarity rows); against a cosine-built index the quantized
+    prefilter (d_q >= sqrt(2-2t) - eps - slack over normalized codes) has
+    no false negatives, so rows AND dist values equal the exact cosine
+    range scan at every radius — including the service facade and the
+    drift-voided fallback."""
+    from neighborly_spark.functions.distance import normalize
+    from neighborly_spark.operators.knn import range_search
+    from neighborly_spark.search_service import SearchService
+
+    normed = emb.select("id", normalize(F.col("embedding")).alias("embedding")).cache()
+    normed.count()
+    m = QZ.sq_train(normed, 64)
+    codes = QZ.sq_encode_table(normed, m)
+    # similarity thresholds spanning keep-few to keep-most (the quirk
+    # keeps sim <= t, so LOW t = few rows)
+    for t in (-0.2, 0.05, 0.3, 0.95):
+        exact = [
+            (r.id, round(r.dist, 9))
+            for r in range_search(emb, query, t, metric="cosine", round_to=6).collect()
+        ]
+        got = [
+            (r.id, round(r.dist, 9))
+            for r in QZ.sq_range_search_cosine(
+                emb, codes, m, query, t, round_to=6
+            ).collect()
+        ]
+        assert got == exact, (t, len(exact), len(got))
+    codes.unpersist()
+    normed.unpersist()
+
+    # service facade: cosine-built index serves range_search(metric='cosine')
+    svc = SearchService(emb.select("id", "embedding"), dim=64)
+    svc.build_index("sq", metric="cosine")
+    exact = [
+        (r.id, round(r.dist, 9))
+        for r in range_search(emb, query, 0.3, metric="cosine").collect()
+    ]
+    got = [
+        (r.id, round(r.dist, 9))
+        for r in svc.range_search(query_vec=query, radius=0.3, metric="cosine", method="sq").collect()
+    ]
+    assert got == exact
+
+    # metric mismatch refuses; drift-voided appends fall back to the exact
+    # scan (same rows, no byte savings)
+    with pytest.raises(ValueError, match="metric"):
+        svc.range_search(query_vec=query, radius=0.3, metric="euclidean", method="sq")
+    # a one-hot direction normalizes to a unit axis vector — its dim-0
+    # value 1.0 escapes the trained box of normalized hash embeddings
+    # (cosine appends normalize before encoding, so a plain big vector
+    # would NOT drift — the box is over the normalized table)
+    out_of_range = spark.createDataFrame(
+        [(990001, [100.0] + [0.0] * 63)], "id long, embedding array<float>"
+    )
+    svc.add_vectors(out_of_range)
+    assert svc._sq_drift["out_of_range_rows"] > 0
+    exact2 = {
+        (r.id, round(r.dist, 9))
+        for r in range_search(svc.df, query, 0.3, metric="cosine").collect()
+    }
+    got2 = {
+        (r.id, round(r.dist, 9))
+        for r in svc.range_search(query_vec=query, radius=0.3, metric="cosine", method="sq").collect()
+    }
+    assert got2 == exact2
