@@ -98,6 +98,15 @@ ML_DEFAULT = 1.0 / math.log(float(M_DEFAULT))
 #: (insert cost no longer punishes it). Search cost is linear in shard
 #: count on hash layouts — spatial builds + probe routing restore
 #: sublinearity.
+#:
+#: 50k is the MEASURED optimum, not a kernel cap (round-7 table in
+#: docs/SCALE.md: ms/insert 4.29/5.50/6.24 at 50k/100k/200k): total
+#: cluster build compute = N x ms/insert(shard_size) rises 45% by 200k,
+#: per-shard build wall goes 3.5 -> 21 min (straggler-hostile tasks),
+#: recall headroom shrinks 0.975 -> 0.905 at fixed ef, and the 8-entry
+#: per-worker serving LRU grows 216 MB -> 864 MB. Raise it (or pass
+#: num_partitions) only when shard-COUNT costs bind — e.g. >= 10^10 rows
+#: where the dim-64 routing broadcast reaches ~100 MB.
 TARGET_ROWS_PER_SHARD = 50_000
 
 

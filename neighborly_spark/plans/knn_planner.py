@@ -36,6 +36,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: |D| x |Q| above which interpreted-fold exact is hopeless (~10^7 folds/s).
 EXACT_WORK_LIMIT = 50_000_000
@@ -65,6 +66,22 @@ def plan_knn_join(
     if require_exact_floats:
         return KnnJoinPlan("exact", "caller requires sequential-fold float semantics (oracle parity)")
     if query_count > MAX_COLLECTED_QUERIES:
+        # the index tiers are DataFrame-native on the query side (round 7),
+        # so a beyond-collect-budget |Q| no longer forces the LSH bucket
+        # join when a better prebuilt artifact exists — the query table
+        # flows into the tier as a table
+        if allow_approx and has_hnsw_index:
+            return KnnJoinPlan(
+                "hnsw", f"prebuilt shard graphs serve |Q|={query_count} as a DataFrame — no |D| scan, no collect"
+            )
+        if allow_approx and has_ivfpq_index:
+            return KnnJoinPlan(
+                "ivfpq", f"prebuilt IVF+PQ codes serve |Q|={query_count} as a DataFrame from probed cells only"
+            )
+        if allow_approx and has_sq_index:
+            return KnnJoinPlan(
+                "sq", f"prebuilt SQ8 codes serve |Q|={query_count} at 1/4 the scan bytes (DataFrame query side)"
+            )
         if allow_approx:
             return KnnJoinPlan("lsh", f"|Q|={query_count} exceeds collect/broadcast budget")
         return KnnJoinPlan(
@@ -131,21 +148,27 @@ def knn_join_auto(
     elif plan.strategy == "hnsw":
         from neighborly_spark.operators.hnsw import hnsw_search_batch
 
-        qrows = queries.select(query_id_col, query_vec_col).collect()  # bounded: planner
-        # routes here only when |Q| <= MAX_COLLECTED_QUERIES
-        out = hnsw_search_batch(
-            hnsw_graph, [(r[0], list(r[1])) for r in qrows], k
-        ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
+        # DataFrame query side end-to-end (round 7): no collect at any |Q|
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("query_embedding"),
+        )
+        out = hnsw_search_batch(hnsw_graph, qdf, k).withColumnsRenamed(
+            {"query_id": query_id_col, "id": id_col}
+        )
     elif plan.strategy == "ivfpq":
         from neighborly_spark.operators.ivfpq import ivfpq_knn_join
 
         encoded, model = ivfpq_index
-        qrows = queries.select(query_id_col, query_vec_col).collect()  # bounded as above
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("query_embedding"),
+        )
         # nprobe=10 is the gate-verified operating point on uniform data
         # (recall 0.87 at nlist=16, docs/RECALL.md); clusterable corpora can
         # probe far fewer via search_batch(ivfpq_nprobe=...) directly
         out = ivfpq_knn_join(
-            encoded, model, [(r[0], list(r[1])) for r in qrows], k,
+            encoded, model, qdf, k,
             nprobe=10, df=data, id_col=id_col, vec_col=vec_col,
         ).withColumnRenamed("query_id", query_id_col)
     elif plan.strategy == "sq":

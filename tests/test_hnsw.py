@@ -896,3 +896,33 @@ def test_inplan_centroid_assign_matches_literal_form(spark):
     rt.unpersist()
     g.unpersist()
     vec.unpersist()
+
+
+def test_snapshot_probe_routing_composes_with_tags(spark, tmp_path):
+    """All three serving dimensions at once — durable (snapshot tier) x
+    spatial probe routing x tag filter: results equal the in-memory
+    filtered probe path, worker-resident."""
+    from neighborly_spark.search_service import SearchService
+
+    vec = (
+        _clustered(spark, n=1600)
+        .withColumn("tags", F.array(F.pmod(F.col("id"), F.lit(3)).cast("int")))
+        .cache()
+    )
+    vec.count()
+    svc = SearchService(vec, dim=16)
+    svc.build_index("hnsw", spatial=True)
+    q = list(vec.first().embedding)
+    want = [(r.id, round(r.dist, 9)) for r in svc.search(
+        query_vec=q, k=5, method="hnsw", hnsw_probe_shards=2, tag_any=[1]
+    ).collect()]
+    path = str(tmp_path / "snap_probe_tags")
+    svc.save(path)
+    loaded = SearchService.load(spark, path)
+    assert loaded._hnsw_snapshot is not None
+    got = [(r.id, round(r.dist, 9)) for r in loaded.search(
+        query_vec=q, k=5, method="hnsw", hnsw_probe_shards=2, tag_any=[1]
+    ).collect()]
+    assert got == want and len(got) == 5
+    assert all(i % 3 == 1 for i, _ in got)
+    vec.unpersist()

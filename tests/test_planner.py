@@ -169,9 +169,10 @@ def test_planner_hnsw_tier(spark):
     from neighborly_spark.search_service import SearchService
 
     assert plan_knn_join(1_000_000_000, 1_000, 64, has_hnsw_index=True).strategy == "hnsw"
-    # exact still wins tiny work; huge |Q| still goes to LSH (graph needs collect)
+    # exact still wins tiny work; huge |Q| rides the graph too since round 7
+    # (the batch tier consumes the query DataFrame — no collect constraint)
     assert plan_knn_join(1_000, 10, 64, has_hnsw_index=True).strategy == "exact"
-    assert plan_knn_join(10_000_000, 200_000, 64, has_hnsw_index=True).strategy == "lsh"
+    assert plan_knn_join(10_000_000, 200_000, 64, has_hnsw_index=True).strategy == "hnsw"
     # inside the BLAS budget the join stays EXACT even with a graph on hand:
     # supplying hnsw_graph must not silently degrade mid-size joins (r3 ADVICE)
     assert plan_knn_join(10_000_000, 1_000, 64, has_hnsw_index=True).strategy == "vectorized"
@@ -216,8 +217,10 @@ def test_planner_quantized_tiers(spark):
     # indexes never degrade exact-required or within-budget joins
     assert plan_knn_join(big, q, 64, allow_approx=False, has_sq_index=True).strategy == "vectorized"
     assert plan_knn_join(10_000_000, q, 64, has_ivfpq_index=True).strategy == "vectorized"
-    # huge |Q| still goes to LSH (code-table joins need a bounded query side)
-    assert plan_knn_join(big, 200_000, 64, has_sq_index=True).strategy == "lsh"
+    # huge |Q| rides the code table too since round 7 (sq_knn_join is
+    # DataFrame-native on the query side); only index-less joins go to LSH
+    assert plan_knn_join(big, 200_000, 64, has_sq_index=True).strategy == "sq"
+    assert plan_knn_join(big, 200_000, 64).strategy == "lsh"
 
     emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
         F.col("vec_id").alias("id"), "embedding"
@@ -237,3 +240,47 @@ def test_planner_quantized_tiers(spark):
         assert svc.last_join_plan.strategy == want
         got_pairs = {(r.query_id, r.id) for r in got.collect()}
         assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.8, want
+
+
+def test_big_query_table_prefers_index_tiers(spark):
+    """Round 7: beyond the collect budget, a prebuilt index beats the LSH
+    bucket join — the DataFrame-native tiers serve the query TABLE without
+    a collect, so the planner routes hnsw > ivfpq > sq before lsh; and
+    knn_join_auto executes the hnsw tier end-to-end on a DataFrame query
+    side with zero query-side collects."""
+    from neighborly_spark.operators.hnsw import hnsw_build
+
+    assert plan_knn_join(10_000_000, 500_000, 64).strategy == "lsh"
+    assert plan_knn_join(10_000_000, 500_000, 64, has_hnsw_index=True).strategy == "hnsw"
+    assert plan_knn_join(10_000_000, 500_000, 64, has_ivfpq_index=True).strategy == "ivfpq"
+    assert plan_knn_join(10_000_000, 500_000, 64, has_sq_index=True).strategy == "sq"
+    # exactness still wins over any index
+    assert (
+        plan_knn_join(10_000_000, 500_000, 64, allow_approx=False, has_hnsw_index=True).strategy
+        == "blocked"
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+    )
+    g = hnsw_build(emb, dim=64, num_partitions=2).cache()
+    g.count()
+    queries = emb.limit(10).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("planner-hnsw-lazy", "")
+    out, plan = knn_join_auto(
+        emb, queries, k=3, dim=64, hnsw_graph=g,
+        # force the beyond-collect route (counts passed as table stats)
+        data_count=10_000_000, query_count=500_000,
+        query_id_col="qid", query_vec_col="qvec",
+    )
+    assert plan.strategy == "hnsw" and "DataFrame" in plan.reason
+    assert list(sc.statusTracker().getJobIdsForGroup("planner-hnsw-lazy")) == []
+    sc.setJobGroup("planner-hnsw-lazy-done", "")
+    rows = out.collect()
+    assert {r.qid for r in rows} == {r.qid for r in queries.collect()}
+    assert out.columns == ["qid", "id", "dist"]
+    g.unpersist()
