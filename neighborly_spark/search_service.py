@@ -1069,7 +1069,8 @@ class SearchService:
         ``queries`` is a (query_id, query_embedding) DataFrame or a
         [(query_id, vector), ...] list — normalized internally to what the
         tier needs. Methods: the exact family (routes through knn_join's
-        cardinality planner), 'bq' (bq_knn_join: one Hamming-prefilter scan
+        cardinality planner), 'lsh' (approx_knn_join: one bucket join for
+        all queries), 'bq' (bq_knn_join: one Hamming-prefilter scan
         of the packed codes), 'sq' (sq_knn_join: one dequantized code-table
         scan), 'ivfpq' (ivfpq_knn_join: one probed-cells pass, per-query
         residual LUTs), 'hnsw' (hnsw_search_batch: each shard graph
@@ -1164,6 +1165,19 @@ class SearchService:
                     base_df, as_df(), k, id_col=self.id_col, vec_col=self.vec_col
                 )
             return self.knn_join(as_df(), k)
+        if method == "lsh":
+            # bucket join over the (possibly tag-filtered) table — BRP
+            # hyperplanes are data-independent, so the fitted model serves
+            # any row subset; radius 2.5 matches the planner's LSH tier
+            from neighborly_spark.operators.lsh import approx_knn_join
+
+            if self._lsh_model is None:
+                self.build_index("lsh")
+            return approx_knn_join(
+                base_df, as_df(), k, radius=2.5,
+                id_col=self.id_col, vec_col=self.vec_col,
+                dim=self.dim, model=self._lsh_model,
+            )
         if method in ("bq", "binaryquantization"):
             self._quant_metric_guard("bq", self._bq_codes is not None, metric)
             return _serve(QZ.bq_knn_join(

@@ -470,17 +470,22 @@ def test_search_service_batch_dispatch(spark, emb, query):
     qdf = emb.filter(F.col("id") < 3).select(
         F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
-    for method, qs in (("linear", qdf), ("bq", qdf), ("sq", qdf), ("ivfpq", qlist), ("hnsw", qlist)):
+    for method, qs in (
+        ("linear", qdf), ("lsh", qdf), ("bq", qdf), ("sq", qdf),
+        # round 7: ivfpq/hnsw consume DataFrames natively too
+        ("ivfpq", qdf), ("hnsw", qdf), ("ivfpq", qlist), ("hnsw", qlist),
+    ):
         out = svc.search_batch(qs, k=5, method=method)
         assert set(out.columns) >= {"query_id", "id", "dist"}
         got = {}
         for r in out.collect():
             got.setdefault(r.query_id, set()).add(r.id)
         assert set(got) == {0, 1, 2}, method
-        if method == "bq":
+        if method in ("bq", "lsh"):
             # faithful BQ semantics: the strict Hamming prefilter passes
             # only near-identical codes, so fewer than k rows can survive
-            # (same as the single-query path / the reference)
+            # (same as the single-query path / the reference); LSH's
+            # radius-bounded bucket join can likewise surface < k rows
             assert all(1 <= len(v) <= 5 for v in got.values()), method
         else:
             assert all(len(v) == 5 for v in got.values()), method
