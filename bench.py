@@ -638,6 +638,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else orig_sf_dir,
         "stat": "median_of_3_warm",
+        # BENCH_STEADY entries use a different protocol — label them so
+        # cross-round comparisons don't mix the two
+        "stat_overrides": {
+            name: "median_of_last3_of_12_consecutive" for name in BENCH_STEADY
+        },
         "runs": spreads,
         "corpus": _fingerprint(spark, orig_sf_dir),
     }

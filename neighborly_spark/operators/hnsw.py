@@ -1228,30 +1228,63 @@ def _load_snapshot_shard(path: str, part_id: int, version: str, tags_col: str = 
     key = (path, part_id, version, tags_col)
     hit = _SNAPSHOT_CACHE.pop(key, None)
     if hit is None:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(f"{path}/part_id={part_id}")
         ids, g = _rehydrate_arrow(tbl)
-        tags = (
-            [frozenset(t) if t is not None else frozenset() for t in tbl[tags_col].to_pylist()]
-            if tags_col in tbl.column_names
-            else None
-        )
-        hit = (ids, g, tags)
+        tags, tag_kind = None, None
+        if tags_col in tbl.column_names:
+            tags = [
+                frozenset(t) if t is not None else frozenset()
+                for t in tbl[tags_col].to_pylist()
+            ]
+            vt = tbl.schema.field(tags_col).type.value_type
+            tag_kind = (
+                int if pa.types.is_integer(vt)
+                else float if pa.types.is_floating(vt)
+                else str if pa.types.is_string(vt) or pa.types.is_large_string(vt)
+                else None
+            )
+        hit = (ids, g, tags, tag_kind)
     _SNAPSHOT_CACHE[key] = hit  # re-insert = MRU
     while len(_SNAPSHOT_CACHE) > _SNAPSHOT_CACHE_MAX:
         _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
     return hit
 
 
-def _tags_allowed_mask(tags: list, tag_any, tag_all) -> np.ndarray:
+def _coerce_tag_literals(values, kind) -> tuple[frozenset, bool]:
+    """Replicate the plan path's literal cast (_tag_predicate casts the
+    filter literals to the TABLE's tags element type, so tag_any=[1] on a
+    string-tags table matches "1"): coerce each value with the snapshot's
+    element kind, dropping uncastable ones the way Spark's cast yields
+    null (a null literal element can never match). Returns (coerced set,
+    whether anything was dropped)."""
+    if kind is None:
+        return frozenset(values), False
+    out, dropped = set(), False
+    for v in values:
+        try:
+            out.add(kind(v))
+        except (TypeError, ValueError):
+            dropped = True
+    return frozenset(out), dropped
+
+
+def _tags_allowed_mask(tags: list, tag_any, tag_all, kind=None) -> np.ndarray:
     """Row-aligned bool mask replicating SearchService._tag_predicate's
     semantics over python sets: `any` = non-empty intersection
-    (arrays_overlap), `all` = superset (intersect-covers). Null tags parse
-    to the empty set, which both predicates reject — matching the plan
-    form, where a null array yields a null predicate and filters out."""
-    any_s = frozenset(tag_any) if tag_any else None
-    all_s = frozenset(tag_all) if tag_all else None
+    (arrays_overlap), `all` = superset (intersect-covers), with the filter
+    literals coerced to the tags element ``kind`` exactly like the plan
+    path's cast. Null tags parse to the empty set, which both predicates
+    reject — matching the plan form, where a null array yields a null
+    predicate and filters out. An uncastable tag_all value can never be
+    contained (the plan's intersect-with-null-literal is always short),
+    so it zeroes the mask."""
+    any_s, _ = _coerce_tag_literals(tag_any, kind) if tag_any else (None, False)
+    all_s, all_dropped = _coerce_tag_literals(tag_all, kind) if tag_all else (None, False)
+    if tag_all and all_dropped:
+        return np.zeros(len(tags), dtype=bool)
     return np.fromiter(
         (
             (any_s is None or bool(ts & any_s)) and (all_s is None or all_s <= ts)
@@ -1328,7 +1361,7 @@ def hnsw_search_batch_snapshot(
     all_t = sorted(set(tag_all)) if tag_all else None
 
     def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, g, tags = _load_snapshot_shard(graph_path, int(key[0]), version, tags_col)
+        ids, g, tags, kind = _load_snapshot_shard(graph_path, int(key[0]), version, tags_col)
         mask = None
         if filtered:
             if tags is None:
@@ -1336,7 +1369,7 @@ def hnsw_search_batch_snapshot(
                     f"snapshot shard {int(key[0])} has no {tags_col!r} column "
                     "— the graph was built without tags_col"
                 )
-            mask = _tags_allowed_mask(tags, any_t, all_t)
+            mask = _tags_allowed_mask(tags, any_t, all_t, kind)
         out_q, out_id, out_d = [], [], []
         for r in pdf.itertuples():
             q = np.asarray(r.query_embedding, dtype=np.float64)

@@ -466,16 +466,22 @@ def _ivfpq_knn_join_df(
     assigned = qsrc.mapInPandas(
         assign, "query_id long, query_embedding array<double>, _cell int"
     )
-    # drop probes into cells with no encoded rows (a query may be nearest
-    # to an empty cell): keeps every cogroup group's code side non-empty
-    # and matches the list path, where such cells contribute nothing
-    live_cells = encoded.select(F.col(CLUSTER_COL).alias("_cell")).distinct()
-    assigned = assigned.join(F.broadcast(live_cells), "_cell", "semi")
+    # a query probing an EMPTY cell just yields a cogroup group with an
+    # empty code side, which group_score returns empty from (flat-array
+    # empty sides decode fine — the nested-array crash documented in
+    # hnsw_add does not apply to array<int> codes, verified by test);
+    # filtering such probes out would cost a full codes-table aggregate
+    # per batch, a data-sized scan this serving path must not pay
+    # probed-cells distinct BEFORE the salt replication (nq x nprobe rows
+    # aggregated, not nq x nprobe x data_salt); the probe-assign pass does
+    # re-run for this branch (the plan is left uncached — an operator
+    # must not pin executor memory behind the caller's back), which is
+    # one extra narrow vectorized matmul over the query table
+    probed = assigned.select(F.col("_cell").alias(CLUSTER_COL)).distinct()
     # queries replicate across the code side's salt buckets so the cogroup
     # key (cell, salt) bounds per-task code rows at ~cell/data_salt
     salts = spark.range(data_salt).select(F.col("id").cast("int").alias("_salt"))
     assigned = assigned.crossJoin(F.broadcast(salts))
-    probed = assigned.select(F.col("_cell").alias(CLUSTER_COL)).distinct()
     flt = encoded.join(F.broadcast(probed), CLUSTER_COL, "semi").withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(data_salt)).cast("int")
     )

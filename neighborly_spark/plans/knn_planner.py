@@ -78,10 +78,9 @@ def plan_knn_join(
             return KnnJoinPlan(
                 "ivfpq", f"prebuilt IVF+PQ codes serve |Q|={query_count} as a DataFrame from probed cells only"
             )
-        if allow_approx and has_sq_index:
-            return KnnJoinPlan(
-                "sq", f"prebuilt SQ8 codes serve |Q|={query_count} at 1/4 the scan bytes (DataFrame query side)"
-            )
+        # NOT sq here: sq_knn_join scans ALL code rows per query (|D|x|Q|
+        # work) and force-broadcasts the query side — both are wrong
+        # beyond the budget. hnsw/ivfpq prune the data side per query.
         if allow_approx:
             return KnnJoinPlan("lsh", f"|Q|={query_count} exceeds collect/broadcast budget")
         return KnnJoinPlan(

@@ -1082,12 +1082,15 @@ class SearchService:
         unchanged since the mapping is monotone)."""
         method = method.lower()
         metric = metric.lower()
-        cosine_quant = metric == "cosine" and method in self._COSINE_METHODS
+        # same serve set as search(): the quantized cosine-built indexes
+        # plus lsh (BRP hyperplanes are data-independent — only the query
+        # and table normalize, the fitted model serves unchanged)
+        cosine_quant = metric == "cosine" and method in self._COSINE_SERVE
         if metric == "cosine" and not cosine_quant:
             raise ValueError(
-                "metric='cosine' batch search is served by the bq/sq/ivfpq "
-                "cosine-built indexes; exact cosine joins go through "
-                "knn_join over distance.normalize-d input"
+                "metric='cosine' batch search is served by the bq/sq/ivfpq/"
+                "hnsw cosine-built indexes and lsh; exact cosine joins go "
+                "through knn_join over distance.normalize-d input"
             )
 
         # same non-finite guard as search(), SYMMETRIC across input shapes:
@@ -1173,11 +1176,11 @@ class SearchService:
 
             if self._lsh_model is None:
                 self.build_index("lsh")
-            return approx_knn_join(
+            return _serve(approx_knn_join(
                 base_df, as_df(), k, radius=2.5,
                 id_col=self.id_col, vec_col=self.vec_col,
                 dim=self.dim, model=self._lsh_model,
-            )
+            ))
         if method in ("bq", "binaryquantization"):
             self._quant_metric_guard("bq", self._bq_codes is not None, metric)
             return _serve(QZ.bq_knn_join(

@@ -18,9 +18,11 @@ artifact pass, so latency/throughput trades via the trigger interval —
 exactly Structured Streaming's knob. The snapshot tier composes: a
 snapshot-backed service serves every micro-batch worker-resident (graph
 bytes move executor<-storage once per worker per version, queries are
-the only per-batch shuffle). Exactly-once delivery to the sink comes
-from the streaming commit log + idempotent parquet appends keyed by
-(batch_id) — the standard foreachBatch contract.
+the only per-batch shuffle). Delivery to the sink is at-least-once (a
+replayed micro-batch appends its rows again — foreachBatch's contract);
+every result row carries its `_batch_id`, so readers dedup replays with
+one `row_number() over (partition by query_id, id, _batch_id)`-style
+pass or by max-batch-id per key.
 """
 
 from __future__ import annotations
@@ -56,12 +58,18 @@ def start_query_stream(
         if batch.isEmpty():
             return
         out = service.search_batch(batch, k=k, method=method, **search_kw)
+        if on_results is not None:
+            # checkpoint BEFORE the write so the search pipeline runs once:
+            # writing first and checkpointing after would re-execute the
+            # whole index search a second time (localCheckpoint is eager
+            # and the plan is uncached)
+            out = out.localCheckpoint()
         if sink_path is not None:
             out.withColumn("_batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(sink_path)
         if on_results is not None:
-            on_results(out.localCheckpoint())
+            on_results(out)
 
     writer = (
         queries_stream.writeStream.foreachBatch(sink)

@@ -497,6 +497,16 @@ def test_search_service_batch_dispatch(spark, emb, query):
     assert a == b
     with pytest.raises(ValueError):
         svc.search_batch(qlist, k=5, method="nope")
+    # lsh serves cosine in batch like search() does (_COSINE_SERVE): the
+    # hyperplanes are data-independent, only query+table normalize, and
+    # the reported column is the similarity
+    out = svc.search_batch(qdf, k=5, method="lsh", metric="cosine")
+    rows = out.collect()
+    assert rows and all(-1.0 - 1e-9 <= r.dist <= 1.0 + 1e-9 for r in rows)
+    got_cos = {}
+    for r in rows:
+        got_cos.setdefault(r.query_id, set()).add(r.id)
+    assert all(qid in got_cos[qid] for qid in got_cos)  # self-find at sim 1
 
 
 def test_tag_filtered_search_across_index_methods(spark, emb, query):

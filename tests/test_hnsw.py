@@ -926,3 +926,55 @@ def test_snapshot_probe_routing_composes_with_tags(spark, tmp_path):
     assert got == want and len(got) == 5
     assert all(i % 3 == 1 for i, _ in got)
     vec.unpersist()
+
+
+def test_snapshot_tag_filter_coerces_literal_types(spark, tmp_path):
+    """The plan path casts tag literals to the TABLE's tags element type
+    (tag_any=[1] matches "1" on string tags); the snapshot tier's
+    worker-side mask must coerce identically, or save() would silently
+    flip a working filter to zero hits."""
+    from neighborly_spark.search_service import SearchService
+
+    vec = (
+        _clustered(spark, n=600)
+        .withColumn(
+            "tags",
+            F.array(F.pmod(F.col("id"), F.lit(3)).cast("string")),
+        )
+        .cache()
+    )
+    vec.count()
+    svc = SearchService(vec, dim=16)
+    svc.build_index("hnsw")
+    q = list(vec.first().embedding)
+    # int literal against string tags: plan casts 1 -> "1"
+    want = [(r.id, round(r.dist, 9)) for r in svc.search(
+        query_vec=q, k=5, method="hnsw", tag_any=[1], tag_all=[1]
+    ).collect()]
+    assert len(want) == 5
+    path = str(tmp_path / "snap_strtags")
+    svc.save(path)
+    loaded = SearchService.load(spark, path)
+    got = [(r.id, round(r.dist, 9)) for r in loaded.search(
+        query_vec=q, k=5, method="hnsw", tag_any=[1], tag_all=[1]
+    ).collect()]
+    assert got == want
+    # uncastable tag_all value on an INT-tags table: plan yields zero rows
+    # (cast -> null literal never contained); the mask must agree
+    vec2 = (
+        _clustered(spark, n=400)
+        .withColumn("tags", F.array(F.pmod(F.col("id"), F.lit(3)).cast("int")))
+        .cache()
+    )
+    vec2.count()
+    svc2 = SearchService(vec2, dim=16)
+    svc2.build_index("hnsw")
+    path2 = str(tmp_path / "snap_inttags")
+    svc2.save(path2)
+    loaded2 = SearchService.load(spark, path2)
+    q2 = list(vec2.first().embedding)
+    plan_rows = svc2.search(query_vec=q2, k=5, method="hnsw", tag_all=["zzz"]).collect()
+    snap_rows = loaded2.search(query_vec=q2, k=5, method="hnsw", tag_all=["zzz"]).collect()
+    assert plan_rows == [] and snap_rows == []
+    vec.unpersist()
+    vec2.unpersist()

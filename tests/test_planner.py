@@ -217,9 +217,11 @@ def test_planner_quantized_tiers(spark):
     # indexes never degrade exact-required or within-budget joins
     assert plan_knn_join(big, q, 64, allow_approx=False, has_sq_index=True).strategy == "vectorized"
     assert plan_knn_join(10_000_000, q, 64, has_ivfpq_index=True).strategy == "vectorized"
-    # huge |Q| rides the code table too since round 7 (sq_knn_join is
-    # DataFrame-native on the query side); only index-less joins go to LSH
-    assert plan_knn_join(big, 200_000, 64, has_sq_index=True).strategy == "sq"
+    # huge |Q| rides the graph/probed-cells tiers since round 7, but NOT
+    # sq: sq_knn_join broadcasts the query side and scans all codes per
+    # query (|D|x|Q|) — beyond the budget that's the failure the budget
+    # exists to prevent, so sq-only joins fall back to the bucket join
+    assert plan_knn_join(big, 200_000, 64, has_sq_index=True).strategy == "lsh"
     assert plan_knn_join(big, 200_000, 64).strategy == "lsh"
 
     emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
@@ -245,7 +247,7 @@ def test_planner_quantized_tiers(spark):
 def test_big_query_table_prefers_index_tiers(spark):
     """Round 7: beyond the collect budget, a prebuilt index beats the LSH
     bucket join — the DataFrame-native tiers serve the query TABLE without
-    a collect, so the planner routes hnsw > ivfpq > sq before lsh; and
+    a collect, so the planner routes hnsw > ivfpq before lsh; and
     knn_join_auto executes the hnsw tier end-to-end on a DataFrame query
     side with zero query-side collects."""
     from neighborly_spark.operators.hnsw import hnsw_build
@@ -253,7 +255,9 @@ def test_big_query_table_prefers_index_tiers(spark):
     assert plan_knn_join(10_000_000, 500_000, 64).strategy == "lsh"
     assert plan_knn_join(10_000_000, 500_000, 64, has_hnsw_index=True).strategy == "hnsw"
     assert plan_knn_join(10_000_000, 500_000, 64, has_ivfpq_index=True).strategy == "ivfpq"
-    assert plan_knn_join(10_000_000, 500_000, 64, has_sq_index=True).strategy == "sq"
+    # sq stays OUT of the beyond-budget branch: its batch join broadcasts
+    # the query side and does |D|x|Q| scan work
+    assert plan_knn_join(10_000_000, 500_000, 64, has_sq_index=True).strategy == "lsh"
     # exactness still wins over any index
     assert (
         plan_knn_join(10_000_000, 500_000, 64, allow_approx=False, has_hnsw_index=True).strategy

@@ -728,6 +728,25 @@ def test_ivfpq_knn_join_dataframe_queries_equal_list(spark, emb, ivfpq_model):
     got = sorted((r.query_id, r.id, round(r.dist, 9)) for r in out.collect())
     assert got == want and len(got) == len(qlist) * K
 
+    # probes into an EMPTY cell (all rows of one probed cell removed):
+    # the cogroup group has an empty code side — must yield the same
+    # candidates as the list path on the same pruned table, not crash
+    some_cell = enc.filter(F.col("ivf_cluster").isNotNull()).first().ivf_cluster
+    pruned = enc.filter(F.col("ivf_cluster") != some_cell)
+    a_empty = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in IVFPQ.ivfpq_knn_join(
+            pruned, ivfpq_model, qdf, K, nprobe=16, rerank=False
+        ).collect()
+    )
+    b_empty = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in IVFPQ.ivfpq_knn_join(
+            pruned, ivfpq_model, qlist, K, nprobe=16, rerank=False
+        ).collect()
+    )
+    assert a_empty == b_empty and len(a_empty) == len(qlist) * K
+
     # pure-ADC tier, odd salt count, and a salt count guaranteed to leave
     # some (cell, salt) buckets empty on this 16-cell table
     for salt in (1, 3, 64):
