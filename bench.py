@@ -617,13 +617,14 @@ def main() -> None:
     # mostly-cold per-worker LRUs. Run a longer consecutive batch train in
     # one session and report the median of the LAST 3 — the warm operating
     # point — alongside the cold-heavy entry above.
-    # 12 consecutive runs: a dedicated serving session stabilizes from run
-    # ~4 (1.97 -> 0.83 s measured at 150k/3 shards/32 workers); the longer
-    # train gives the tail room to stabilize even with the full bench's
-    # cache pressure, and the shipped spread makes interference visible
+    # 16 consecutive runs, value = median of the LAST 3: measured trains
+    # (150k/3 shards, 32 workers, dedicated session AND a pre-grown
+    # 32-worker pool) ramp 2.0 -> ~0.8 s by run 4 as the per-worker LRUs
+    # fill; the long train plus the shipped full spread make the warm
+    # operating point visible even when a noisy host stretches the ramp
     for name, build in BENCH_STEADY.items():
         runs = []
-        for _ in range(12):
+        for _ in range(16):
             t0 = time.perf_counter()
             _force(build(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
@@ -641,7 +642,7 @@ def main() -> None:
         # BENCH_STEADY entries use a different protocol — label them so
         # cross-round comparisons don't mix the two
         "stat_overrides": {
-            name: "median_of_last3_of_12_consecutive" for name in BENCH_STEADY
+            name: "median_of_last3_of_16_consecutive" for name in BENCH_STEADY
         },
         "runs": spreads,
         "corpus": _fingerprint(spark, orig_sf_dir),
