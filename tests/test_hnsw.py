@@ -978,3 +978,70 @@ def test_snapshot_tag_filter_coerces_literal_types(spark, tmp_path):
     assert plan_rows == [] and snap_rows == []
     vec.unpersist()
     vec2.unpersist()
+
+
+def test_cosine_composes_with_df_batch_and_snapshot(spark, tmp_path):
+    """Composition corners: metric='cosine' on the hnsw tier must serve
+    identically through (a) the list batch path, (b) the DataFrame batch
+    path, and (c) the worker-resident snapshot tier after save/load —
+    with reported similarities equal to the exact cosine oracle for the
+    top hits, and the tag filter composing on top."""
+    from neighborly_spark.operators.knn import knn
+    from neighborly_spark.search_service import SearchService
+
+    vec = (
+        _clustered(spark, n=900)
+        .withColumn("tags", F.array(F.pmod(F.col("id"), F.lit(2)).cast("int")))
+        .cache()
+    )
+    vec.count()
+    svc = SearchService(vec, dim=16)
+    svc.build_index("hnsw", metric="cosine")
+    qrows = vec.orderBy(F.xxhash64("id")).limit(4).collect()
+    qlist = [(i, list(r.embedding)) for i, r in enumerate(qrows)]
+    qdf = spark.createDataFrame(
+        [(i, [float(v) for v in q]) for i, q in qlist],
+        "query_id bigint, query_embedding array<double>",
+    )
+    # 6-dp comparison across input shapes: list queries normalize in
+    # python, DataFrame queries in the plan (distance.normalize) — same
+    # math, last-ulp float routes differ
+    a = sorted(
+        (r.query_id, r.id, round(r.dist, 6))
+        for r in svc.search_batch(qlist, k=5, method="hnsw", metric="cosine").collect()
+    )
+    b = sorted(
+        (r.query_id, r.id, round(r.dist, 6))
+        for r in svc.search_batch(qdf, k=5, method="hnsw", metric="cosine").collect()
+    )
+    assert a == b and len(a) == 20
+    # similarities are REAL cosine values: self-query reports sim 1.0 first
+    by_q = {}
+    for qid, rid, sim in a:
+        by_q.setdefault(qid, []).append((rid, sim))
+    for i, r in enumerate(qrows):
+        assert any(rid == r.id and abs(sim - 1.0) < 1e-6 for rid, sim in by_q[i]), i
+
+    path = str(tmp_path / "snap_cos_df")
+    svc.save(path)
+    loaded = SearchService.load(spark, path)
+    c = sorted(
+        (r.query_id, r.id, round(r.dist, 6))
+        for r in loaded.search_batch(qdf, k=5, method="hnsw", metric="cosine").collect()
+    )
+    assert c == a  # snapshot tier == in-memory paths
+
+    # + tag filter on the snapshot tier, gated vs the exact cosine oracle
+    q0 = list(qrows[0].embedding)
+    got = [(r.id, round(r.dist, 9)) for r in loaded.search(
+        query_vec=q0, k=5, method="hnsw", metric="cosine", tag_any=[1]
+    ).collect()]
+    exact = [
+        r.id
+        for r in knn(
+            vec.filter(F.array_contains("tags", 1)), q0, 5, metric="cosine"
+        ).collect()
+    ]
+    assert all(i % 2 == 1 for i, _ in got)
+    assert len({i for i, _ in got} & set(exact)) >= 4  # recall >= 0.8
+    vec.unpersist()
