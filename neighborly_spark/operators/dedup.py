@@ -434,6 +434,14 @@ def minhash_lsh_pairs(
     materialize=True localCheckpoints the hashed sets (three consumers).
     Eager action; leave False for pure plans.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would make rows=0 and EVERY band key '' — a
+        # silent full N^2 cross-product; a non-dividing bands silently
+        # drops the trailing permutations and shifts the S-curve
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, "
+            f"bands={bands})"
+        )
     rows = num_perm // bands
     sh = _shingle_sets(df, id_col, text_col, k, engine)
     if materialize:
@@ -703,6 +711,7 @@ def connected_components(
         .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -712,11 +721,27 @@ def connected_components(
         updated = (
             labels.join(neighbor_min, "id", "left")
             .withColumn("_new", F.least(F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))))
+            # truncate per-round lineage: without this, round r's changed
+            # count re-executes all r prior join+agg rounds from the edges
+            # checkpoint, and the RETURNED frame re-runs everything once
+            # more — O(rounds^2) stage executions instead of O(rounds)
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("_new") != F.col("component")).limit(1).count()
         labels = updated.select("id", F.col("_new").alias("component"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds — labels may still split one true "
+            "component; raise max_iter (or use star-contraction) for "
+            "deep chain-shaped graphs",
+            stacklevel=2,
+        )
     return labels
 
 
@@ -1094,14 +1119,17 @@ def semantic_dedup_survivors(
     import numpy as np
 
     model = IVFModel(_ArrayCentroids(np.asarray(centroids, dtype=np.float64)), len(centroids))
-    assigned = ivf_assign(df, model, vec_col)
+    comps = connected_components(pairs)  # (id, component) — dup members only
+    # join components FIRST: the O(nlist*dim)-per-row interpreted-HOF
+    # assign + centroid cosine only need to run over component MEMBERS
+    # (typically a small fraction of the corpus), not the whole table
+    members = df.join(comps, df[id_col] == comps["id"]).drop("id")
+    assigned = ivf_assign(members, model, vec_col)
     cents_lit = F.lit([list(map(float, c)) for c in centroids]).cast("array<array<double>>")
-    scored = assigned.withColumn(
+    in_comp = assigned.withColumn(
         "_centroid_sim",
         cosine(F.col(vec_col), F.element_at(cents_lit, F.col(CLUSTER_COL) + 1)),
     )
-    comps = connected_components(pairs)  # (id, component) — dup members only
-    in_comp = scored.join(comps, scored[id_col] == comps["id"]).drop("id")
     w = Window.partitionBy("component").orderBy(
         F.col("_centroid_sim").asc(), F.col(id_col).asc()
     )
@@ -1155,7 +1183,13 @@ def line_dedup(
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        # coalesce: split(NULL) is NULL and posexplode(NULL) emits ZERO
+        # rows, which would silently DROP a null-text document from the
+        # rebuilt output — the family contract (see exact_substr_dedup) is
+        # that every row survives; a null text survives as text=''
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "_pos", "_line"
+        ),
     ).withColumn(
         # 128-bit md5, not xxhash64: at C4/RefinedWeb scale (billions of
         # distinct lines) a 64-bit birthday collision merges two DIFFERENT

@@ -116,11 +116,21 @@ def bq_encode_expr(vec: Column, dim: int, threshold: float) -> Column:
                 lambda s, x: s + x,
             )
         )
-    return F.array(*words)
+    # non-finite rows get a NULL code, not a plausible one (round 7): NaN
+    # sorts greater than any value in Spark so `x >= threshold` would SET
+    # the bit, and a null element would fall through to 0 — either way a
+    # garbage row would carry a valid-looking code, pass the Hamming
+    # prefilter, and surface in top-k with a NaN rerank distance. Null
+    # codes rank last everywhere (asc_nulls_last / null-hamming handling),
+    # matching sq_encode_expr's null-word contract.
+    return F.when(finite_vector_pred(vec), F.array(*words)).otherwise(
+        F.lit(None).cast("array<long>")
+    )
 
 
 def bq_encode_duckdb_sql(vec: str, dim: int, threshold: float) -> str:
-    """DuckDB twin of bq_encode_expr."""
+    """DuckDB twin of bq_encode_expr (incl. the null-code guard for
+    non-finite vectors)."""
     n_words = (dim + WORD_BITS - 1) // WORD_BITS
     words = []
     for w in range(n_words):
@@ -129,7 +139,31 @@ def bq_encode_duckdb_sql(vec: str, dim: int, threshold: float) -> str:
             for b in range(min(WORD_BITS, dim - w * WORD_BITS))
         )
         words.append(f"({terms})")
-    return "[" + ", ".join(words) + "]"
+    # COALESCE(.., TRUE): list_bool_and of an EMPTY list is NULL in DuckDB
+    # while Spark's forall over an empty array is TRUE
+    finite = (
+        f"{vec} IS NOT NULL AND COALESCE(list_bool_and(list_transform({vec}, "
+        "x -> x IS NOT NULL AND isfinite(x))), TRUE)"
+    )
+    return f"(CASE WHEN {finite} THEN [" + ", ".join(words) + "] ELSE NULL END)"
+
+
+def _hamming_prefilter_candidates(scored: DataFrame, id_col: str, k: int, max_hamming: int) -> DataFrame:
+    """Hamming prefilter + the reference's 3k-closest fallback when nothing
+    passes (BinaryQuantization.cs:166-178), gated on a broadcast 1-row
+    pass-count so the fallback branch costs nothing in the common case.
+    Shared by bq_search / bq_search_precoded (was duplicated — a fix to one
+    copy would silently miss the other)."""
+    passed = scored.filter(F.col("_hamming") <= max_hamming)
+    n_pass = passed.select(F.count(F.lit(1)).alias("_n_pass"))
+    fallback = (
+        scored.orderBy(F.col("_hamming").asc_nulls_last(), F.col(id_col).asc())
+        .limit(3 * k)
+        .crossJoin(F.broadcast(n_pass))
+        .filter(F.col("_n_pass") == 0)
+        .drop("_n_pass")
+    )
+    return passed.unionByName(fallback)
 
 
 def bq_search(
@@ -170,17 +204,7 @@ def bq_search(
         # read codes instead of re-encoding; no eager action, and Spark's
         # ContextCleaner drops the cache when the plan is unreferenced
         scored = scored.persist()
-    passed = scored.filter(F.col("_hamming") <= max_hamming)
-    # fallback (:166-178): 3k hamming-closest, only when nothing passed
-    n_pass = passed.select(F.count(F.lit(1)).alias("_n_pass"))
-    fallback = (
-        scored.orderBy(F.col("_hamming").asc_nulls_last(), F.col(id_col).asc())
-        .limit(3 * k)
-        .crossJoin(F.broadcast(n_pass))
-        .filter(F.col("_n_pass") == 0)
-        .drop("_n_pass")
-    )
-    cand = passed.unionByName(fallback)
+    cand = _hamming_prefilter_candidates(scored, id_col, k, max_hamming)
     d = euclidean(F.col(vec_col), F.lit(query_vec).cast("array<float>"))
     if round_to is not None:
         d = F.round(d, round_to)
@@ -250,18 +274,7 @@ def bq_search_precoded(
     scored = codes.select(
         F.col(id_col), hamming_packed(F.col("code"), q_code).alias("_hamming")
     )
-    passed = scored.filter(F.col("_hamming") <= max_hamming)
-    # fallback (:166-178): 3k hamming-closest, only when nothing passed;
-    # gated on a broadcast 1-row pass-count so it costs nothing normally
-    n_pass = passed.select(F.count(F.lit(1)).alias("_n_pass"))
-    fallback = (
-        scored.orderBy(F.col("_hamming").asc_nulls_last(), F.col(id_col).asc())
-        .limit(3 * k)
-        .crossJoin(F.broadcast(n_pass))
-        .filter(F.col("_n_pass") == 0)
-        .drop("_n_pass")
-    )
-    cand = passed.unionByName(fallback)
+    cand = _hamming_prefilter_candidates(scored, id_col, k, max_hamming)
     # exact rerank: point-lookup the float vectors of the candidate set.
     # No broadcast hint: usually tiny (AQE converts to broadcast at runtime),
     # but a caller-loosened max_hamming can pass arbitrarily many rows and a
@@ -491,6 +504,13 @@ def pq_train_sampled(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        # a 1-D empty ndarray would crash the sub-space slicing below with
+        # an opaque IndexError; say what actually went wrong
+        raise ValueError(
+            "pq_train_sampled: no finite vectors to train on (empty table "
+            "or every row has a NaN/Inf element)"
+        )
     mat = np.asarray([r._v for r in sample], dtype=np.float64)  # (n, dim)
     n = mat.shape[0]
     k = min(num_centroids, max(2, n))
@@ -538,7 +558,15 @@ def _lloyd(x, k: int, rng, max_iter: int, tol: float = 1e-4):
         nonempty = counts > 0
         new[nonempty] /= counts[nonempty, None]
         if not nonempty.all():
-            new[~nonempty] = x[d.min(axis=1).argmax()]
+            # DISTINCT farthest points per empty cluster: re-seeding them
+            # all with the same argmax point leaves identical centers that
+            # tie on every distance — argmin's first-index tiebreak then
+            # starves all but one of them forever (k_effective < k,
+            # duplicate codebook entries). Identical to the old single-
+            # argmax behavior when exactly one cluster is empty.
+            n_empty = int((~nonempty).sum())
+            far = np.argsort(-d.min(axis=1), kind="stable")[:n_empty]
+            new[~nonempty] = x[far]
         shift = float(np.linalg.norm(new - centers))
         centers = new
         if shift <= tol * max(1.0, float(np.linalg.norm(centers))):
@@ -568,7 +596,18 @@ def pq_encode(
             ),
         )
         code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.withColumn(code_col, F.array(*code_cols))
+    # non-finite rows must NOT encode (round 7): a NaN element makes every
+    # per-centroid distance NaN, and Spark's NaN-equals-NaN ordering makes
+    # array_position match the FIRST element — code 0 per sub-space, i.e. a
+    # plausible code whose finite ADC distance can displace real top-k
+    # rows. Emit [null]*m instead — the exact shape null embeddings always
+    # produced here and pq_encode_vectorized produces for BOTH cases — so
+    # the row's ADC dist is null and ranks last in every consumer.
+    null_codes = F.array(*[F.lit(None).cast("int") for _ in range(model.m)])
+    return df.withColumn(
+        code_col,
+        F.when(finite_vector_pred(F.col(vec_col)), F.array(*code_cols)).otherwise(null_codes),
+    )
 
 
 def pq_encode_vectorized(
@@ -658,6 +697,8 @@ def pq_search_rerank(
     """
     if shortlist is None:
         shortlist = max(5 * k, 50)
+    shortlist = max(shortlist, k)  # a caller shortlist < k would silently
+    # return fewer than k rows (and diverge from the batch join's floor)
     cand = pq_search(encoded, model, query_vec, shortlist, id_col, code_col).select(id_col)
     joined = df.join(cand, id_col)
     d = euclidean(F.col(vec_col), F.lit(query_vec).cast("array<float>"))
@@ -1012,6 +1053,8 @@ def sq_search_precoded(
         return scored.orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc()).limit(k)
     if shortlist is None:
         shortlist = max(5 * k, 50)
+    shortlist = max(shortlist, k)  # a caller shortlist < k would silently
+    # return fewer than k rows (and diverge from sq_knn_join's floor)
     cand = (
         scored.orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(shortlist)

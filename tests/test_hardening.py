@@ -1,0 +1,100 @@
+"""Round-7 hardening regressions — non-finite rows must never surface as
+plausible search results, degenerate parameters fail loudly, and the
+single/batch parity floors hold (found by an adversarial self-review of
+quantization.py / dedup.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators import quantization as QZ
+
+
+def _table(spark, extra_rows=()):
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(40)]
+    rows += list(extra_rows)
+    return spark.createDataFrame(rows, "id long, embedding array<float>")
+
+
+def test_bq_nan_row_never_surfaces(spark):
+    """A NaN element used to SET its bit (Spark orders NaN greatest), giving
+    the garbage row a plausible code that passed the Hamming prefilter and
+    could land in top-k with a NaN rerank distance. It must encode to a
+    NULL code and rank last."""
+    nan_vec = [float("nan")] + [0.0] * 7
+    df = _table(spark, [(999, nan_vec)])
+    out = QZ.bq_search(df, [0.0] * 8, k=40, dim=8, threshold=0.0).collect()
+    assert all(r.id != 999 or (r.dist != r.dist) for r in out)
+    # the NaN row is not among the finite-distance hits
+    finite_hits = [r.id for r in out if r.dist == r.dist]
+    assert 999 not in finite_hits and len(finite_hits) >= 10
+    # the code itself is null (not a plausible bit pattern)
+    code = df.filter(F.col("id") == 999).select(
+        QZ.bq_encode_expr(F.col("embedding"), 8, 0.0).alias("c")
+    ).collect()[0].c
+    assert code is None
+
+
+def test_pq_encode_nan_matches_vectorized_null_contract(spark):
+    """pq_encode used to give NaN rows code 0 per sub-space (NaN==NaN makes
+    array_position match the first all-NaN distance) — a plausible code
+    with a finite ADC distance. Both encode tiers must emit [null]*m."""
+    nan_vec = [1.0, float("nan")] + [0.0] * 6
+    df = _table(spark, [(999, nan_vec), (998, None)])
+    model = QZ.pq_train_sampled(df.filter(F.col("id") < 900), dim=8, m=2, num_centroids=4)
+    hof = {r.id: r.pq_code for r in QZ.pq_encode(df, model).collect()}
+    vec = {r.id: r.pq_code for r in QZ.pq_encode_vectorized(df, model).collect()}
+    assert hof[999] == [None, None] == vec[999]
+    assert hof[998] == [None, None] == vec[998]
+    clean = {i: c for i, c in hof.items() if i < 900}
+    assert clean == {i: c for i, c in vec.items() if i < 900}
+    # and the poisoned row never outranks clean rows in ADC search
+    got = [r.id for r in QZ.pq_search(QZ.pq_encode(df, model), model, [0.0] * 8, k=41).collect()]
+    assert got[-2:] == sorted([998, 999]) or 999 not in got[:39]
+
+
+def test_minhash_bands_must_divide_num_perm(spark):
+    from neighborly_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_perm=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_perm=16, bands=3)
+
+
+def test_lloyd_reseeds_empty_clusters_with_distinct_points():
+    """Re-seeding every empty cluster with the SAME farthest point leaves
+    permanently-duplicate centroids (argmin first-index starves the
+    copies); reseeding must pick distinct points."""
+    rng = np.random.RandomState(0)
+    # 3 tight clusters, k=8 -> several empty cells during iterations
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    x = np.concatenate([c + 0.01 * rng.standard_normal((30, 2)) for c in centers])
+    out = QZ._lloyd(x, 8, np.random.RandomState(42), max_iter=25)
+    uniq = np.unique(np.round(out, 9), axis=0)
+    assert len(uniq) == len(out), "duplicate centroids survived training"
+
+
+def test_pq_train_sampled_empty_input_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [float("nan")] * 8)], "id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no finite vectors"):
+        QZ.pq_train_sampled(df, dim=8, m=2)
+
+
+def test_shortlist_below_k_is_clamped(spark):
+    """shortlist < k used to silently return fewer than k rows from the
+    single-query paths while the batch joins clamp to k."""
+    df = _table(spark)
+    sq = QZ.sq_train(df, 8)
+    codes = QZ.sq_encode_table(df, sq)
+    out = QZ.sq_search_precoded(df, codes, sq, [0.0] * 8, k=5, shortlist=1).collect()
+    assert len(out) == 5
+    pq = QZ.pq_train_sampled(df, dim=8, m=2, num_centroids=4)
+    enc = QZ.pq_encode_vectorized(df, pq).select("id", "pq_code")
+    out2 = QZ.pq_search_rerank(df, enc, pq, [0.0] * 8, k=5, shortlist=1).collect()
+    assert len(out2) == 5

@@ -15,6 +15,7 @@ DOCS = [
     (4, "COOKIE BANNER\nall rights reserved"),  # fully boilerplate
     (5, "  COOKIE BANNER  \npadded but same after trim"),  # trim-equal line
     (6, "\n\nonly content here"),  # leading empty lines never candidates
+    (7, None),  # null text must SURVIVE as '' (round 7 — was silently dropped)
 ]
 
 
@@ -38,7 +39,7 @@ def _oracle(min_docs: int, keep_first: bool, min_line_chars: int = 1):
 WITH lines AS (
   SELECT doc_id, u.pos, u.line FROM (
     SELECT doc_id,
-           unnest(list_transform(string_split(text, chr(10)),
+           unnest(list_transform(string_split(coalesce(text, ''), chr(10)),
                                  (x, i) -> {{'pos': i - 1, 'line': x}})) AS u
     FROM docs
   )
@@ -74,7 +75,8 @@ def test_line_dedup_matches_duckdb_twin(spark, docs, min_docs, keep_first):
 
 def test_line_dedup_semantics(spark, docs):
     out = {r.doc_id: r for r in line_dedup(docs).collect()}
-    assert set(out) == {1, 2, 3, 4, 5, 6}  # every doc survives as a row
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}  # every doc survives as a row
+    assert out[7].text == "" and out[7].n_removed == 0  # null text -> ''
     # boilerplate removed everywhere; unique lines intact, order preserved
     assert out[1].text == "unique content of page one\n"
     assert out[2].text == "second page says other things"
