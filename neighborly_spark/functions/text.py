@@ -33,7 +33,15 @@ PY_WS = _re.compile("[ \t\n\x0b\f\r]+")
 
 
 def py_normalize_exact(text: str) -> str:
-    """Python replica of normalize_text (lower, trim spaces, collapse \s+)."""
+    """Python replica of normalize_text (lower, trim spaces, collapse \s+).
+
+    Caveat (applies to every engine='python' twin built on these): Python's
+    str.lower() and the JVM's String.toLowerCase() agree on ASCII but can
+    diverge on non-ASCII text under exotic JVM default locales (e.g.
+    Turkish dotless-i) or across Unicode-table versions — a divergence the
+    twin equality tests (ASCII corpus) cannot see. Corpora with non-ASCII
+    case-folding-sensitive text should pin the expr tier or run the JVM
+    with -Duser.language=en."""
     return PY_WS.sub(" ", text.lower().strip(" "))
 
 

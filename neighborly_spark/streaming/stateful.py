@@ -967,9 +967,27 @@ def streaming_exact_substr_marks(
 
     A production continuous run would bound state with a TTL timeout like
     streaming_dedup; the twin uses NoTimeout (availableNow termination).
+
+    State-size note: the per-bucket replay guard (seen_docs) stores a doc
+    id in EVERY bucket its windows touch — up to n_buckets copies per doc
+    corpus-wide. At large scale, run the stream through a doc-keyed
+    first-seen dedup (streaming_dedup on the doc id) BEFORE this operator
+    and the guard never grows past the docs that actually replay; the
+    guard here stays as defense-in-depth because chaining two stateful
+    operators has output-mode restrictions some pipelines can't take.
     """
     from neighborly_spark.operators.dedup import _window_hashes
 
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the bucket state stores doc ids as longs; a silent cast of a
+        # string/uuid id would become NULL and crash the state fn with an
+        # opaque NaN-to-int error mid-stream — fail loudly at plan time
+        raise ValueError(
+            f"streaming_exact_substr_marks needs an integral {id_col!r} "
+            f"column (got {id_type}); map string ids to stable longs first "
+            "(functions.ids deterministic ids)"
+        )
     wins = stream_df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.posexplode(_window_hashes(F.col(text_col), min_tokens)).alias("_pos", "_wh"),
@@ -1002,6 +1020,11 @@ def streaming_exact_substr_marks(
         # as one duplicated span (streaming_winnow_neardup's posting guard,
         # applied at doc granularity since the unit of delivery is a doc)
         prior_seen = frozenset(seen)
+        # in-batch replay guard: prior_seen only covers EARLIER batches, so
+        # an at-least-once duplicate landing inside ONE micro-batch would
+        # double-count every window and falsely mark the whole doc as
+        # duplicated; (doc, pos) identifies a window occurrence uniquely
+        batch_seen: set = set()
         out_doc: list[int] = []
         out_pos: list[int] = []
         arrived = 0
@@ -1010,8 +1033,9 @@ def streaming_exact_substr_marks(
             pdf = pdf.sort_values(["_wh", "_id", "_pos"])
             for wh, did, pos in zip(pdf["_wh"].values, pdf["_id"].values, pdf["_pos"].values):
                 wh, did, pos = str(wh), int(did), int(pos)
-                if did in prior_seen:
+                if did in prior_seen or (did, pos) in batch_seen:
                     continue
+                batch_seen.add((did, pos))
                 seen.add(did)
                 c = counts.get(wh, 0) + 1
                 counts[wh] = c

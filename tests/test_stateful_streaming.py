@@ -656,3 +656,52 @@ def test_streaming_exact_substr_marks_matches_batch(spark, tmp_path):
 
     got = {(r.doc_id, r.pos) for r in final.distinct().collect()}
     assert got == batch
+
+
+def test_streaming_exact_substr_in_batch_replay_and_id_guard(spark, tmp_path):
+    """Round 7: (a) an at-least-once duplicate landing INSIDE one
+    micro-batch must not double-count window hashes (the prior-batch guard
+    can't see it — the (doc,pos) in-batch guard must); (b) non-integral id
+    columns fail loudly at plan time instead of crashing the state fn."""
+    import pytest
+
+    from neighborly_spark.streaming.stateful import streaming_exact_substr_marks
+
+    rows = [
+        (1, "alpha beta gamma delta unique one"),
+        (2, "totally different words here now friend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = tmp_path / "in"
+    landing.mkdir()
+    # doc 1 delivered TWICE in the same micro-batch (union of itself)
+    docs.filter(F.col("doc_id") == 1).unionAll(
+        docs.filter(F.col("doc_id") == 1)
+    ).unionAll(docs.filter(F.col("doc_id") == 2)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(landing / "*")
+    )
+    out = streaming_exact_substr_marks(stream, min_tokens=4, n_buckets=4)
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    # no window hash truly repeats across docs, so NOTHING is duplicated —
+    # the old guard double-counted doc 1's own windows and marked them all
+    assert got == []
+
+    with pytest.raises(ValueError, match="integral"):
+        streaming_exact_substr_marks(
+            spark.readStream.schema("doc_id string, text string").parquet(
+                str(landing / "*")
+            ),
+            min_tokens=4,
+        )
