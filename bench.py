@@ -482,9 +482,13 @@ BENCH_LOCAL = {
     "ivfpq_search_150k": bench_ivfpq_150k,
     "hnsw_search_150k": bench_hnsw_150k,
     "hnsw_batch32_150k": bench_hnsw_batch32_150k,
+    "hnsw_snapshot32_150k": bench_hnsw_snapshot32_150k,
+    # the round-7 DataFrame-query entries run AFTER the snapshot entry:
+    # they spin up many python workers (256/1000-query cogroups), which
+    # dilutes the snapshot entry's per-worker LRU hit rate and would make
+    # its number incomparable with earlier rounds' measurement context
     "hnsw_batch256_df_150k": bench_hnsw_batch256_df,
     "ivfpq_batch1k_df_150k": bench_ivfpq_batch1k_df,
-    "hnsw_snapshot32_150k": bench_hnsw_snapshot32_150k,
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,
