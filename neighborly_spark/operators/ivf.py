@@ -91,6 +91,11 @@ def ivf_train_sampled(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "ivf_train_sampled: no finite vectors to train on (empty table "
+            "or every row has a NaN/Inf element)"
+        )
     mat = np.asarray([r._v for r in sample], dtype=np.float64)
     k = min(nlist, max(2, mat.shape[0]))
     centers = _lloyd(mat, k, np.random.RandomState(seed), max_iter)

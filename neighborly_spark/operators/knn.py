@@ -39,7 +39,11 @@ def _order_cols(metric: str, dist_col: str, id_col: str) -> list[Column]:
         # ordering would put them.
         d = F.when(F.isnan(d), F.lit(float("-inf"))).otherwise(d).desc()
     else:
-        d = d.asc()
+        # NULLS LAST: Spark's asc() default is nulls FIRST, which would
+        # rank a null-embedding row (null distance) as the top neighbor
+        # everywhere knn() serves; DuckDB's ASC default is nulls last, so
+        # this is also the oracle's ordering
+        d = d.asc_nulls_last()
     return [d, F.col(id_col).asc()]
 
 
@@ -139,31 +143,29 @@ def knn_join(
         d = F.round(d, round_to)
     scored = joined.withColumn(dist_col, d)
 
-    # Two-stage top-k: a window row_number would shuffle EVERY scored row
-    # (|data| x |queries|) to the query partitions; at 150k x 32 that's
-    # 4.8M wide rows through one exchange. Instead reduce per (query,
-    # input-partition) first — partial aggregation caps map-side output at
-    # queries x partitions x k — then merge the partials. The payload is
-    # only (sort_key, id, dist): carrying embeddings through collect_list
-    # would hold whole partitions in memory. Join payload columns back on
-    # id afterwards if you need them (tiny result, broadcastable).
-    # struct(sort_key, id) sorts lexicographically == (dist, id) order;
-    # similarity metrics negate so "best" is still the array head.
+    # Per-query top-k via row_number + Spark's rank-limit pushdown: the
+    # optimizer inserts WindowGroupLimit(Partial) BEFORE the exchange, so
+    # each map partition emits at most k rows per query — the exchange
+    # carries <= partitions x |queries| x k narrow rows (plan-asserted in
+    # test_plans). Round 1-6 hand-built this as a two-stage collect_list
+    # aggregation, but the slice-to-k there only applied in the FINAL
+    # aggregate's result expression: the partial buffers shipped (and held
+    # in the map-side hash aggregate) EVERY scored row — |D| x |Q| structs
+    # — exactly the unbounded shuffle the comment claimed to avoid.
+    # Similarity metrics negate (NaN -> +inf) so ascending = best-first.
+    from pyspark.sql import Window
+
     sort_dist = F.col(dist_col)
     if metric in _SIMILARITY_METRICS:
         sort_dist = F.when(F.isnan(sort_dist), F.lit(float("inf"))).otherwise(-sort_dist)
-    keyed = scored.withColumn("_sd", sort_dist).withColumn("_pid", F.spark_partition_id())
-    payload = F.struct(
-        F.col("_sd").alias("sd"), F.col(id_col).alias("id"), F.col(dist_col).alias("dist")
+    keyed = scored.withColumn("_sd", sort_dist)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sd").asc_nulls_last(), F.col(id_col).asc()
     )
-    partial = keyed.groupBy(query_id_col, "_pid").agg(
-        F.slice(F.array_sort(F.collect_list(payload)), 1, k).alias("_cand")
-    )
-    merged = partial.groupBy(query_id_col).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("_cand"))), 1, k).alias("_cand")
-    )
-    return merged.select(query_id_col, F.explode("_cand").alias("_c")).select(
-        query_id_col, F.col("_c.id").alias(id_col), F.col("_c.dist").alias(dist_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, dist_col)
     )
 
 
@@ -241,7 +243,25 @@ def knn_join_vectorized(
 
     payload_cols = payload_cols or []
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if any(r[1] is None for r in qrows):
+        raise ValueError(
+            "knn_join_vectorized: a query row has a NULL vector — distances "
+            "would be undefined (filter or fix the query side first)"
+        )
     qids = [r[0] for r in qrows]
+    data_types = dict(data.dtypes)
+    out_schema = ", ".join(
+        [
+            f"{query_id_col} {dict(queries.dtypes)[query_id_col]}",
+            f"{id_col} {data_types[id_col]}",
+            f"{dist_col} double",
+        ]
+        + [f"{c} {data_types[c]}" for c in payload_cols]
+    )
+    if not qrows:
+        # an empty query side used to crash the numpy prep with an
+        # AxisError; an empty result is the right answer
+        return data.sparkSession.createDataFrame([], out_schema)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (nq, dim)
     nq = len(qids)
     if metric == "euclidean":
@@ -256,16 +276,6 @@ def knn_join_vectorized(
     else:
         raise ValueError(f"vectorized knn_join supports euclidean/cosine, not {metric!r}")
 
-    data_types = dict(data.dtypes)
-    out_schema = ", ".join(
-        [
-            f"{query_id_col} {dict(queries.dtypes)[query_id_col]}",
-            f"{id_col} {data_types[id_col]}",
-            f"{dist_col} double",
-        ]
-        + [f"{c} {data_types[c]}" for c in payload_cols]
-    )
-
     def part(batches):
         # accumulate per-partition top-k across batches, emit once
         best: dict[int, list] = {qi: [] for qi in range(nq)}
@@ -276,12 +286,23 @@ def knn_join_vectorized(
             if metric == "euclidean":
                 d2 = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ qmat.T) + q_sq[None, :]
                 dist = np.sqrt(np.maximum(d2, 0.0))  # (n, nq)
+                # NaN rows rank worst deterministically: argpartition treats
+                # NaN as largest, but Python's sorted() over NaN keys is not
+                # a total order — a NaN entry could evict a true neighbor
+                # during the cross-batch merge below
+                dist = np.where(np.isfinite(dist), dist, np.inf)
             else:
                 dn = np.linalg.norm(m, axis=1, keepdims=True)
                 mn = m / np.where(dn == 0.0, 1.0, dn)  # zero-norm guard (see above)
                 dist = -(mn @ q_norm.T)  # negated similarity: smaller = better
                 # any residual non-finites rank worst, deterministically
                 dist = np.where(np.isfinite(dist), dist, np.inf)
+                # zero-magnitude DATA rows rank worst too (declarative path:
+                # 0/0 = NaN -> +inf sort key); similarity 0 would rank them
+                # ABOVE every negative-similarity true neighbor
+                zero_rows = dn[:, 0] == 0.0
+                if zero_rows.any():
+                    dist[zero_rows, :] = np.inf
             top = min(k, dist.shape[0])
             sel = np.argpartition(dist, top - 1, axis=0)[:top]  # (top, nq)
             for qi in range(nq):

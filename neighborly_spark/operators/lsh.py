@@ -139,7 +139,16 @@ def hnsw_equivalent_knn(
     engine. We match the CAPABILITY (top-k approximate, recall >= 0.8,
     Tests/HNSWBenchmarkTests.cs:169) with: exact distributed top-k under a
     size cutoff (it IS fast in batch), high-recall LSH above it."""
-    n = approx_count if approx_count is not None else df.count()
+    # LIMIT-probe instead of a full count: the cutoff only needs to know
+    # whether the table exceeds exact_cutoff rows, and a limit(c+1).count()
+    # short-circuits after c+1 rows — a full count() per single-query call
+    # scanned the whole (possibly uncached 100k+-row) table before the
+    # actual search even started
+    n = (
+        approx_count
+        if approx_count is not None
+        else df.limit(exact_cutoff + 1).count()
+    )
     if n <= exact_cutoff:
         return exact_knn(df, query_vec, k, "euclidean", id_col, vec_col)
     return lsh_knn(df, query_vec, k, vec_col, num_hash_tables=max(12, auto_table_count(len(query_vec))))

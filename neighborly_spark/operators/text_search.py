@@ -127,6 +127,14 @@ def bm25_topk(
     return out.select(id_col, "score").orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _q(term: str) -> str:
+    """SQL-escape a query term for the DuckDB twin (a term containing an
+    apostrophe would otherwise break — or inject into — the generated
+    oracle SQL; the Spark side matches terms by literal equality and is
+    unaffected)."""
+    return term.replace("'", "''")
+
+
 def bm25_topk_duckdb_sql(
     query: str,
     k: int = 10,
@@ -141,11 +149,11 @@ def bm25_topk_duckdb_sql(
     terms = _bm25_terms(query)
     toks = tokens_duckdb_sql(text_col)
     has = ", ".join(
-        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1::BIGINT ELSE 0::BIGINT END) AS df{i}"
+        f"sum(CASE WHEN list_contains(toks, '{_q(t)}') THEN 1::BIGINT ELSE 0::BIGINT END) AS df{i}"
         for i, t in enumerate(terms)
     )
     tfs = ", ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+        f"len(list_filter(toks, x -> x = '{_q(t)}')) AS tf{i}" for i, t in enumerate(terms)
     )
     norm = f"(1.0 - {b!r} + {b!r} * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
     parts = []

@@ -98,3 +98,69 @@ def test_shortlist_below_k_is_clamped(spark):
     enc = QZ.pq_encode_vectorized(df, pq).select("id", "pq_code")
     out2 = QZ.pq_search_rerank(df, enc, pq, [0.0] * 8, k=5, shortlist=1).collect()
     assert len(out2) == 5
+
+
+def test_knn_null_embedding_ranks_last(spark):
+    """Spark's asc() default is NULLS FIRST: a null-embedding row (null
+    distance) used to rank as the TOP neighbor in knn()/ivf_search/
+    text_search. It must never displace a real neighbor."""
+    from neighborly_spark.operators.knn import knn
+
+    df = _table(spark, [(999, None)])
+    top = knn(df, [0.0] * 8, 5).collect()
+    assert len(top) == 5 and all(r.id != 999 for r in top)
+
+
+def test_knn_join_windowgrouplimit_and_bounded_shuffle(spark):
+    """knn_join's per-query top-k rides Spark's rank-limit pushdown: the
+    physical plan must carry WindowGroupLimit (the partial form caps
+    map-side output at k per query per partition — the bound the old
+    two-stage collect_list aggregation claimed but did not deliver: its
+    slice-to-k only applied in the final agg's result expression)."""
+    from neighborly_spark.operators.knn import knn_join
+
+    df = _table(spark)
+    qs = df.limit(4).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    out = knn_join(df, qs, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = out.collect()
+    assert len(rows) == 12
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.dist, r.id))
+    assert all(v == sorted(v) or sorted(v) for v in got.values())
+    assert all(qid in {i for _, i in v} for qid, v in got.items())  # self-find
+
+
+def test_knn_join_vectorized_zero_data_row_ranks_worst(spark):
+    """BLAS cosine: a zero-magnitude DATA row used to score similarity 0 —
+    ABOVE every negative-similarity true neighbor (the declarative path
+    ranks its NaN worst). It must rank strictly last."""
+    from neighborly_spark.operators.knn import knn_join_vectorized
+
+    data = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.0]), (4, [0.5, 0.5])],
+        "id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_embedding array<float>"
+    )
+    out = sorted(
+        ((r.dist, r.id) for r in knn_join_vectorized(data, qs, k=4, metric="cosine").collect()),
+        reverse=True,
+    )
+    assert [i for _, i in out] == [1, 4, 3, 2]  # zero vector strictly last
+
+    # empty query side returns an empty frame instead of an AxisError
+    empty = knn_join_vectorized(data, qs.limit(0), k=4)
+    assert empty.count() == 0 and empty.columns == ["query_id", "id", "dist"]
+
+
+def test_bm25_duckdb_twin_escapes_quotes():
+    from neighborly_spark.operators.text_search import bm25_topk_duckdb_sql
+
+    sql = bm25_topk_duckdb_sql("o'brien rules")
+    assert "o''brien" in sql and "'o'brien'" not in sql
