@@ -1045,3 +1045,45 @@ def test_cosine_composes_with_df_batch_and_snapshot(spark, tmp_path):
     assert all(i % 2 == 1 for i, _ in got)
     assert len({i for i, _ in got} & set(exact)) >= 4  # recall >= 0.8
     vec.unpersist()
+
+
+def test_snapshot_lru_one_entry_per_shard_version(spark, tmp_path):
+    """Round-7 VERDICT 8: the snapshot LRU keys on (path, part_id,
+    version) only — an unfiltered search and a filtered one on the same
+    shard share ONE rehydrated graph (tags for every list-typed
+    passthrough column are parsed unconditionally at load), so
+    filtered-after-unfiltered serves warm."""
+    import numpy as np
+
+    from neighborly_spark.operators import hnsw as H
+
+    rows = [
+        (i, [float(i % 7), float(i % 5), 1.0, 0.0], [int(i % 2)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>, tags array<smallint>")
+    g = hnsw_build(df, dim=4, num_partitions=1, tags_col="tags")
+    path = str(tmp_path / "lru_snap")
+    g.write.partitionBy("part_id").parquet(path)
+
+    H._SNAPSHOT_CACHE.clear()
+    H._SNAPSHOT_CACHE_STATS.update(hits=0, misses=0)
+    # unfiltered usage: tags still come back parsed (load parses all
+    # list-typed passthrough columns once)
+    ids, graph, tags, kind = H._load_snapshot_shard(path, 0, "v1")
+    assert len(ids) == 120 and tags is not None and kind is int
+    assert H._SNAPSHOT_CACHE_STATS == {"hits": 0, "misses": 1}
+    # filtered usage on the same shard+version: warm, same graph object
+    ids2, graph2, tags2, kind2 = H._load_snapshot_shard(path, 0, "v1", tags_col="tags")
+    assert graph2 is graph and tags2 is tags
+    # a filter naming a column the snapshot lacks: still warm, tags None
+    _, graph3, tags3, kind3 = H._load_snapshot_shard(path, 0, "v1", tags_col="nope")
+    assert graph3 is graph and tags3 is None and kind3 is None
+    assert H._SNAPSHOT_CACHE_STATS == {"hits": 2, "misses": 1}
+    assert len(H._SNAPSHOT_CACHE) == 1  # one entry per (path, shard, version)
+    # tag content round-trips: row-aligned parity with id % 2
+    pos = {int(i): n for n, i in enumerate(ids)}
+    assert all(tags[pos[i]] == frozenset({i % 2}) for i in range(120))
+    # a new version is a separate entry (mutations change the version)
+    H._load_snapshot_shard(path, 0, "v2")
+    assert H._SNAPSHOT_CACHE_STATS["misses"] == 2 and len(H._SNAPSHOT_CACHE) == 2
