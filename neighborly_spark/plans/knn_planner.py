@@ -44,6 +44,10 @@ EXACT_WORK_LIMIT = 50_000_000
 MAX_COLLECTED_QUERIES = 100_000
 #: |D| x |Q| above which even BLAS should yield to candidate pruning.
 VECTORIZED_WORK_LIMIT = 5_000_000_000_000  # ~5e12 flops/dim unit
+#: shards each query descends on a SPATIAL hnsw layout (recall 1.00 at
+#: p=1 on the measured separated/overlapping mixtures, docs/RECALL.md —
+#: 2 buys slack for queries on cell boundaries at one extra shard's beam).
+DEFAULT_PROBE_SHARDS = 2
 
 
 @dataclass
@@ -124,13 +128,31 @@ def knn_join_auto(
     query_count: int | None = None,
     allow_approx: bool = True,
     hnsw_graph: DataFrame | None = None,
+    hnsw_spatial: bool = False,
+    hnsw_routing: DataFrame | None = None,
+    hnsw_probe_shards: int | None = None,
+    hnsw_trust_routing: bool = False,
     ivfpq_index: tuple | None = None,  # (encoded DataFrame, IVFPQModel)
     sq_index: tuple | None = None,  # (codes DataFrame, SQModel)
 ) -> tuple[DataFrame, KnnJoinPlan]:
     """Plan and execute; returns (result, plan). Counts may be passed from
     table stats to avoid the count() jobs. Pass prebuilt index artifacts
     (operators.hnsw.hnsw_build output; (ivfpq_encode output, IVFPQModel);
-    (sq code table, SQModel)) to enable the index tiers."""
+    (sq code table, SQModel)) to enable the index tiers.
+
+    ``hnsw_spatial=True`` (a graph built with hnsw_build(spatial=True), or
+    any caller-supplied ``hnsw_routing`` table) makes the hnsw tier
+    PROBE-ROUTED (round-7 VERDICT 1): each query descends only its top-p
+    shards by the centroid+radius lower bound (p =
+    ``hnsw_probe_shards``, default DEFAULT_PROBE_SHARDS — recall 1.00 at
+    p=1 on the measured spatial layouts, docs/RECALL.md) instead of every
+    shard. At production shard counts (~2e5 shards at 1e10 rows) the
+    exhaustive fan-out is |Q| x shards beam work — the routed form is the
+    tier's actual selling point. Hash-sharded graphs (the default build)
+    stay exhaustive BY DESIGN: hash shards are uniform subsamples, every
+    centroid sits at the global mean, and probing p of S recovers only
+    ~p/S of the neighbors (measured: 0.03 recall at p=1 of 16) — routing
+    is a property of the layout, not the table."""
     from neighborly_spark.operators.knn import knn_join, knn_join_blocked, knn_join_vectorized
     from neighborly_spark.operators.lsh import approx_knn_join
 
@@ -145,16 +167,28 @@ def knn_join_auto(
     if plan.strategy == "exact":
         out = knn_join(data, queries, k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, query_vec_col=query_vec_col)
     elif plan.strategy == "hnsw":
-        from neighborly_spark.operators.hnsw import hnsw_search_batch
+        from neighborly_spark.operators.hnsw import hnsw_routing_table, hnsw_search_batch
 
         # DataFrame query side end-to-end (round 7): no collect at any |Q|
         qdf = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("query_embedding"),
         )
-        out = hnsw_search_batch(hnsw_graph, qdf, k).withColumnsRenamed(
-            {"query_id": query_id_col, "id": id_col}
-        )
+        # probe-route spatial layouts (round-7 VERDICT 1): |Q| x p shard
+        # assignments instead of the exhaustive |Q| x shards fan-out; hash
+        # layouts stay exhaustive (see docstring — routing cannot
+        # discriminate uniform subsamples)
+        probe = routing = None
+        if hnsw_spatial or hnsw_routing is not None:
+            routing = hnsw_routing if hnsw_routing is not None else hnsw_routing_table(hnsw_graph)
+            probe = hnsw_probe_shards if hnsw_probe_shards is not None else DEFAULT_PROBE_SHARDS
+        out = hnsw_search_batch(
+            hnsw_graph, qdf, k, probe_shards=probe, routing=routing,
+            # a routing table derived HERE from the live graph cannot be
+            # stale; caller-supplied tables keep the liveness guard unless
+            # the caller vouches (SearchService refreshes on mutation)
+            trust_routing=hnsw_routing is None or hnsw_trust_routing,
+        ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
     elif plan.strategy == "ivfpq":
         from neighborly_spark.operators.ivfpq import ivfpq_knn_join
 

@@ -1033,6 +1033,12 @@ class SearchService:
                     if self._index_metric.get("hnsw", "euclidean") == "euclidean"
                     else None
                 ),
+                # spatial layouts probe-route in the planner's hnsw tier
+                # (round-7 VERDICT 1); the service refreshes its routing
+                # table on every mutation, so it is never stale
+                hnsw_spatial=self._hnsw_spatial,
+                hnsw_routing=self._hnsw_routing if self._hnsw_spatial else None,
+                hnsw_trust_routing=True,
                 # cosine-built artifacts hold NORMALIZED-space codes — the
                 # euclidean join planner must not serve them
                 ivfpq_index=(

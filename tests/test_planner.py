@@ -288,3 +288,131 @@ def test_big_query_table_prefers_index_tiers(spark):
     assert {r.qid for r in rows} == {r.qid for r in queries.collect()}
     assert out.columns == ["qid", "id", "dist"]
     g.unpersist()
+
+
+def test_planner_hnsw_tier_probe_routes_spatial_graphs(spark):
+    """Round-7 VERDICT 1: knn_join_auto's hnsw tier probe-routes SPATIAL
+    layouts — the shard assignment is |Q| x p rows (not |Q| x shards),
+    the routed results clear the recall bar vs the exhaustive fan-out,
+    and hash layouts stay exhaustive by default (routing cannot
+    discriminate uniform shards — docs/RECALL.md round-4 table)."""
+    from unittest import mock
+
+    from neighborly_spark.operators import hnsw as H
+    from neighborly_spark.plans import knn_planner as P
+
+    # deterministic 8-component mixture (test_hnsw._clustered recipe)
+    import numpy as np
+
+    dim, nclust = 16, 8
+    centers = np.random.RandomState(7).standard_normal((nclust, dim))
+    centers_lit = F.lit([[float(v) for v in row] for row in centers]).cast(
+        "array<array<double>>"
+    )
+    comp = (F.col("id") % nclust).cast("int")
+    center = F.element_at(centers_lit, comp + 1)
+    embc = F.transform(
+        center,
+        lambda x, j: (
+            x + (F.pmod(F.xxhash64(F.col("id"), j), 1_000_000) / 1_000_000.0 - 0.5) * 0.5
+        ).cast("float"),
+    )
+    vec = spark.range(3000).select("id", embc.alias("embedding")).cache()
+    vec.count()
+    g = H.hnsw_build(vec, dim=dim, num_partitions=4, spatial=True).cache()
+    g.count()
+    queries = vec.orderBy(F.xxhash64("id")).limit(25).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    ).cache()
+    nq = queries.count()
+
+    seen = {}
+    real_batch = H.hnsw_search_batch
+
+    def spy(graph_df, qdf, k, **kw):
+        seen.update(kw)
+        return real_batch(graph_df, qdf, k, **kw)
+
+    with mock.patch.object(H, "hnsw_search_batch", side_effect=spy):
+        routed, plan = P.knn_join_auto(
+            vec, queries, k=10, dim=dim, hnsw_graph=g, hnsw_spatial=True,
+            data_count=10_000_000, query_count=500_000,
+        )
+        routed_pairs = {(r.query_id, r.id) for r in routed.collect()}
+    # the tier received a routing table + the default probe count
+    assert seen["probe_shards"] == P.DEFAULT_PROBE_SHARDS
+    assert seen["routing"] is not None and seen["trust_routing"] is True
+    # the in-plan assignment is exactly |Q| x p rows
+    assigned = H.hnsw_route_queries(seen["routing"], queries, seen["probe_shards"])
+    assert assigned.count() == nq * P.DEFAULT_PROBE_SHARDS
+    # and its plan fans out via the routing broadcast, not an all-shards
+    # crossJoin of the graph
+    aplan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in aplan or "BroadcastExchange" in aplan
+
+    # recall gate vs the exhaustive path on the same graph
+    exhaustive, plan_ex = P.knn_join_auto(
+        vec, queries, k=10, dim=dim, hnsw_graph=g,
+        data_count=10_000_000, query_count=500_000,
+    )
+    ex_pairs = {(r.query_id, r.id) for r in exhaustive.collect()}
+    assert plan.strategy == plan_ex.strategy == "hnsw"
+    assert len(routed_pairs) == len(ex_pairs) == nq * 10
+    assert len(routed_pairs & ex_pairs) / len(ex_pairs) >= 0.9
+
+    # hash layouts stay exhaustive: no routing/probing reaches the tier
+    gh = H.hnsw_build(vec, dim=dim, num_partitions=4).cache()
+    gh.count()
+    seen.clear()
+    with mock.patch.object(H, "hnsw_search_batch", side_effect=spy):
+        out_h, _ = P.knn_join_auto(
+            vec, queries, k=10, dim=dim, hnsw_graph=gh,
+            data_count=10_000_000, query_count=500_000,
+        )
+        out_h.collect()
+    assert seen["probe_shards"] is None and seen["routing"] is None
+    gh.unpersist()
+    g.unpersist()
+    queries.unpersist()
+    vec.unpersist()
+
+
+def test_service_knn_join_probe_routes_spatial_index(spark):
+    """SearchService.knn_join forwards its spatial layout + routing table
+    to the planner's hnsw tier (with trust — the service refreshes routing
+    on every mutation), and the routed join clears the recall bar."""
+    from unittest import mock
+
+    from neighborly_spark.operators import hnsw as H
+    from neighborly_spark.parity import load
+    from neighborly_spark.search_service import SearchService
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).cache()
+    emb.count()
+    svc = SearchService(emb, dim=64)
+    svc.build_index("hnsw", spatial=True)
+    queries = emb.limit(20).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    seen = {}
+    real_batch = H.hnsw_search_batch
+
+    def spy(graph_df, qdf, k, **kw):
+        seen.update(kw)
+        return real_batch(graph_df, qdf, k, **kw)
+
+    with mock.patch.object(H, "hnsw_search_batch", side_effect=spy):
+        got = svc.knn_join(queries, k=5, data_count=1_000_000_000, query_count=1_000)
+        got_pairs = {(r.query_id, r.id) for r in got.collect()}
+    assert svc.last_join_plan.strategy == "hnsw"
+    assert seen["probe_shards"] is not None and seen["trust_routing"] is True
+    from neighborly_spark.operators.knn import knn_join
+
+    exact_pairs = {
+        (r.query_id, r.id)
+        for r in knn_join(emb, queries, k=5).select("query_id", "id").collect()
+    }
+    assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.8
+    emb.unpersist()
