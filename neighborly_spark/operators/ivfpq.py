@@ -40,6 +40,10 @@ from neighborly_spark.operators.ivf import CLUSTER_COL, IVFModel, ivf_assign, iv
 from neighborly_spark.operators.quantization import PQModel, pq_train_sampled
 
 CODE_COL = "pq_code"
+#: queries per LUT chunk inside the (cell, salt) cogroup tasks — bounds
+#: the broadcast-subtract intermediate at chunk x m x k' x sub_dim doubles
+#: (~70 MB at 8x256x8) regardless of query fan-in. Bit-identical math.
+_LUT_QUERY_CHUNK = 512
 
 
 class IVFPQModel:
@@ -497,24 +501,49 @@ def _ivfpq_knn_join_df(
         qv = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in q_pdf["query_embedding"]]
         )
-        # task-local residual LUTs from the broadcast codebooks (round-6
-        # VERDICT 1: never driver-side) — same reductions as the list path
-        res = (qv - coarse[cell]).reshape(len(qv), m, sub_dim)
-        lut = ((res[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
-        ld = lut.reshape(len(qv), m * kp)
         codes = np.stack([np.asarray(c) for c in codes_pdf[CODE_COL]])
         ids = codes_pdf[id_col].to_numpy()
         idx = codes + (np.arange(m) * kp)[None, :]  # (n, m) flat gather
-        rows_q: list = []
-        rows_id: list = []
-        rows_d: list = []
-        for qi in range(len(qv)):
-            dist = ld[qi][idx].sum(-1)  # (n,) — same m-length reduction
-            sel = np.lexsort((ids, dist))[:fetch]  # (dist, id) order
-            rows_q.extend([int(qids[qi])] * len(sel))
-            rows_id.extend(ids[sel].tolist())
-            rows_d.extend(np.sqrt(dist[sel]).tolist())
-        return pd.DataFrame({"query_id": rows_q, id_col: rows_id, "dist": rows_d})
+        # pre-sort the code rows by id ONCE: a stable argsort over the
+        # distance matrix then breaks ties in id order — exactly
+        # lexsort((ids, dist)) per query, but one vectorized C sort per
+        # chunk instead of a python-loop lexsort per query (round 8: the
+        # per-query loop was the dominant cost at 100k-query fan-in)
+        perm = np.argsort(ids, kind="stable")
+        ids_s = ids[perm]
+        idx_s = idx[perm]
+        out_q: list = []
+        out_i: list = []
+        out_d: list = []
+        # task-local residual LUTs from the broadcast codebooks (round-6
+        # VERDICT 1: never driver-side) — same reductions as the list
+        # path, computed in bounded QUERY CHUNKS (round 8): the LUT
+        # broadcast-subtract materializes a (nq, m, k', sub_dim)
+        # intermediate, which at the 100k-query fan-in this cogroup sees
+        # is multi-GB PER TASK (measured: 10k->100k queries took the
+        # whole join 19 s -> 464 s — memory thrash, not compute). A 512-
+        # query chunk caps it (and the (chunk, n, m) gather below) at
+        # ~150 MB with bit-identical per-element math (no summation
+        # order changes anywhere in this function).
+        for start in range(0, len(qv), _LUT_QUERY_CHUNK):
+            qb = qv[start : start + _LUT_QUERY_CHUNK]
+            res = (qb - coarse[cell]).reshape(len(qb), m, sub_dim)
+            lut = ((res[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+            ld = lut.reshape(len(qb), m * kp)
+            dist = ld[:, idx_s].sum(-1)  # (chunk, n) — same m-length reduction
+            order = np.argsort(dist, axis=1, kind="stable")[:, :fetch]
+            sel_d = np.take_along_axis(dist, order, axis=1)  # (chunk, f)
+            nf = order.shape[1]
+            out_q.append(np.repeat(qids[start : start + len(qb)], nf))
+            out_i.append(ids_s[order].reshape(-1))
+            out_d.append(np.sqrt(sel_d).reshape(-1))
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+            }
+        )
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -525,9 +554,26 @@ def _ivfpq_knn_join_df(
             StructField("dist", DoubleType()),
         ]
     )
+    # EXPLICIT repartition on the cogroup key (round 8, same AQE trap as
+    # hnsw_search_batch_snapshot): both cogroup sides are byte-small (m-
+    # byte codes; query rows), so AQE's byte-count shuffle coalescing
+    # folds the exchange into a few partitions and serializes the python
+    # scoring. A user repartition with an explicit count is exempt and
+    # satisfies the required clustering; cell-count x salt caps the
+    # useful width.
+    n_parts = max(
+        1,
+        min(
+            len(model.ivf.centroids) * data_salt,
+            spark.sparkContext.defaultParallelism,
+        ),
+    )
     raw = (
-        flt.groupBy(CLUSTER_COL, "_salt")
-        .cogroup(assigned.groupBy("_cell", "_salt"))
+        flt.repartition(n_parts, CLUSTER_COL, "_salt")
+        .groupBy(CLUSTER_COL, "_salt")
+        .cogroup(
+            assigned.repartition(n_parts, "_cell", "_salt").groupBy("_cell", "_salt")
+        )
         .applyInPandas(group_score, schema)
     )
     # bounded global merge — identical to the list path's, so the final

@@ -287,6 +287,38 @@ def bq_search_precoded(
     return out.drop("_hamming")
 
 
+def _guard_query_broadcast(
+    queries: DataFrame, tier: str, max_broadcast_queries: int | None
+) -> None:
+    """Size-gate a tier that BROADCASTS its query side (round-7 VERDICT 2):
+    bq/sq batch joins score every (code row, query) pair off a broadcast
+    query frame, which is the right plan only while |Q| is
+    broadcast-small. A beyond-budget query table here is both a driver
+    OOM (the broadcast collects to the driver first) and |D| x |Q| scan
+    work the pruning tiers avoid — so rather than silently planning a
+    shuffle of the same doomed crossJoin, refuse with routing guidance
+    (knn_join_auto encodes the same reasoning: beyond-budget query tables
+    go to the hnsw/ivfpq DataFrame tiers, which prune the data side per
+    query). The check reads at most budget+1 query rows (one bounded
+    job), never the data side."""
+    if max_broadcast_queries is None:
+        from neighborly_spark.plans.knn_planner import MAX_COLLECTED_QUERIES
+
+        max_broadcast_queries = MAX_COLLECTED_QUERIES
+    if queries.limit(max_broadcast_queries + 1).count() > max_broadcast_queries:
+        raise ValueError(
+            f"{tier}: query side exceeds the {max_broadcast_queries}-row "
+            "broadcast budget — this tier broadcasts the encoded queries "
+            "and scores every (code row, query) pair, which does not "
+            "scale past broadcast-sized |Q|. Route large query tables to "
+            "the DataFrame-native pruning tiers instead "
+            "(search_batch(method='hnsw'|'ivfpq') or "
+            "plans.knn_planner.knn_join_auto, which pick them "
+            "automatically), or raise max_broadcast_queries explicitly "
+            "if the driver can hold the broadcast."
+        )
+
+
 def bq_knn_join(
     df: DataFrame,
     codes: DataFrame,
@@ -299,6 +331,7 @@ def bq_knn_join(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
     max_hamming: int | None = None,
+    max_broadcast_queries: int | None = None,
 ) -> DataFrame:
     """Batched BQ search: top-k per query in ONE scan of the packed-code
     table (completing the batch-join matrix alongside sq_knn_join /
@@ -312,9 +345,15 @@ def bq_knn_join(
     whose prefilter passes NOTHING fall back to their 3k hamming-closest
     rows, computed with the same two-stage partial top-k as knn_join and
     gated per query on a broadcast pass-count — the common all-pass case
-    pays one cheap aggregate. Returns (query_id, id, dist)."""
+    pays one cheap aggregate. Returns (query_id, id, dist).
+
+    The query side must fit the broadcast budget
+    (``max_broadcast_queries``, default the planner's
+    MAX_COLLECTED_QUERIES) — beyond it this raises with route-to-hnsw/
+    ivfpq guidance rather than OOM-ing the driver (round-7 VERDICT 2)."""
     if max_hamming is None:
         max_hamming = min(dim // 4, 64)
+    _guard_query_broadcast(queries, "bq_knn_join", max_broadcast_queries)
 
     q = F.broadcast(
         queries.select(
@@ -961,6 +1000,7 @@ def sq_knn_join(
     query_vec_col: str = "query_embedding",
     rerank: bool = True,
     shortlist: int | None = None,
+    max_broadcast_queries: int | None = None,
 ) -> DataFrame:
     """Batched SQ8 search: top-k per query over the packed-code table in
     ONE scan (the 100 TB serving shape — every query rides the same
@@ -972,8 +1012,18 @@ def sq_knn_join(
     ``rerank=True`` (default, requires ``df``) reranks each query's
     quantized shortlist with exact float distances — the float table is
     touched for nq x shortlist rows only, via an id join AQE broadcasts.
-    Returns (query_id, id, dist)."""
+    Returns (query_id, id, dist).
+
+    The query side must fit the broadcast budget
+    (``max_broadcast_queries``, default the planner's
+    MAX_COLLECTED_QUERIES): the delegated knn_join broadcasts the query
+    frame and scans every (code row, query) pair. Beyond the budget this
+    raises with route-to-hnsw/ivfpq guidance rather than OOM-ing the
+    driver (round-7 VERDICT 2 — knn_join_auto already refuses to route
+    big query tables here; this guards direct calls)."""
     from neighborly_spark.operators.knn import knn_join
+
+    _guard_query_broadcast(queries, "sq_knn_join", max_broadcast_queries)
 
     # Null/NaN-embedding rows carry null code words -> null dequantized
     # distance, and knn_join's struct array_sort orders null-dist structs

@@ -834,3 +834,68 @@ def test_sq_range_search_cosine_equals_exact(spark, emb, query):
         for r in svc.range_search(query_vec=query, radius=0.3, metric="cosine", method="sq").collect()
     }
     assert got2 == exact2
+
+
+def test_bq_sq_batch_refuse_beyond_broadcast_budget(spark, emb, sq_model):
+    """Round-7 VERDICT 2: bq/sq batch joins broadcast the query side, so a
+    beyond-budget query TABLE must raise with route-to-hnsw/ivfpq
+    guidance instead of collecting 100k+ rows to the driver. The guard
+    fires before any code-table scan (the error comes from the bounded
+    query-count job), and bounded batches are untouched."""
+    import pytest as _pytest
+
+    from neighborly_spark.plans.knn_planner import MAX_COLLECTED_QUERIES
+
+    big = spark.range(MAX_COLLECTED_QUERIES + 1).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.lit(0.5)] * 64).cast("array<float>").alias("query_embedding"),
+    )
+    thr = QZ.bq_global_threshold(emb)
+    codes = QZ.bq_encode_table(emb, dim=64, threshold=thr)
+    with _pytest.raises(ValueError, match="broadcast budget.*hnsw"):
+        QZ.bq_knn_join(emb, codes, big, 5, 64, thr)
+    sq_codes = QZ.sq_encode_table(emb, sq_model)
+    with _pytest.raises(ValueError, match="broadcast budget.*hnsw"):
+        QZ.sq_knn_join(sq_codes, sq_model, big, 5, df=emb)
+    # an explicit budget raise keeps the tier usable when the caller KNOWS
+    # the driver can hold the broadcast; a tiny explicit budget refuses a
+    # tiny frame (the knob is honored in both directions)
+    small = big.limit(3)
+    with _pytest.raises(ValueError, match="broadcast budget"):
+        QZ.sq_knn_join(sq_codes, sq_model, small, 5, df=emb, max_broadcast_queries=2)
+    out = QZ.sq_knn_join(
+        sq_codes, sq_model, small, 5, df=emb, max_broadcast_queries=3
+    )
+    assert out.select("query_id").distinct().count() == 3
+    codes.unpersist()
+    sq_codes.unpersist()
+
+
+def test_ivfpq_df_lut_chunking_is_bit_identical(spark, emb, ivfpq_model, monkeypatch):
+    """Round 8: the (cell, salt) cogroup computes residual LUTs in bounded
+    query chunks (the unchunked broadcast-subtract was multi-GB per task
+    at 100k-query fan-in). Chunking must not change a single bit: force a
+    2-query chunk so a 5-query batch spans 3 chunks and compare against
+    the single-query path exactly."""
+    from neighborly_spark.operators import ivfpq as IVFPQ_mod
+
+    monkeypatch.setattr(IVFPQ_mod, "_LUT_QUERY_CHUNK", 2)
+    enc = IVFPQ.ivfpq_encode(emb, ivfpq_model).cache()
+    enc.count()
+    qdf = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+    batch = IVFPQ.ivfpq_knn_join(enc, ivfpq_model, qdf, K, nprobe=10, df=emb)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.id, r.dist))
+    for r in emb.filter(F.col("id") < 5).collect():
+        single = [
+            (x.id, x.dist)
+            for x in IVFPQ.ivfpq_search_rerank(
+                emb, enc, ivfpq_model, list(r.embedding), K, nprobe=10
+            ).collect()
+        ]
+        assert sorted(got[r.id]) == sorted(single), r.id  # exact floats
+    enc.unpersist()
