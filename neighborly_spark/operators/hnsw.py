@@ -1333,6 +1333,7 @@ def hnsw_search_batch_snapshot(
     tag_any: list | None = None,
     tag_all: list | None = None,
     tags_col: str = "tags",
+    query_salt: int = 1,
 ) -> DataFrame:
     """Serve a SAVED graph (SearchService.save layout:
     partitionBy('part_id') parquet) with ZERO graph bytes in the plan —
@@ -1359,7 +1360,17 @@ def hnsw_search_batch_snapshot(
     version) into its LRU entry, and the allowed mask is evaluated
     worker-side — filtered + durable serving still ships zero graph bytes
     per query. Raises in the task if the snapshot lacks ``tags_col``
-    (SearchService validates the column driver-side before calling)."""
+    (SearchService validates the column driver-side before calling).
+
+    ``query_salt=s`` splits each shard's query set across ``s`` tasks
+    (group key (part_id, salt-of-query_id)) — round 8: with worker-
+    resident graph loads the per-shard task is pure query work, so a
+    shard probed by a large query fan-in otherwise becomes a straggler
+    bounded by PROBED-SHARD COUNT, not cores (measured: 100k queries x
+    p=2 over 16 shards = 16 tasks on 32 cores). Salting multiplies
+    shard loads per worker (the LRU absorbs repeats), so keep s modest
+    (2-8); results are identical for any s — the per-query descent does
+    not depend on which task runs it."""
     # JVM LocalRelations end to end: a python-list createDataFrame would
     # put a python-RDD scan (one worker round trip per scan — measured
     # ~4 s/query) in front of every search, and a bare crossJoin of two
@@ -1413,7 +1424,26 @@ def hnsw_search_batch_snapshot(
 
     from pyspark.sql import Window
 
-    local = assigned.groupBy("part_id").applyInPandas(
+    if query_salt > 1:
+        assigned = assigned.withColumn(
+            "_qsalt", F.pmod(F.xxhash64(F.col("query_id")), F.lit(int(query_salt)))
+        )
+        keys = ["part_id", "_qsalt"]
+    else:
+        keys = ["part_id"]
+    # EXPLICIT repartition on the group key (round 8): the assignment frame
+    # is query-sized and BYTE-small (the graph stays on disk — that is the
+    # tier's whole point), so AQE's shuffle coalescing folds the cogroup
+    # exchange into 1-2 partitions by byte count and SERIALIZES the beam
+    # work (measured: 100k queries x p=2 over 16 shards ran in ONE python
+    # worker — ~250 s for ~55 s of search CPU). Bytes are the wrong cost
+    # model for a python-compute-bound stage; a user repartition with an
+    # explicit count is exempt from AQE coalescing and satisfies the
+    # ClusteredDistribution the grouped applyInPandas needs (no second
+    # exchange). Group count caps the useful width.
+    n_groups = max(1, len(part_ids) * max(1, int(query_salt)))
+    n_parts = min(n_groups, spark.sparkContext.defaultParallelism)
+    local = assigned.repartition(n_parts, *keys).groupBy(*keys).applyInPandas(
         per_shard, "query_id long, id long, dist double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())

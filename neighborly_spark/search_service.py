@@ -1066,6 +1066,7 @@ class SearchService:
         rerank: bool = True,
         shortlist: int | None = None,
         hnsw_probe_shards: int | None = None,
+        hnsw_query_salt: int = 1,
         tag_any: list | None = None,
         tag_all: list | None = None,
         metric: str = "euclidean",
@@ -1258,6 +1259,9 @@ class SearchService:
                     routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
                     tag_any=tag_any, tag_all=tag_all,
                     tags_col=self.tags_col or "tags",
+                    # large fan-in parallelism knob (round 8): splits each
+                    # shard's queries across hnsw_query_salt tasks
+                    query_salt=hnsw_query_salt,
                 ))
             return _serve(hnsw_search_batch(
                 graph, qarg if qarg is not None else as_list(), k,

@@ -1087,3 +1087,82 @@ def test_snapshot_lru_one_entry_per_shard_version(spark, tmp_path):
     # a new version is a separate entry (mutations change the version)
     H._load_snapshot_shard(path, 0, "v2")
     assert H._SNAPSHOT_CACHE_STATS["misses"] == 2 and len(H._SNAPSHOT_CACHE) == 2
+
+
+def test_snapshot_filtered_selectivity_sweep(spark, emb, tmp_path):
+    """Round-7 VERDICT 6 (CI tier of scripts/recall_snapshot_filtered.py):
+    the snapshot tier's worker-side filtered descent clears the recall
+    bar across selectivity tiers, and under extreme selectivity the
+    per-shard exact-scan band makes the result SET-EQUAL to the oracle —
+    same gates the DataFrame path carries, through the durable path."""
+    from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
+
+    tagged = emb.withColumn(
+        "tags",
+        F.array(
+            (F.col("id") % 3).cast("smallint"),                # ~1/3
+            (F.lit(10) + F.col("id") % 10).cast("smallint"),   # ~1/10
+            (F.lit(100) + F.col("id") % 100).cast("smallint"), # ~1/100
+        ),
+    ).cache()
+    tagged.count()
+    g = hnsw_build(tagged, dim=64, num_partitions=2, tags_col="tags")
+    path = str(tmp_path / "snap_sel_sweep")
+    g.write.partitionBy("part_id").parquet(path)
+    pids = [r.part_id for r in g.select("part_id").distinct().collect()]
+
+    qrows = emb.orderBy(F.xxhash64("id")).limit(5).collect()
+    qs = [(i, list(r.embedding)) for i, r in enumerate(qrows)]
+    for tag, min_recall in ((1, 0.8), (13, 0.8)):
+        allowed_df = tagged.filter(F.array_contains("tags", tag))
+        allowed_ids = {r.id for r in allowed_df.select("id").collect()}
+        got = {}
+        out = hnsw_search_batch_snapshot(
+            spark, path, pids, qs, 10, version="v1", tag_any=[tag]
+        )
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.id)
+        hits = total = 0
+        for i, qr in enumerate(qrows):
+            exact = {r.id for r in knn(allowed_df, list(qr.embedding), 10).collect()}
+            assert got.get(i, set()) <= allowed_ids, (tag, i)
+            hits += len(exact & got.get(i, set()))
+            total += len(exact)
+        assert hits / total >= min_recall, (tag, hits / total)
+
+    # extreme selectivity (~5 allowed of 500): exact-scan band, set-equal
+    allowed_df = tagged.filter(F.array_contains("tags", 142))
+    want = {r.id for r in knn(allowed_df, list(qrows[0].embedding), 10).collect()}
+    out = hnsw_search_batch_snapshot(
+        spark, path, pids, [qs[0]], 10, version="v1", tag_any=[142]
+    )
+    assert {r.id for r in out.collect()} == want
+    tagged.unpersist()
+
+
+def test_snapshot_query_salt_results_invariant(spark, emb, tmp_path):
+    """Round 8: query_salt splits a shard's query fan-in across tasks for
+    parallelism beyond probed-shard count; results are identical for any
+    salt (the descent is per-query)."""
+    from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
+
+    g = hnsw_build(emb, dim=64, num_partitions=2)
+    path = str(tmp_path / "snap_qsalt")
+    g.write.partitionBy("part_id").parquet(path)
+    pids = [r.part_id for r in g.select("part_id").distinct().collect()]
+    qs = [(i, list(r.embedding)) for i, r in enumerate(emb.limit(8).collect())]
+    base = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in hnsw_search_batch_snapshot(
+            spark, path, pids, qs, 5, version="v1"
+        ).collect()
+    )
+    for s in (3, 8):
+        salted = sorted(
+            (r.query_id, r.id, round(r.dist, 9))
+            for r in hnsw_search_batch_snapshot(
+                spark, path, pids, qs, 5, version="v1", query_salt=s
+            ).collect()
+        )
+        assert salted == base, s
+    assert len(base) == 40
