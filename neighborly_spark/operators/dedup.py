@@ -685,19 +685,35 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over near-dup pair edges -> (id, component),
     component = min id reachable. The keep-one-per-cluster step of a dedup
     pipeline (survivor = row whose id == component).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converges in O(diameter)
-    rounds. The driver loop checks a changed-count each round (an aggregate,
-    not a data collect) and stops at the fixpoint — dup clusters are
-    shallow (diameter ~2-3), so this is 3-4 shuffles in practice. For
-    adversarial chain-shaped graphs use the alternating large/small-star
-    variant; max_iter bounds the worst case.
-    """
+    ``algorithm='propagation'`` (default): iterative min-label
+    propagation — each round every node takes the min of its own label
+    and its neighbors' labels; converges in O(diameter) rounds. The
+    driver loop checks a changed-count each round (an aggregate, not a
+    data collect) and stops at the fixpoint — dup clusters are shallow
+    (diameter ~2-3), so this is 3-4 shuffles in practice.
+
+    ``algorithm='contraction'`` (round-7 VERDICT 7): alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm),
+    which converges in O(log n) rounds on ANY graph shape: each round
+    rewires every node toward its neighborhood minimum, so path-shaped
+    dup chains (common in near-dup graphs, where A~B~C but A!~C)
+    contract exponentially instead of one hop per round. Prefer it when
+    chains deeper than ~max_iter are plausible; per-round cost is one
+    extra shuffle vs propagation. Output is identical (equality-tested).
+
+    max_iter bounds the worst case for both; a non-convergence warning
+    fires if the fixpoint was not reached."""
+    if algorithm == "contraction":
+        return _cc_star_contraction(pairs, a_col, b_col, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}: 'propagation' | 'contraction'")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -738,11 +754,96 @@ def connected_components(
         warnings.warn(
             f"connected_components did not converge within max_iter="
             f"{max_iter} rounds — labels may still split one true "
-            "component; raise max_iter (or use star-contraction) for "
-            "deep chain-shaped graphs",
+            "component; raise max_iter (or use algorithm='contraction') "
+            "for deep chain-shaped graphs",
             stacklevel=2,
         )
     return labels
+
+
+def _cc_star_contraction(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — O(log n)
+    rounds on any shape (see connected_components docstring). Each round:
+
+    - large-star: every node u sends each STRICTLY LARGER neighbor v to
+      m = min(N(u) + {u})  -> edge (m, v)
+    - small-star: on the (small, large) oriented edges, every node l
+      re-parents its smaller neighbors AND itself onto m = min of them
+      -> edges (m, v)
+
+    Both steps preserve connectivity and only ever lower a node's
+    attachment, so the fixpoint is a forest of depth-1 stars centered at
+    the component minima; labels read off the final edges. Every
+    intermediate edge set is canonical ((s, l), s < l, distinct) and
+    localCheckpoint-ed (same O(rounds) lineage control as propagation)."""
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.least("s", "l").alias("s"), F.greatest("s", "l").alias("l"))
+            .filter(F.col("s") != F.col("l"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bi = e.select(F.col("s").alias("u"), F.col("l").alias("v")).unionByName(
+            e.select(F.col("l").alias("u"), F.col("s").alias("v"))
+        )
+        mins = bi.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("u"), F.col("_mn")).alias("_m")
+        # m <= u < v, so (m, v) is canonical and never a self loop
+        return (
+            bi.join(mins.select("u", m), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("_m").alias("s"), F.col("v").alias("l"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("l").agg(F.min("s").alias("_m"))
+        nbrs = (
+            e.join(mins, "l")
+            .filter(F.col("s") != F.col("_m"))
+            .select(F.col("_m").alias("s"), F.col("s").alias("l"))
+        )
+        self_edge = mins.select(F.col("_m").alias("s"), F.col("l"))
+        return nbrs.unionByName(self_edge)
+
+    raw = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("l"))
+    cur = canon(raw).localCheckpoint()
+    # node universe from the RAW pairs: a self-loop-only node has no
+    # canonical edge but must still label itself (propagation parity)
+    nodes = (
+        raw.select(F.col("s").alias("id"))
+        .unionByName(raw.select(F.col("l").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    converged = n_edges == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        nxt = canon(small_star(canon(large_star(cur)))).localCheckpoint()
+        n_next = nxt.count()
+        # canonical distinct sets are equal iff same size and no new rows
+        converged = n_next == n_edges and nxt.exceptAll(cur).limit(1).count() == 0
+        cur, n_edges = nxt, n_next
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"star-contraction did not converge within max_iter={max_iter} "
+            "rounds — labels may still split one true component; raise "
+            "max_iter",
+            stacklevel=3,
+        )
+    # fixpoint edges are (component-min, member) stars; roots/isolated
+    # nodes label themselves
+    parents = cur.select(F.col("l").alias("id"), F.col("s").alias("component"))
+    return nodes.join(parents, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def dedup_survivors_from_pairs(

@@ -164,3 +164,53 @@ def test_bm25_duckdb_twin_escapes_quotes():
 
     sql = bm25_topk_duckdb_sql("o'brien rules")
     assert "o''brien" in sql and "'o'brien'" not in sql
+
+
+def test_connected_components_contraction_equals_propagation(spark):
+    """Round-7 VERDICT 7: the star-contraction variant returns bit-equal
+    labels to min-label propagation on random graphs, and converges on a
+    10^4-node chain in O(log n) rounds — where propagation would need
+    10^4 rounds — without tripping the non-convergence warning."""
+    import random
+    import warnings
+
+    from neighborly_spark.operators.dedup import connected_components
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 200
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        # max_iter=200: sparse random graphs grow long chains (seed 7's
+        # giant component has diameter > 20 — propagation needs the
+        # headroom to reach the true fixpoint it's being compared on)
+        prop = {
+            r.id: r.component
+            for r in connected_components(pairs, max_iter=200).collect()
+        }
+        contr = {
+            r.id: r.component
+            for r in connected_components(pairs, algorithm="contraction").collect()
+        }
+        assert contr == prop, seed
+
+    # adversarial chain: 10^4 nodes, diameter 10^4 — propagation's worst
+    # case, contraction's bread and butter (log2(1e4) ~ 14 rounds)
+    chain = spark.range(9_999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any non-convergence warning fails
+        labels = connected_components(
+            chain, max_iter=20, algorithm="contraction"
+        ).collect()
+    assert len(labels) == 10_000 and all(r.component == 0 for r in labels)
+
+    # empty edge set: empty labels, no crash
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty, algorithm="contraction").count() == 0
+    # unknown algorithm refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(chain, algorithm="turbo")
