@@ -99,3 +99,74 @@ def test_query_stream_composes_with_tags_and_sq(spark, emb, tmp_path):
     rows = [r for df in results for r in df.collect()]
     assert rows and all(r.id % 3 == 1 for r in rows)
     tagged.unpersist()
+
+
+def test_query_stream_replay_is_idempotent_in_read_view(spark, emb, tmp_path):
+    """Round-7 VERDICT 5: a micro-batch that fails AFTER its sink write
+    (but before the offset commit) replays on restart with the same
+    _batch_id; dynamic partition overwrite replaces that partition, so
+    the read view carries exactly one copy of every (query_id, id,
+    _batch_id) row."""
+    from neighborly_spark.search_service import SearchService
+    from neighborly_spark.streaming.search import start_query_stream
+
+    svc = SearchService(emb, dim=64)
+    svc.build_index("hnsw")
+
+    qdir = str(tmp_path / "replay_q_in")
+    emb.limit(4).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).write.mode("overwrite").parquet(qdir)
+
+    def make_stream():
+        return spark.readStream.schema(
+            "query_id long, query_embedding array<double>"
+        ).parquet(qdir)
+
+    out_path = str(tmp_path / "replay_out")
+    ckpt = str(tmp_path / "replay_ckpt")
+    boom = {"armed": True}
+
+    def explode_once(df):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected post-write failure")
+
+    # first run: the sink WRITES batch 0, then the injected failure stops
+    # the stream before the batch commits
+    q = start_query_stream(
+        make_stream(), svc, checkpoint_dir=ckpt, k=5, method="hnsw",
+        sink_path=out_path, on_results=explode_once,
+    )
+    with pytest.raises(Exception, match="injected post-write failure"):
+        q.awaitTermination(120)
+        q.processAllAvailable()  # surface the foreachBatch error
+    # the write happened before the failure: rows exist for batch 0
+    first = spark.read.parquet(out_path)
+    assert first.count() == 20 and {r._batch_id for r in first.collect()} == {0}
+
+    # restart: Structured Streaming REPLAYS batch 0 (it never committed);
+    # the partition is overwritten, not appended
+    q2 = start_query_stream(
+        make_stream(), svc, checkpoint_dir=ckpt, k=5, method="hnsw",
+        sink_path=out_path,
+    )
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out_path)
+    rows = final.collect()
+    assert len(rows) == 20  # 4 queries x k=5, once
+    keys = [(r.query_id, r.id, r._batch_id) for r in rows]
+    assert len(keys) == len(set(keys))  # no duplicate rows survive replay
+    assert {b for _, _, b in keys} == {0}
+    # and the replayed results equal the batch oracle
+    qdf = emb.limit(4).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+    want = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in svc.search_batch(qdf, k=5, method="hnsw").collect()
+    )
+    got = sorted((r.query_id, r.id, round(r.dist, 9)) for r in rows)
+    assert got == want
