@@ -507,6 +507,85 @@ BENCH_STEADY = {
     "hnsw_snapwarm32_150k": bench_hnsw_snapshot32_150k,
 }
 
+
+def bench_hnsw_snap100k_df(spark, sf_dir):
+    """100k-query DataFrame batch through the SNAPSHOT tier, probe-routed
+    (round-7 VERDICT 4 — the million-query serving shape at bench scale):
+    a spatial 16-shard graph (cells = coarse-quantizer regions) saved to
+    parquet serves a 100k-row query TABLE worker-resident — per query:
+    in-plan routing to its top-2 shards by the centroid+radius bound,
+    worker-local LRU graph load, ef=64 descent (recall headroom table in
+    docs/RECALL.md). query_salt=4 spreads each shard's fan-in across
+    tasks (the group shuffle is byte-small, so width must come from the
+    explicit group-key repartition, not AQE's byte model). Spatial build
+    + save are untimed index setup like every other fit."""
+    import tempfile
+    import uuid
+
+    from neighborly_spark.operators.hnsw import (
+        hnsw_build,
+        hnsw_routing_table,
+        hnsw_search_batch_snapshot,
+    )
+
+    vec = _synth_vectors(spark, sf_dir)
+    if "hnsw_spatial_snap" not in _STATE:
+        g = hnsw_build(vec, dim=64, num_partitions=16, spatial=True).cache()
+        g.count()
+        rt = hnsw_routing_table(g).cache()
+        rt.count()
+        path = tempfile.mkdtemp(prefix="bench_hnsw_snap100k_") + "/graph"
+        g.write.partitionBy("part_id").parquet(path)
+        pids = [r.part_id for r in g.select("part_id").distinct().collect()]
+        _STATE["hnsw_spatial_snap"] = (path, pids, rt, uuid.uuid4().hex)
+        g.unpersist()
+    if "qdf100k" not in _STATE:
+        qdf = vec.select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_embedding"),
+        ).limit(100_000).cache()
+        qdf.count()
+        _STATE["qdf100k"] = qdf
+    path, pids, rt, ver = _STATE["hnsw_spatial_snap"]
+    return hnsw_search_batch_snapshot(
+        spark, path, pids, _STATE["qdf100k"], 10, version=ver, ef=64,
+        probe_shards=2, routing=rt, query_salt=4,
+    )
+
+
+def bench_ivfpq_batch100k_df(spark, sf_dir):
+    """100k-query DataFrame batch through IVF+PQ (round-7 VERDICT 4): the
+    probe-assign -> (cell, salt) cogroup -> bounded merge -> exact rerank
+    pipeline at real query fan-in. data_salt=2 (cells are ~9k rows at
+    this tier — salting exists to bound per-task CODE rows under cell
+    skew; every extra salt re-shuffles the query replicas and re-derives
+    their LUTs, so keep it at the smallest value that bounds the cell)."""
+    from neighborly_spark.operators.ivfpq import ivfpq_knn_join
+
+    bench_ivfpq_150k(spark, sf_dir)  # model + codes ready (untimed build)
+    vec = _synth_vectors(spark, sf_dir)
+    if "qdf100k" not in _STATE:
+        qdf = vec.select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_embedding"),
+        ).limit(100_000).cache()
+        qdf.count()
+        _STATE["qdf100k"] = qdf
+    model, encoded = _STATE["ivfpq"]
+    return ivfpq_knn_join(
+        encoded, model, _STATE["qdf100k"], 10, nprobe=4, df=vec, data_salt=2
+    )
+
+
+#: 100k-query aggregate entries: run ONCE (the entry is itself a 100k-
+#: query aggregate — per-query variance is amortized inside the run, and
+#: a warm-median protocol would triple a ~minute-long measurement for
+#: noise reduction it does not need). Labeled via stat_overrides.
+BENCH_SINGLE = {
+    "hnsw_snap100k_df_150k": bench_hnsw_snap100k_df,
+    "ivfpq_batch100k_df_150k": bench_ivfpq_batch100k_df,
+}
+
 #: Oracle-checked queries worth timing at their native size.
 #: (knn_five_metrics is deliberately absent: it unions the SAME scan under
 #: five metrics for the correctness gate; timing it would count 5x
@@ -635,6 +714,17 @@ def main() -> None:
         timings[name] = round(sorted(runs[-3:])[1], 4)
         spreads[name] = [round(r, 4) for r in runs]
 
+    # 100k-query aggregate tier: one timed run each (see BENCH_SINGLE);
+    # setup (spatial build / snapshot save / query-table cache) happens
+    # inside the first call's _STATE fill, so time it separately and
+    # exclude it — the same untimed-index-build treatment every fit gets
+    for name, build in BENCH_SINGLE.items():
+        build(spark, SF_DIR)  # eager _STATE setup (builds/saves/caches); DF stays lazy
+        t0 = time.perf_counter()
+        _force(build(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+        spreads[name] = [timings[name]]
+
     sf = orig_sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_queries_total_sec",
@@ -646,7 +736,8 @@ def main() -> None:
         # BENCH_STEADY entries use a different protocol — label them so
         # cross-round comparisons don't mix the two
         "stat_overrides": {
-            name: "median_of_last3_of_16_consecutive" for name in BENCH_STEADY
+            **{name: "median_of_last3_of_16_consecutive" for name in BENCH_STEADY},
+            **{name: "single_run_100k_query_aggregate" for name in BENCH_SINGLE},
         },
         "runs": spreads,
         "corpus": _fingerprint(spark, orig_sf_dir),
