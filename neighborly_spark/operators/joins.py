@@ -78,6 +78,12 @@ def asof_join(
     # forward: right rows sort AFTER left rows so it is inside the following
     # frame.
     r_side, l_side = (0, 1) if back else (1, 0)
+    # a null right timestamp can never satisfy l.ts >= r.ts (or <=) — but
+    # Spark sorts nulls FIRST, so backward it would sit at the front of
+    # every key's frame and its payload would carry into EVERY left row.
+    # Drop such rows up front (DuckDB's ASOF comparison is never true on
+    # null either, so the oracle agrees).
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(on),
         F.col(ts_col),
@@ -109,6 +115,15 @@ def asof_join(
         *[carry(c).alias(c) for c in out_right],
     )
     out = carried.filter(F.col("_side") == l_side).drop("_side")
+    # a null LEFT timestamp never matches either (forward it sorts first
+    # and would otherwise see every right row in its following frame):
+    # null the carried payload, so 'inner' drops it and 'left' keeps it
+    # with null payload — the oracle's semantics
+    out = out.select(
+        on, ts_col,
+        *left_cols,
+        *[F.when(F.col(ts_col).isNotNull(), F.col(c)).alias(c) for c in out_right],
+    )
     matched = F.col(prefix + ts_col).isNotNull()
     if tolerance_sec is not None:
         signed = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(prefix + ts_col))

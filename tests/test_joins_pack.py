@@ -148,3 +148,29 @@ def test_interval_join_auto_bucket(spark):
     got = sorted((r.event_id, r.start_us) for r in
                  interval_join(points, intervals, bucket_us=None).collect())
     assert got == [(0, 0), (1, 200), (2, 0)]
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """Round 8: null timestamps must never match — Spark sorts nulls FIRST,
+    so an unguarded null-ts right row would carry its payload into every
+    backward frame, and a null-ts left row would see every right row in
+    its forward frame. Both now behave like the oracle (comparison with
+    null is never true): right nulls are dropped, left nulls are
+    unmatched (null payload under how='left', dropped under 'inner')."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l0"), (1, None, "lnull")],
+        "user_id int, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666), (1, _ts(5), 100)],
+        "user_id int, ts timestamp, v int",
+    )
+    back = asof_join(left, right, right_cols=["v"], how="left")
+    got = {r.lbl: r.r_v for r in back.collect()}
+    assert got == {"l0": 100, "lnull": None}  # 666 never surfaces
+    back_inner = asof_join(left, right, right_cols=["v"], how="inner")
+    assert {r.lbl for r in back_inner.collect()} == {"l0"}
+    fwd = asof_join(left, right, right_cols=["v"], how="left", direction="forward")
+    got = {r.lbl: r.r_v for r in fwd.collect()}
+    # l0 at 10 has no right row at/after it (5 < 10; null dropped)
+    assert got == {"l0": None, "lnull": None}
