@@ -1111,7 +1111,14 @@ def hnsw_search_batch(
         # routing derives from it; stale routing is guarded above) and every
         # probed shard has >= 1 assignment (the semi join), so no cogroup
         # side is ever empty — the nested-array empty-side segfault (see
-        # hnsw_add) cannot trigger here
+        # hnsw_add) cannot trigger here.
+        # NO explicit group-key repartition here, unlike the snapshot tier:
+        # this cogroup ships the GRAPH bytes (~20 MB/shard), which keep
+        # AQE's byte-count coalescing honest, and an A/B showed the forced
+        # repartition costs ~33% at small batches for a ~12% gain at 100k
+        # queries. Large query fan-ins against a durable index should use
+        # the snapshot tier (worker-resident loads + query_salt), which is
+        # both faster (no graph re-shipping) and repartition-protected.
         local = (
             probed.groupBy("part_id")
             .cogroup(assigned.groupBy("part_id"))
@@ -1131,6 +1138,7 @@ def hnsw_search_batch(
             .crossJoin(F.broadcast(pids))
             .withColumnRenamed("_pid", "part_id")
         )
+        # no forced repartition — see the probed branch's A/B note
         local = (
             graph_df.groupBy("part_id")
             .cogroup(assigned.groupBy("part_id"))
