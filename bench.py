@@ -309,6 +309,16 @@ def bench_dedup_minhash(spark, sf_dir):
     )
 
 
+def bench_dsir_logweights(spark, sf_dir):
+    """DSIR importance weights (round 8, new operator): every doc scored
+    against a 250-doc target slice — two bucket histograms + broadcast
+    score join + per-doc integer sum (operators/dsir.py)."""
+    from neighborly_spark.operators.dsir import dsir_logweights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_logweights(docs, docs.filter("doc_id % 20 = 0"))
+
+
 def bench_dedup_simhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import simhash_pairs
 
@@ -490,6 +500,7 @@ BENCH_LOCAL = {
     "hnsw_batch256_df_150k": bench_hnsw_batch256_df,
     "ivfpq_batch1k_df_150k": bench_ivfpq_batch1k_df,
     "dedup_minhash_docs": bench_dedup_minhash,
+    "dsir_logweights_docs": bench_dsir_logweights,  # new in round 8
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,
     "dedup_semantic_docs": bench_dedup_semantic,

@@ -33,7 +33,7 @@ PY_WS = _re.compile("[ \t\n\x0b\f\r]+")
 
 
 def py_normalize_exact(text: str) -> str:
-    """Python replica of normalize_text (lower, trim spaces, collapse \s+).
+    r"""Python replica of normalize_text (lower, trim spaces, collapse \s+).
 
     Caveat (applies to every engine='python' twin built on these): Python's
     str.lower() and the JVM's String.toLowerCase() agree on ASCII but can
@@ -46,7 +46,7 @@ def py_normalize_exact(text: str) -> str:
 
 
 def py_tokens_exact(text: str) -> list[str]:
-    """Python replica of tokens() (split trimmed lowered text on \s+)."""
+    r"""Python replica of tokens() (split trimmed lowered text on \s+)."""
     return PY_WS.split(text.lower().strip(" "))
 
 

@@ -70,6 +70,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     n-token shingle with a benchmark/eval set. Returns contaminated docs
@@ -77,10 +78,14 @@ def decontaminate(
     shingles (shingles() is already distinct per doc, so a plain count).
 
     Scale: the realistic asymmetry is a petabyte train side vs a tiny
-    benchmark side, so the benchmark's distinct shingle set is BROADCAST —
-    the train side never shuffles its exploded grams, only the final
-    per-doc count aggregates (map-side partial first). A benchmark too big
-    to broadcast degrades gracefully to a shuffle hash join.
+    benchmark side, so by default the benchmark's distinct shingle set is
+    BROADCAST — the train side never shuffles its exploded grams, only the
+    final per-doc count aggregates (map-side partial first). The broadcast
+    HINT overrides Spark's size threshold, so a "benchmark" that is itself
+    corpus-sized (cross-corpus decontamination) would be collected to the
+    driver regardless — pass ``broadcast_bench=False`` there: the join is
+    left unhinted, AQE still broadcasts a small side and falls back to a
+    shuffle join on (_gram) for a big one.
     """
     bench_grams = bench.select(
         F.explode(shingles(F.col(text_col), n)).alias("_gram")
@@ -88,8 +93,9 @@ def decontaminate(
     train_grams = train.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_gram")
     )
+    bg = F.broadcast(bench_grams) if broadcast_bench else bench_grams
     return (
-        train_grams.join(F.broadcast(bench_grams), "_gram")
+        train_grams.join(bg, "_gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -86,6 +86,7 @@ def start_ingest(
     refresher: DebouncedIndexRefresher | None = None,
     available_now: bool = True,
     on_batch=None,
+    idempotent: bool = False,
 ):
     """Stream a landing directory of parquet event files into the vectors
     table. Returns the StreamingQuery (caller awaits/stops).
@@ -96,6 +97,15 @@ def start_ingest(
     SearchService's HNSW shard graphs current per batch (Q13 with real
     graph maintenance), where ``refresher`` models the reference's
     debounced full REBUILD.
+
+    ``idempotent=True`` makes the TARGET TABLE replay-safe in the read
+    view, same mechanism as the serving sink (streaming/search.py,
+    round-7 VERDICT 5): rows are stamped with ``_batch_id``, partitioned
+    by it, and written with dynamic partition overwrite — a micro-batch
+    replayed after a post-write failure REPLACES its own partition
+    instead of appending duplicate vectors. The stamp stays in the table
+    schema as provenance (and as the overwrite key). The default stays a
+    plain append for schema compatibility with existing vectors tables.
     """
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
 
@@ -103,7 +113,16 @@ def start_ingest(
         rows = normalize_events_to_vectors(batch, dim)
         if rows.isEmpty():
             return
-        rows.write.mode("append").parquet(target_path)
+        if idempotent:
+            (
+                rows.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(target_path)
+            )
+        else:
+            rows.write.mode("append").parquet(target_path)
         if on_batch is not None:
             # localCheckpoint: the hook may keep the frame past this
             # micro-batch (the streaming source is not re-readable later)

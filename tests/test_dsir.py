@@ -1,0 +1,132 @@
+"""DSIR importance resampling (operators/dsir.py): hand semantics, the
+DuckDB twin (bit-equal integerized-log contract), content-stable Gumbel
+sampling, and the broadcast/no-Python plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators.dsir import (
+    dsir_logweights,
+    dsir_logweights_duckdb_sql,
+    dsir_sample,
+    ngram_multiset,
+    ngram_multiset_duckdb_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ngram_multiset_counts_not_distinct(spark):
+    row = spark.range(1).select(
+        ngram_multiset(F.lit("a b a b"), 2).alias("g")
+    ).first()
+    # unigrams a b a b + bigrams "a b" "b a" "a b" — duplicates KEPT
+    assert sorted(row.g) == ["a", "a b", "a b", "a", "b", "b", "b a"] or sorted(
+        row.g
+    ) == sorted(["a", "b", "a", "b", "a b", "b a", "a b"])
+    one = spark.range(1).select(ngram_multiset(F.lit("solo"), 2).alias("g")).first()
+    assert one.g == ["solo"]  # no bigrams, not a descending-sequence blowup
+    empty = spark.range(1).select(ngram_multiset(F.lit("  "), 2).alias("g")).first()
+    assert empty.g == [""] or empty.g == []  # whitespace-only degenerates
+
+
+def test_dsir_hand_case_ranks_target_like_docs_higher(spark):
+    raw = spark.createDataFrame(
+        [
+            (0, "apple banana apple banana"),
+            (1, "xyzzy quux corge grault"),
+            (2, "apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "apple banana apple"), (101, "banana apple banana")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.log_weight for r in dsir_logweights(raw, target, buckets=1024).collect()}
+    # target-vocabulary doc >> mixed doc >> disjoint-vocabulary doc (the
+    # absolute level is shifted by the smoothing normalizer — only the
+    # per-gram evidence gap is meaningful)
+    assert got[0] > got[2] > got[1]
+    assert got[0] - got[1] > 3.0
+
+
+def test_dsir_featureless_docs_weight_zero(spark):
+    raw = spark.createDataFrame(
+        [(0, "apple banana"), (1, "   "), (2, None)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "apple")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in dsir_logweights(raw, target, buckets=64).collect()}
+    assert set(rows) == {0, 1, 2}
+    # null text tokenizes to null -> featureless path; whitespace-only text
+    # tokenizes to [""] whose unigram "" is a real (if degenerate) feature
+    assert rows[2].n_grams == 0 and rows[2].log_weight == 0.0
+
+
+def test_dsir_logweights_matches_duckdb_twin(spark):
+    raw_where = "doc_id % 2 = 0"
+    tgt_where = "doc_id % 7 = 0"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in dsir_logweights(
+            docs.filter(raw_where), docs.filter(tgt_where), buckets=4096
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            dsir_logweights_duckdb_sql(raw_where, tgt_where, buckets=4096)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 250
+
+
+def test_ngram_multiset_duckdb_twin_bit_equal(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    got = {
+        r.doc_id: r.g
+        for r in docs.select("doc_id", ngram_multiset(F.col("text"), 2).alias("g")).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = dict(
+        con.sql(
+            f"SELECT doc_id, {ngram_multiset_duckdb_sql('text', 2)} FROM documents "
+            "WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)"
+        ).fetchall()
+    )
+    for d in want:
+        assert got[d] == want[d]
+
+
+def test_dsir_sample_deterministic_and_weight_biased(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter("lang = 'en'").limit(40)
+    a = sorted(r.doc_id for r in dsir_sample(docs, target, 50, buckets=4096).collect())
+    b = sorted(
+        r.doc_id
+        for r in dsir_sample(docs.repartition(13), target, 50, buckets=4096).collect()
+    )
+    assert a == b and len(a) == 50
+    lw = dsir_logweights(docs, target, buckets=4096)
+    overall = lw.agg(F.avg("log_weight")).first()[0]
+    sel = lw.join(
+        spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id"
+    ).agg(F.avg("log_weight")).first()[0]
+    assert sel > overall  # importance sampling pulls toward the target
+
+
+def test_dsir_plan_broadcasts_scores_no_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dsir_logweights(docs, docs.limit(30), buckets=4096)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan

@@ -108,6 +108,22 @@ def test_decontaminate_broadcasts_bench(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_unhinted_when_bench_is_big(spark):
+    """broadcast_bench=False drops the broadcast HINT (which would force a
+    driver collect of a corpus-sized 'benchmark' regardless of Spark's
+    size threshold) and leaves the join strategy to the optimizer/AQE —
+    values identical."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.limit(5)
+    hinted = decontaminate(docs, bench, n=4)
+    unhinted = decontaminate(docs, bench, n=4, broadcast_bench=False)
+    analyzed = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()  # no ResolvedHint(broadcast)
+    got_h = sorted((r.doc_id, r.n_overlap) for r in hinted.collect())
+    got_u = sorted((r.doc_id, r.n_overlap) for r in unhinted.collect())
+    assert got_h == got_u and got_h
+
+
 def test_unigram_logprob_hand_case(spark):
     import math
     import pytest

@@ -53,6 +53,42 @@ def test_stream_ingest_appends_vectors(spark, events_landing, tmp_path):
     assert refresher.rebuild_count >= 1
 
 
+def test_stream_ingest_idempotent_replay(spark, events_landing, tmp_path):
+    """idempotent=True: a micro-batch that fails AFTER its target write
+    (before the offset commit) replays on restart with the same _batch_id
+    and REPLACES its partition — the vectors table never shows duplicate
+    rows (same read-view contract as the serving sink, round-7 VERDICT 5)."""
+    target = str(tmp_path / "vectors")
+    ckpt = str(tmp_path / "ckpt")
+    boom = {"armed": True}
+
+    def explode_once(df):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected post-write failure")
+
+    q = start_ingest(
+        spark, events_landing, EVENTS_SCHEMA, target, ckpt,
+        dim=8, on_batch=explode_once, idempotent=True,
+    )
+    with pytest.raises(Exception, match="injected post-write failure"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # batch 0's write landed before the failure
+    assert spark.read.parquet(target).count() == 1000
+
+    q2 = start_ingest(
+        spark, events_landing, EVENTS_SCHEMA, target, ckpt,
+        dim=8, idempotent=True,
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(target)
+    rows = out.count()
+    assert rows == 1000  # replay replaced, not appended
+    assert "_batch_id" in out.columns
+    assert out.select("id").distinct().count() == 1000
+
+
 def test_debounce_waits_for_quiet_period():
     rebuilds = []
     r = DebouncedIndexRefresher(lambda: rebuilds.append(1), debounce_seconds=5.0)
