@@ -1449,6 +1449,14 @@ def hnsw_search_batch_snapshot(
     # explicit count is exempt from AQE coalescing and satisfies the
     # ClusteredDistribution the grouped applyInPandas needs (no second
     # exchange). Group count caps the useful width.
+    # HASH repartition, not repartitionByRange: range placement would be
+    # contiguous (no balls-in-bins collisions among the ~shards x salt
+    # groups), but it was MEASURED 25-30% slower at the 100k-query shape
+    # (scripts/ab_snapshot_partitioner.py: hash 28.5/29.8 s vs range
+    # 36.2/38.2 s) — the range-boundary sampling pass re-scans the
+    # embedding-carrying assignment rows, and boundaries sampled over so
+    # few distinct keys can collapse neighboring groups into one
+    # partition. query_salt is the straggler lever instead.
     n_groups = max(1, len(part_ids) * max(1, int(query_salt)))
     n_parts = min(n_groups, spark.sparkContext.defaultParallelism)
     local = assigned.repartition(n_parts, *keys).groupBy(*keys).applyInPandas(
