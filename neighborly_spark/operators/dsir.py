@@ -66,6 +66,9 @@ def ngram_multiset(text: Column, n_max: int = 2) -> Column:
     via the one-element-transform trick (Catalyst does not CSE across
     lambda bodies — see functions/text.py shingles())."""
 
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+
     def body(toks: Column) -> Column:
         n = F.size(toks)
 
@@ -140,6 +143,8 @@ def dsir_logweights(
     if scoring a different/larger table is needed — weights only need
     q to be estimated once (paper §3.1 fits both distributions on
     samples)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
     s = int(scale)
     tgt = _bucket_counts(target, text_col, buckets, n_max)
     q = _bucket_counts(raw, text_col, buckets, n_max)

@@ -122,6 +122,14 @@ def test_dsir_sample_deterministic_and_weight_biased(spark):
     assert sel > overall  # importance sampling pulls toward the target
 
 
+def test_dsir_rejects_degenerate_params(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_max"):
+        dsir_logweights(docs, docs, n_max=0)
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_logweights(docs, docs, buckets=0)
+
+
 def test_dsir_plan_broadcasts_scores_no_python(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = dsir_logweights(docs, docs.limit(30), buckets=4096)
