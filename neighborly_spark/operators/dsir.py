@@ -31,6 +31,12 @@ Scale shape (100 TB):
 - Bucket histograms aggregate with map-side partial combine down to at
   most ``buckets`` rows per side — the exploded grams of the RAW corpus
   shuffle only as (bucket, partial-count) rows.
+- The raw corpus tokenizes twice (q-histogram pass, then the scoring
+  pass) — deliberate, same contract as corpus.unigram_logprob: scans
+  pipeline, a materialized gram table would not. Profiled at sf0.1: the
+  md5 bucket hash adds nothing measurable over the tokenize+explode
+  itself (histogram pass 0.81 s md5 vs 0.87 s xxhash64 on ~540k grams),
+  so there is no Spark-only fast-hash tier — portable md5 everywhere.
 - The per-bucket score table is ``buckets`` rows (default 65536, ~1 MB)
   and is BROADCAST; the raw corpus then never shuffles its grams for
   scoring — only the per-doc (id, partial-sum) aggregate moves.

@@ -120,6 +120,12 @@ def test_dsir_sample_deterministic_and_weight_biased(spark):
         spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id"
     ).agg(F.avg("log_weight")).first()[0]
     assert sel > overall  # importance sampling pulls toward the target
+    # the top-k plans as a bounded heap, never a global sort
+    plan = (
+        dsir_sample(docs, target, 50, buckets=4096)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_dsir_rejects_degenerate_params(spark):
