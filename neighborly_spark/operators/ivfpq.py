@@ -46,6 +46,53 @@ CODE_COL = "pq_code"
 _LUT_QUERY_CHUNK = 512
 
 
+def _score_sorted_codes(
+    qids, qv, cell, ids_s, idx_s, fetch, coarse, books, m, sub_dim, kp, id_col
+):
+    """Score one cell's (id-sorted) code rows against a query block and
+    return each query's top-``fetch`` (dist, id) rows as a pandas frame —
+    THE shared ADC kernel of the cogroup path (_ivfpq_knn_join_df) and
+    the worker-resident snapshot tier (ivfpq_knn_join_snapshot), factored
+    so the two are bit-equal by construction.
+
+    Task-local residual LUTs from the broadcast codebooks (round-6
+    VERDICT 1: never driver-side) — same reductions as the list path,
+    computed in bounded QUERY CHUNKS (round 8): the LUT broadcast-
+    subtract materializes a (nq, m, k', sub_dim) intermediate, which at
+    100k-query fan-in is multi-GB PER TASK (measured: 10k->100k queries
+    took the whole join 19 s -> 464 s — memory thrash, not compute). A
+    512-query chunk caps it (and the (chunk, n, m) gather) at ~150 MB
+    with bit-identical per-element math (no summation order changes).
+    ``ids_s``/``idx_s`` are the cell's ids and flat-gather indexes
+    PRE-SORTED by id (stable), so the stable argsort over distances
+    breaks ties in id order — exactly lexsort((ids, dist)) per query."""
+    import numpy as np
+    import pandas as pd
+
+    out_q: list = []
+    out_i: list = []
+    out_d: list = []
+    for start in range(0, len(qv), _LUT_QUERY_CHUNK):
+        qb = qv[start : start + _LUT_QUERY_CHUNK]
+        res = (qb - coarse[cell]).reshape(len(qb), m, sub_dim)
+        lut = ((res[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        ld = lut.reshape(len(qb), m * kp)
+        dist = ld[:, idx_s].sum(-1)  # (chunk, n) — same m-length reduction
+        order = np.argsort(dist, axis=1, kind="stable")[:, :fetch]
+        sel_d = np.take_along_axis(dist, order, axis=1)  # (chunk, f)
+        nf = order.shape[1]
+        out_q.append(np.repeat(qids[start : start + len(qb)], nf))
+        out_i.append(ids_s[order].reshape(-1))
+        out_d.append(np.sqrt(sel_d).reshape(-1))
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "dist": np.concatenate(out_d),
+        }
+    )
+
+
 class IVFPQModel:
     """Coarse quantizer + residual product quantizer pair."""
 
@@ -444,32 +491,7 @@ def _ivfpq_knn_join_df(
     fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
     spark = encoded.sparkSession
     qsrc = queries.select("query_id", "query_embedding")
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qv = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["query_embedding"]]
-            )
-            # same squared-distance matrix + stable argsort as the list
-            # path, so per-query probed cells (and their order) are equal
-            d = ((qv[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
-            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-            npb = order.shape[1]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(
-                        pdf["query_id"].to_numpy().astype(np.int64), npb
-                    ),
-                    "query_embedding": np.repeat(qv, npb, axis=0).tolist(),
-                    "_cell": order.reshape(-1).astype(np.int32),
-                }
-            )
-
-    assigned = qsrc.mapInPandas(
-        assign, "query_id long, query_embedding array<double>, _cell int"
-    )
+    assigned = _probe_assign(qsrc, coarse, nprobe)
     # a query probing an EMPTY cell just yields a cogroup group with an
     # empty code side, which group_score returns empty from (flat-array
     # empty sides decode fine — the nested-array crash documented in
@@ -512,37 +534,8 @@ def _ivfpq_knn_join_df(
         perm = np.argsort(ids, kind="stable")
         ids_s = ids[perm]
         idx_s = idx[perm]
-        out_q: list = []
-        out_i: list = []
-        out_d: list = []
-        # task-local residual LUTs from the broadcast codebooks (round-6
-        # VERDICT 1: never driver-side) — same reductions as the list
-        # path, computed in bounded QUERY CHUNKS (round 8): the LUT
-        # broadcast-subtract materializes a (nq, m, k', sub_dim)
-        # intermediate, which at the 100k-query fan-in this cogroup sees
-        # is multi-GB PER TASK (measured: 10k->100k queries took the
-        # whole join 19 s -> 464 s — memory thrash, not compute). A 512-
-        # query chunk caps it (and the (chunk, n, m) gather below) at
-        # ~150 MB with bit-identical per-element math (no summation
-        # order changes anywhere in this function).
-        for start in range(0, len(qv), _LUT_QUERY_CHUNK):
-            qb = qv[start : start + _LUT_QUERY_CHUNK]
-            res = (qb - coarse[cell]).reshape(len(qb), m, sub_dim)
-            lut = ((res[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
-            ld = lut.reshape(len(qb), m * kp)
-            dist = ld[:, idx_s].sum(-1)  # (chunk, n) — same m-length reduction
-            order = np.argsort(dist, axis=1, kind="stable")[:, :fetch]
-            sel_d = np.take_along_axis(dist, order, axis=1)  # (chunk, f)
-            nf = order.shape[1]
-            out_q.append(np.repeat(qids[start : start + len(qb)], nf))
-            out_i.append(ids_s[order].reshape(-1))
-            out_d.append(np.sqrt(sel_d).reshape(-1))
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "dist": np.concatenate(out_d),
-            }
+        return _score_sorted_codes(
+            qids, qv, cell, ids_s, idx_s, fetch, coarse, books, m, sub_dim, kp, id_col
         )
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -576,8 +569,59 @@ def _ivfpq_knn_join_df(
         )
         .applyInPandas(group_score, schema)
     )
-    # bounded global merge — identical to the list path's, so the final
-    # candidate set (a (dist, id)-sorted top-fetch per query) is equal
+    return _merge_and_rerank(raw, qsrc, fetch, k, rerank, df, id_col, vec_col)
+
+
+def _probe_assign(qsrc: DataFrame, coarse, nprobe: int) -> DataFrame:
+    """Vectorized probe-cell assignment over a (query_id, query_embedding)
+    DataFrame: nprobe rows out per query, same squared-distance matrix +
+    stable argsort as the list path's _probe_cells, so per-query probed
+    cells (and their order) are equal across every ivfpq query path."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["query_embedding"]]
+            )
+            d = ((qv[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            npb = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy().astype(np.int64), npb
+                    ),
+                    "query_embedding": np.repeat(qv, npb, axis=0).tolist(),
+                    "_cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return qsrc.mapInPandas(
+        assign, "query_id long, query_embedding array<double>, _cell int"
+    )
+
+
+def _merge_and_rerank(
+    raw: DataFrame,
+    qsrc: DataFrame,
+    fetch: int,
+    k: int,
+    rerank: bool,
+    df: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Bounded global merge of per-group ADC candidates — identical across
+    the cogroup and snapshot paths, so the final candidate set (a
+    (dist, id)-sorted top-fetch per query) is equal — plus the optional
+    exact-float rerank (id join the float table for nq x fetch rows; no
+    forced broadcast — the query table may be data-sized, AQE picks)."""
     payload = F.struct(F.col("dist"), F.col(id_col).alias("id"))
     merged = raw.groupBy("query_id").agg(
         F.slice(F.array_sort(F.collect_list(payload)), 1, fetch).alias("_cand")
@@ -593,7 +637,6 @@ def _ivfpq_knn_join_df(
     joined = (
         df.select(F.col(id_col), F.col(vec_col))
         .join(cand.select("query_id", id_col), id_col)
-        # no forced broadcast: the query table may be data-sized (AQE picks)
         .join(qdf, "query_id")
     )
     d = euclidean(F.col(vec_col), F.col("_qvec").cast("array<float>"))
@@ -608,6 +651,166 @@ def _ivfpq_knn_join_df(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+#: Per-worker LRU of rehydrated snapshot cells for the worker-resident
+#: serving tier (ivfpq_knn_join_snapshot), keyed (path, cell, version) —
+#: the version pins the artifact+model pairing, so the cached flat-gather
+#: indexes (which bake in the model's m x k' layout) can never serve a
+#: retrained index. Entry bytes ~ cell_rows x (8 id + 8m idx); size the
+#: cap so hot cells of a shard fit comfortably (64 x ~10k-row cells at
+#: m=8 is ~6 MB/worker).
+_SNAPSHOT_CELL_CACHE: dict = {}
+_SNAPSHOT_CELL_CACHE_MAX = 64
+#: Per-worker hit/miss counters (test observability; reset freely).
+_SNAPSHOT_CELL_STATS = {"hits": 0, "misses": 0}
+
+
+def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int, kp: int):
+    """Worker-side load of ONE cell's code rows from its parquet partition
+    directory (pyarrow, no Spark plan involved), LRU-cached per worker.
+    Returns (ids_s, idx_s): the cell's ids sorted ascending (stable) and
+    the matching flat-gather LUT indexes — the exact precomputation
+    group_score does per task, done once per (cell, version) per worker.
+    A cell no row was assigned to has no partition directory: cached as
+    empty (queries probing it contribute no candidates, same as the
+    cogroup path's empty code side)."""
+    import numpy as np
+
+    key = (path, int(cell), version)
+    hit = _SNAPSHOT_CELL_CACHE.pop(key, None)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        try:
+            tbl = pq.read_table(
+                f"{path}/{CLUSTER_COL}={int(cell)}", columns=[id_col, CODE_COL]
+            )
+        except FileNotFoundError:
+            tbl = None
+        if tbl is None or tbl.num_rows == 0:
+            hit = (np.empty(0, dtype=np.int64), np.empty((0, m), dtype=np.int64))
+        else:
+            ids = tbl[id_col].to_numpy()
+            code_arr = tbl[CODE_COL].combine_chunks()
+            # fixed-length-m lists: flatten via Arrow values, reshape
+            codes = code_arr.flatten().to_numpy().reshape(len(ids), m)
+            perm = np.argsort(ids, kind="stable")
+            ids_s = ids[perm]
+            idx_s = codes[perm] + (np.arange(m) * kp)[None, :]
+            hit = (ids_s, idx_s)
+        _SNAPSHOT_CELL_STATS["misses"] += 1
+    else:
+        _SNAPSHOT_CELL_STATS["hits"] += 1
+    _SNAPSHOT_CELL_CACHE[key] = hit  # re-insert = MRU
+    while len(_SNAPSHOT_CELL_CACHE) > _SNAPSHOT_CELL_CACHE_MAX:
+        _SNAPSHOT_CELL_CACHE.pop(next(iter(_SNAPSHOT_CELL_CACHE)))
+    return hit
+
+
+def ivfpq_knn_join_snapshot(
+    spark,
+    codes_path: str,
+    model: IVFPQModel,
+    queries,
+    k: int,
+    version: str,
+    nprobe: int = 4,
+    df: DataFrame | None = None,
+    rerank: bool = True,
+    shortlist: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_salt: int = 1,
+) -> DataFrame:
+    """Serve a SAVED ivfpq index (SearchService.save layout:
+    partitionBy(ivf_cluster) parquet) with ZERO code bytes in the plan —
+    the ivfpq twin of hnsw_search_batch_snapshot, and the durable-serving
+    shape at 100 TB: the applyInPandas input is only the (query_id,
+    embedding, cell) probe assignments (query-sized x nprobe); each
+    worker reads its cell's immutable parquet directly and keeps the
+    id-sorted code matrix hot in a per-worker LRU keyed by the snapshot
+    ``version``. The cogroup path (ivfpq_knn_join's DataFrame tier)
+    re-shuffles the probed cells' code rows on EVERY batch — right for
+    fresh in-memory artifacts, a per-batch re-ship of a static artifact
+    when serving a durable index (exactly the tax the hnsw snapshot tier
+    eliminated for graphs; here it is m+8 bytes/row instead of ~20
+    MB/shard, so the win is proportionally smaller but the shape is the
+    one that scales: code bytes move executor<-storage once per worker
+    per version).
+
+    ``queries`` is a [(query_id, vector), ...] list or a (query_id,
+    query_embedding) DataFrame; probe assignment, ADC scoring (shared
+    kernel _score_sorted_codes), merge, and rerank are the cogroup
+    path's, so results are bit-equal to ivfpq_knn_join (test-gated).
+    ``query_salt=s`` splits each cell's query fan-in across s tasks
+    (straggler lever at large fan-in, same rationale + measured A/B as
+    the hnsw snapshot tier's knob — hash repartition, results
+    salt-invariant). Memory: a worker holds <= _SNAPSHOT_CELL_CACHE_MAX
+    cells at cell_rows x ~(8 + 8m) bytes; at 100 TB pick nlist so cells
+    fit (the same sizing rule the cogroup path's data_salt addresses).
+    Tag-filtered serving stays on the in-memory artifact path
+    (SearchService routes pred != None queries there)."""
+    from neighborly_spark.session import local_relation_queries
+
+    import numpy as np
+
+    m, sub_dim, kp = model.pq.m, model.pq.sub_dim, model.pq.num_centroids
+    coarse = np.asarray(model.ivf.centroids, dtype=np.float64)
+    books = np.stack([np.asarray(c, dtype=np.float64) for c in model.pq.centroids])
+    fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
+    qsrc = (
+        queries.select("query_id", "query_embedding")
+        if isinstance(queries, DataFrame)
+        else local_relation_queries(spark, queries)
+    )
+    assigned = _probe_assign(qsrc, coarse, nprobe)
+    if query_salt > 1:
+        assigned = assigned.withColumn(
+            "_qsalt", F.pmod(F.xxhash64(F.col("query_id")), F.lit(int(query_salt)))
+        )
+        keys = ["_cell", "_qsalt"]
+    else:
+        keys = ["_cell"]
+
+    import pandas as pd
+
+    def per_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        ids_s, idx_s = _load_snapshot_cell(codes_path, cell, version, id_col, m, kp)
+        if len(ids_s) == 0 or len(pdf) == 0:
+            return pd.DataFrame(columns=["query_id", id_col, "dist"])
+        qids = pdf["query_id"].to_numpy().astype(np.int64)
+        qv = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["query_embedding"]]
+        )
+        return _score_sorted_codes(
+            qids, qv, cell, ids_s, idx_s, fetch, coarse, books, m, sub_dim, kp, id_col
+        )
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    # the artifact's own id type (a driver-side schema read, no data scan)
+    id_field = spark.read.parquet(codes_path).schema[id_col]
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, id_field.dataType),
+            StructField("dist", DoubleType()),
+        ]
+    )
+    # EXPLICIT repartition on the group key — the assignment frame is
+    # query-sized and byte-small (the codes stay on disk), so AQE's
+    # byte-count coalescing would serialize the python scoring (the
+    # round-8 lesson, same as hnsw_search_batch_snapshot)
+    n_groups = max(1, len(model.ivf.centroids) * max(1, int(query_salt)))
+    n_parts = min(n_groups, spark.sparkContext.defaultParallelism)
+    raw = (
+        assigned.repartition(n_parts, *keys)
+        .groupBy(*keys)
+        .applyInPandas(per_cell, schema)
+    )
+    return _merge_and_rerank(raw, qsrc, fetch, k, rerank, df, id_col, vec_col)
 
 
 def ivfpq_search_rerank(

@@ -96,6 +96,11 @@ class SearchService:
         #: (hnsw_search_batch_snapshot) — graph bytes never enter the plan.
         #: Cleared by any mutation (the in-memory graph diverges).
         self._hnsw_snapshot: tuple | None = None
+        #: (path, version) when the ivfpq code table came from a snapshot:
+        #: unfiltered batch searches then serve worker-resident
+        #: (ivfpq_knn_join_snapshot — code bytes never enter the plan).
+        #: Cleared by any mutation, like the hnsw snapshot.
+        self._ivfpq_snapshot: tuple | None = None
         #: Q13 drift bookkeeping: encode-only appends are cheap but encode
         #: against the TRAINED model — rows appended since each quantizer's
         #: build, plus the SQ batch-drift accumulators (operators.
@@ -228,6 +233,7 @@ class SearchService:
                 enc = enc.join(self.df.select(self.id_col, self.tags_col), self.id_col)
             self._ivfpq_encoded = enc.cache()
             self._ivfpq_encoded.count()
+            self._ivfpq_snapshot = None  # fresh build: no snapshot backs it
         elif method == "hnsw":
             # true partitioned graph (operators.hnsw): requires a numeric
             # id (graph adjacency serializes neighbor ids as bigint). Built
@@ -286,6 +292,7 @@ class SearchService:
         # new table version: the NEXT build_index must train fresh (the
         # already-built indexes keep serving their trained models)
         self._coarse_models = {}
+        self._ivfpq_snapshot = None  # in-memory code table diverges from disk
 
         def rows_for(key: str) -> DataFrame:
             # appends encode in the index's OWN metric space: a cosine
@@ -570,6 +577,7 @@ class SearchService:
         it slightly stale, the same eventual-freshness contract as adds)."""
         self.df = self.df.filter(~F.col(self.id_col).isin(ids))
         self._coarse_models = {}  # new table version (see add_vectors)
+        self._ivfpq_snapshot = None  # in-memory code table diverges from disk
         if self._hnsw_graph is not None:
             from neighborly_spark.operators import hnsw as HN
 
@@ -637,6 +645,8 @@ class SearchService:
             self._sq_codes.write.mode("overwrite").parquet(f"{path}/indexes/sq_codes")
             extras["sq"] = {"vmin": self._sq_model.vmin, "vmax": self._sq_model.vmax}
         if self._ivfpq_model is not None:
+            import uuid as _uuid
+
             # cluster-partitioned layout: probe filters partition-prune
             self._ivfpq_encoded.write.mode("overwrite").partitionBy(
                 IVF.CLUSTER_COL
@@ -648,7 +658,16 @@ class SearchService:
                 "m": ip.pq.m, "sub_dim": ip.pq.sub_dim,
                 "num_centroids": ip.pq.num_centroids,
                 "pq_centroids": ip.pq.centroids,
+                # worker-resident serving manifest (ivfpq_knn_join_snapshot):
+                # the version keys the per-worker cell LRU so a re-save can
+                # never serve stale codes
+                "version": _uuid.uuid4().hex,
             }
+            # the freshly written snapshot backs the live service too
+            # (mutations clear it — see add_vectors/remove_vectors)
+            self._ivfpq_snapshot = (
+                f"{path}/indexes/ivfpq_encoded", extras["ivfpq"]["version"],
+            )
         if self._hnsw_graph is not None:
             # shard graphs as parquet partitioned by shard: a search that
             # targeted one shard would partition-prune (S9 for the graph)
@@ -752,6 +771,10 @@ class SearchService:
             )
             svc._coarse_models.setdefault(ip["nlist"], coarse)
             svc._ivfpq_encoded = spark.read.parquet(f"{path}/indexes/ivfpq_encoded")
+            if ip.get("version"):
+                # snapshot-loaded code table: unfiltered batch searches
+                # serve worker-resident (see search_batch)
+                svc._ivfpq_snapshot = (f"{path}/indexes/ivfpq_encoded", ip["version"])
         if extras.get("hnsw"):
             svc._hnsw_graph = spark.read.parquet(f"{path}/indexes/hnsw_graph")
             hn = extras["hnsw"]
@@ -1212,6 +1235,20 @@ class SearchService:
 
         if method == "ivfpq":
             self._quant_metric_guard("ivfpq", self._ivfpq_model is not None, metric)
+            if self._ivfpq_snapshot is not None and pred is None:
+                # snapshot-backed code table, no tag filter: serve
+                # worker-resident — only the probe assignments enter the
+                # plan, each worker reads + LRU-caches its cell's parquet
+                # directly (filtered queries stay on the artifact path:
+                # the pushdown filter needs the in-plan code scan)
+                pth, ver = self._ivfpq_snapshot
+                return _serve(IVFPQ.ivfpq_knn_join_snapshot(
+                    self.df.sparkSession, pth, self._ivfpq_model,
+                    qarg if qarg is not None else as_list(), k, version=ver,
+                    nprobe=ivfpq_nprobe, df=base_df if rerank else None,
+                    rerank=rerank, shortlist=shortlist,
+                    id_col=self.id_col, vec_col=self.vec_col,
+                ))
             return _serve(IVFPQ.ivfpq_knn_join(
                 self._filtered_artifact(self._ivfpq_encoded, pred, "ivfpq"),
                 self._ivfpq_model, qarg if qarg is not None else as_list(), k,

@@ -899,3 +899,147 @@ def test_ivfpq_df_lut_chunking_is_bit_identical(spark, emb, ivfpq_model, monkeyp
         ]
         assert sorted(got[r.id]) == sorted(single), r.id  # exact floats
     enc.unpersist()
+
+
+def test_ivfpq_snapshot_tier_bit_equal_to_cogroup(spark, emb, ivfpq_model, tmp_path):
+    """Round 8: ivfpq_knn_join_snapshot serves a SAVED code table
+    worker-resident (only probe assignments enter the plan) and is
+    bit-equal to the in-memory cogroup path — shared ADC kernel, shared
+    merge/rerank, so (query_id, id, dist) triples match exactly, for
+    DataFrame and list query inputs, any query_salt, rerank on and off."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+
+    enc = IVFPQ.ivfpq_encode(emb, ivfpq_model).cache()
+    enc.count()
+    path = str(tmp_path / "codes")
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    qrows = emb.limit(7).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).cache()
+    qrows.count()
+
+    want = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join(
+            enc, ivfpq_model, qrows, K, nprobe=4, df=emb
+        ).collect()
+    )
+    got_df = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join_snapshot(
+            spark, path, ivfpq_model, qrows, K, version="v1", nprobe=4, df=emb
+        ).collect()
+    )
+    assert got_df == want and len(want) == 7 * K
+    qlist = [(int(r.query_id), list(r.query_embedding)) for r in qrows.collect()]
+    got_list = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join_snapshot(
+            spark, path, ivfpq_model, qlist, K, version="v1", nprobe=4, df=emb
+        ).collect()
+    )
+    assert got_list == want
+    got_salted = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join_snapshot(
+            spark, path, ivfpq_model, qrows, K, version="v1", nprobe=4, df=emb,
+            query_salt=3,
+        ).collect()
+    )
+    assert got_salted == want
+    # ADC-only tier (no rerank) matches too
+    want_adc = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join(
+            enc, ivfpq_model, qrows, K, nprobe=4, rerank=False
+        ).collect()
+    )
+    got_adc = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join_snapshot(
+            spark, path, ivfpq_model, qrows, K, version="v1", nprobe=4, rerank=False
+        ).collect()
+    )
+    assert got_adc == want_adc
+    enc.unpersist()
+    qrows.unpersist()
+
+
+def test_ivfpq_snapshot_cell_loader_lru(spark, emb, ivfpq_model, tmp_path):
+    """Unit tier of the worker-side cell loader: one cache entry per
+    (path, cell, version), warm second load, empty cells cached as empty,
+    a new version is a separate entry (re-saves can never serve stale
+    codes)."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+
+    enc = IVFPQ.ivfpq_encode(emb.limit(200), ivfpq_model)
+    path = str(tmp_path / "codes")
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    a_cell = enc.select(CLUSTER_COL).first()[0]
+    m, kp = ivfpq_model.pq.m, ivfpq_model.pq.num_centroids
+
+    IVFPQ._SNAPSHOT_CELL_CACHE.clear()
+    IVFPQ._SNAPSHOT_CELL_STATS.update(hits=0, misses=0)
+    ids1, idx1 = IVFPQ._load_snapshot_cell(path, int(a_cell), "v1", "id", m, kp)
+    assert len(ids1) > 0 and idx1.shape == (len(ids1), m)
+    assert list(ids1) == sorted(ids1)  # id-sorted for the stable tiebreak
+    ids2, idx2 = IVFPQ._load_snapshot_cell(path, int(a_cell), "v1", "id", m, kp)
+    assert ids2 is ids1 and idx2 is idx1  # warm, same arrays
+    assert IVFPQ._SNAPSHOT_CELL_STATS == {"hits": 1, "misses": 1}
+    # a cell no row was assigned to: cached empty, not an error
+    empty_ids, empty_idx = IVFPQ._load_snapshot_cell(path, 9999, "v1", "id", m, kp)
+    assert len(empty_ids) == 0 and empty_idx.shape == (0, m)
+    # a new version is a fresh entry
+    IVFPQ._load_snapshot_cell(path, int(a_cell), "v2", "id", m, kp)
+    assert IVFPQ._SNAPSHOT_CELL_STATS["misses"] == 3
+    assert len(IVFPQ._SNAPSHOT_CELL_CACHE) == 3
+
+
+def test_search_service_ivfpq_snapshot_roundtrip(spark, emb, tmp_path):
+    """save() backs the live service's ivfpq batch tier with the snapshot
+    it wrote; load() restores it; results equal the pre-save run;
+    tag-filtered queries fall back to the artifact path; mutations clear
+    the snapshot."""
+    from neighborly_spark.search_service import SearchService
+
+    tagged = emb.withColumn(
+        "tags", F.array((F.col("id") % 2).cast("smallint"))
+    ).cache()
+    tagged.count()
+    svc = SearchService(tagged, dim=64)
+    svc.build_index("ivfpq")
+    qdf = tagged.limit(5).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+    before = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in svc.search_batch(qdf, k=K, method="ivfpq").collect()
+    )
+    assert svc._ivfpq_snapshot is None
+    svc.save(str(tmp_path / "snap"))
+    assert svc._ivfpq_snapshot is not None
+    after_save = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in svc.search_batch(qdf, k=K, method="ivfpq").collect()
+    )
+    assert after_save == before
+    loaded = SearchService.load(spark, str(tmp_path / "snap"))
+    assert loaded._ivfpq_snapshot is not None
+    after_load = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in loaded.search_batch(qdf, k=K, method="ivfpq").collect()
+    )
+    assert after_load == before
+    # tag filter: served from the artifact path (filtered pushdown), and
+    # every hit satisfies the filter
+    filtered = loaded.search_batch(qdf, k=5, method="ivfpq", tag_any=[1]).collect()
+    assert filtered and all(r.id % 2 == 1 for r in filtered)
+    # mutation invalidates the snapshot (the in-memory artifact diverges)
+    new_row = tagged.limit(1).select(
+        (F.col("id") + 1_000_000).alias("id"), *[c for c in tagged.columns if c != "id"]
+    )
+    loaded.add_vectors(new_row)
+    assert loaded._ivfpq_snapshot is None
+    tagged.unpersist()
