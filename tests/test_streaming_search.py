@@ -170,3 +170,44 @@ def test_query_stream_replay_is_idempotent_in_read_view(spark, emb, tmp_path):
     )
     got = sorted((r.query_id, r.id, round(r.dist, 9)) for r in rows)
     assert got == want
+
+
+def test_query_stream_serves_ivfpq_snapshot_tier(spark, emb, tmp_path):
+    """Round 8: a snapshot-backed service serves streaming ivfpq batches
+    worker-resident (code bytes move executor<-storage once per worker
+    per version, never per micro-batch) — results equal the batch run."""
+    from neighborly_spark.search_service import SearchService
+    from neighborly_spark.streaming.search import start_query_stream
+
+    svc = SearchService(emb, dim=64)
+    svc.build_index("ivfpq")
+    svc.save(str(tmp_path / "snap"))
+    assert svc._ivfpq_snapshot is not None
+
+    qdir = str(tmp_path / "q_in")
+    emb.limit(4).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).write.mode("overwrite").parquet(qdir)
+    stream = spark.readStream.schema(
+        "query_id long, query_embedding array<double>"
+    ).parquet(qdir)
+    out_path = str(tmp_path / "res_out")
+    q = start_query_stream(
+        stream, svc, checkpoint_dir=str(tmp_path / "ck"),
+        k=5, method="ivfpq", sink_path=out_path,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in spark.read.parquet(out_path).collect()
+    )
+    qdf = emb.limit(4).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+    want = sorted(
+        (r.query_id, r.id, round(r.dist, 9))
+        for r in svc.search_batch(qdf, k=5, method="ivfpq").collect()
+    )
+    assert got == want and len(got) == 20
