@@ -88,6 +88,7 @@ class Metrics:
         wrap(service, "range_search", "range_search.count")
         wrap(service, "build_index", "index.build.count")
         wrap(service, "knn_join", "knn_join.count")
+        wrap(service, "search_batch", "search_batch.count")
         return self
 
 

@@ -133,6 +133,11 @@ def knn_join_auto(
     hnsw_probe_shards: int | None = None,
     hnsw_trust_routing: bool = False,
     ivfpq_index: tuple | None = None,  # (encoded DataFrame, IVFPQModel)
+    ivfpq_snapshot: tuple | None = None,  # (codes_path, version) — serve the
+    # ivfpq tier WORKER-RESIDENT from the saved cluster-partitioned code
+    # table (ivfpq_knn_join_snapshot) instead of shuffling code rows
+    # through the cogroup; results bit-equal, requires ivfpq_index for
+    # the model
     sq_index: tuple | None = None,  # (codes DataFrame, SQModel)
 ) -> tuple[DataFrame, KnnJoinPlan]:
     """Plan and execute; returns (result, plan). Counts may be passed from
@@ -190,7 +195,7 @@ def knn_join_auto(
             trust_routing=hnsw_routing is None or hnsw_trust_routing,
         ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
     elif plan.strategy == "ivfpq":
-        from neighborly_spark.operators.ivfpq import ivfpq_knn_join
+        from neighborly_spark.operators.ivfpq import ivfpq_knn_join, ivfpq_knn_join_snapshot
 
         encoded, model = ivfpq_index
         qdf = queries.select(
@@ -200,10 +205,20 @@ def knn_join_auto(
         # nprobe=10 is the gate-verified operating point on uniform data
         # (recall 0.87 at nlist=16, docs/RECALL.md); clusterable corpora can
         # probe far fewer via search_batch(ivfpq_nprobe=...) directly
-        out = ivfpq_knn_join(
-            encoded, model, qdf, k,
-            nprobe=10, df=data, id_col=id_col, vec_col=vec_col,
-        ).withColumnRenamed("query_id", query_id_col)
+        if ivfpq_snapshot is not None:
+            # durable index: serve worker-resident — only probe assignments
+            # shuffle, the static code table never re-ships (round 8;
+            # bit-equal to the cogroup path)
+            path, ver = ivfpq_snapshot
+            out = ivfpq_knn_join_snapshot(
+                data.sparkSession, path, model, qdf, k, version=ver,
+                nprobe=10, df=data, id_col=id_col, vec_col=vec_col,
+            ).withColumnRenamed("query_id", query_id_col)
+        else:
+            out = ivfpq_knn_join(
+                encoded, model, qdf, k,
+                nprobe=10, df=data, id_col=id_col, vec_col=vec_col,
+            ).withColumnRenamed("query_id", query_id_col)
     elif plan.strategy == "sq":
         from neighborly_spark.operators.quantization import sq_knn_join
 

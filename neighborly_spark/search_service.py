@@ -481,10 +481,13 @@ class SearchService:
             out.append({"index": "ivfpq", "rows": rows,
                         "compression": self._ivfpq_model.compression_ratio(self.dim),
                         "detail": f"nlist={self._ivfpq_model.ivf.nlist}, m={self._ivfpq_model.pq.m}",
+                        # worker-resident durable serving active (save/load)
+                        "snapshot_backed": self._ivfpq_snapshot is not None,
                         **self._drift("ivfpq", rows)})
         if self._hnsw_graph is not None:
             out.append({"index": "hnsw", "rows": self._hnsw_graph.count(),
                         "detail": f"shards={self._hnsw_shards}, spatial={self._hnsw_spatial}",
+                        "snapshot_backed": self._hnsw_snapshot is not None,
                         "needs_retrain": False})  # adds are real graph inserts
         return out
 
@@ -1062,6 +1065,14 @@ class SearchService:
                 hnsw_spatial=self._hnsw_spatial,
                 hnsw_routing=self._hnsw_routing if self._hnsw_spatial else None,
                 hnsw_trust_routing=True,
+                # durable ivfpq serving: the planner's ivfpq tier reads the
+                # saved code table worker-resident instead of re-shuffling
+                # it (round 8; cleared by mutations like the hnsw snapshot)
+                ivfpq_snapshot=(
+                    self._ivfpq_snapshot
+                    if self._index_metric.get("ivfpq", "euclidean") == "euclidean"
+                    else None
+                ),
                 # cosine-built artifacts hold NORMALIZED-space codes — the
                 # euclidean join planner must not serve them
                 ivfpq_index=(

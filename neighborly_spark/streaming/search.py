@@ -15,10 +15,11 @@ a batch of 10 million rows take the same plan shape.
 
 Scale notes (100 TB serving): throughput is bounded by the per-batch
 artifact pass, so latency/throughput trades via the trigger interval —
-exactly Structured Streaming's knob. The snapshot tier composes: a
-snapshot-backed service serves every micro-batch worker-resident (graph
-bytes move executor<-storage once per worker per version, queries are
-the only per-batch shuffle).
+exactly Structured Streaming's knob. The snapshot tiers compose: a
+snapshot-backed service serves every micro-batch worker-resident — hnsw
+graph bytes (hnsw_search_batch_snapshot) and ivfpq code bytes
+(ivfpq_knn_join_snapshot) move executor<-storage once per worker per
+version, queries are the only per-batch shuffle.
 
 Sink delivery is effectively-once IN THE READ VIEW (round-7 VERDICT 5):
 foreachBatch itself is at-least-once (a failure after the write but

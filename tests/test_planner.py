@@ -416,3 +416,51 @@ def test_service_knn_join_probe_routes_spatial_index(spark):
     }
     assert len(got_pairs & exact_pairs) / len(exact_pairs) >= 0.8
     emb.unpersist()
+
+
+def test_planner_ivfpq_tier_serves_snapshot_worker_resident(spark):
+    """Round 8: a durable (saved) ivfpq index makes the planner's ivfpq
+    tier serve worker-resident (ivfpq_knn_join_snapshot) — the static
+    code table never re-ships through the cogroup — with results equal
+    to the in-memory route."""
+    from unittest import mock
+
+    from neighborly_spark.operators import ivfpq as IVFPQ_mod
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+    from neighborly_spark.plans import knn_planner as P
+
+    vec = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+        .cache()
+    )
+    vec.count()
+    model = IVFPQ_mod.ivfpq_train(vec, 64, nlist=8, m=8)
+    enc = IVFPQ_mod.ivfpq_encode(vec, model).cache()
+    enc.count()
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="planner_ivfpq_snap_") + "/codes"
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    queries = vec.limit(6).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    # beyond-budget counts force the index tier; no hnsw -> ivfpq wins
+    kw = dict(
+        k=5, dim=64, data_count=10_000_000, query_count=500_000,
+        ivfpq_index=(enc, model),
+    )
+    mem, plan_mem = P.knn_join_auto(vec, queries, **kw)
+    with mock.patch.object(
+        IVFPQ_mod, "ivfpq_knn_join_snapshot", wraps=IVFPQ_mod.ivfpq_knn_join_snapshot
+    ) as spy:
+        snap, plan_snap = P.knn_join_auto(
+            vec, queries, ivfpq_snapshot=(path, "v1"), **kw
+        )
+        got = sorted((r.query_id, r.id, r.dist) for r in snap.collect())
+    assert plan_mem.strategy == plan_snap.strategy == "ivfpq"
+    assert spy.call_count == 1
+    want = sorted((r.query_id, r.id, r.dist) for r in mem.collect())
+    assert got == want and len(got) == 30
+    enc.unpersist()
+    vec.unpersist()
