@@ -132,6 +132,10 @@ def knn_join_auto(
     hnsw_routing: DataFrame | None = None,
     hnsw_probe_shards: int | None = None,
     hnsw_trust_routing: bool = False,
+    hnsw_snapshot: tuple | None = None,  # (graph_path, version, part_ids) —
+    # serve the hnsw tier WORKER-RESIDENT from the saved shard parquet
+    # (hnsw_search_batch_snapshot) instead of re-shipping ~20 MB/shard of
+    # graph bytes through the cogroup per batch; probe routing composes
     ivfpq_index: tuple | None = None,  # (encoded DataFrame, IVFPQModel)
     ivfpq_snapshot: tuple | None = None,  # (codes_path, version) — serve the
     # ivfpq tier WORKER-RESIDENT from the saved cluster-partitioned code
@@ -187,13 +191,26 @@ def knn_join_auto(
         if hnsw_spatial or hnsw_routing is not None:
             routing = hnsw_routing if hnsw_routing is not None else hnsw_routing_table(hnsw_graph)
             probe = hnsw_probe_shards if hnsw_probe_shards is not None else DEFAULT_PROBE_SHARDS
-        out = hnsw_search_batch(
-            hnsw_graph, qdf, k, probe_shards=probe, routing=routing,
-            # a routing table derived HERE from the live graph cannot be
-            # stale; caller-supplied tables keep the liveness guard unless
-            # the caller vouches (SearchService refreshes on mutation)
-            trust_routing=hnsw_routing is None or hnsw_trust_routing,
-        ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
+        if hnsw_snapshot is not None:
+            # durable graph: serve worker-resident — only (query, shard)
+            # assignments shuffle, graph bytes never enter the plan
+            # (round 8, same contract as search_batch's snapshot route);
+            # probe routing composes unchanged
+            from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
+
+            path, ver, pids = hnsw_snapshot
+            out = hnsw_search_batch_snapshot(
+                data.sparkSession, path, pids, qdf, k, version=ver,
+                probe_shards=probe, routing=routing,
+            ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
+        else:
+            out = hnsw_search_batch(
+                hnsw_graph, qdf, k, probe_shards=probe, routing=routing,
+                # a routing table derived HERE from the live graph cannot be
+                # stale; caller-supplied tables keep the liveness guard unless
+                # the caller vouches (SearchService refreshes on mutation)
+                trust_routing=hnsw_routing is None or hnsw_trust_routing,
+            ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
     elif plan.strategy == "ivfpq":
         from neighborly_spark.operators.ivfpq import ivfpq_knn_join, ivfpq_knn_join_snapshot
 

@@ -1065,6 +1065,15 @@ class SearchService:
                 hnsw_spatial=self._hnsw_spatial,
                 hnsw_routing=self._hnsw_routing if self._hnsw_spatial else None,
                 hnsw_trust_routing=True,
+                # durable graph serving: the planner's hnsw tier reads the
+                # saved shards worker-resident instead of re-shipping graph
+                # bytes (round 8; euclidean graphs only — same gate as the
+                # hnsw_graph arg above; cleared by mutations)
+                hnsw_snapshot=(
+                    self._hnsw_snapshot
+                    if self._index_metric.get("hnsw", "euclidean") == "euclidean"
+                    else None
+                ),
                 # durable ivfpq serving: the planner's ivfpq tier reads the
                 # saved code table worker-resident instead of re-shuffling
                 # it (round 8; cleared by mutations like the hnsw snapshot)

@@ -464,3 +464,44 @@ def test_planner_ivfpq_tier_serves_snapshot_worker_resident(spark):
     assert got == want and len(got) == 30
     enc.unpersist()
     vec.unpersist()
+
+
+def test_planner_hnsw_tier_serves_snapshot_worker_resident(spark, tmp_path):
+    """Round 8: a durable (saved) hnsw graph makes the planner's hnsw tier
+    serve worker-resident (hnsw_search_batch_snapshot) — graph bytes never
+    enter the plan — with results equal to the in-memory route (spatial
+    probe routing composes through both)."""
+    from unittest import mock
+
+    from neighborly_spark.operators import hnsw as H
+    from neighborly_spark.plans import knn_planner as P
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+        .cache()
+    )
+    emb.count()
+    g = H.hnsw_build(emb, dim=64, num_partitions=3).cache()
+    g.count()
+    path = str(tmp_path / "graph")
+    g.write.partitionBy("part_id").parquet(path)
+    pids = [r.part_id for r in g.select("part_id").distinct().collect()]
+    queries = emb.limit(5).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    kw = dict(k=5, dim=64, data_count=10_000_000, query_count=500_000, hnsw_graph=g)
+    mem, plan_mem = P.knn_join_auto(emb, queries, **kw)
+    with mock.patch.object(
+        H, "hnsw_search_batch_snapshot", wraps=H.hnsw_search_batch_snapshot
+    ) as spy:
+        snap, plan_snap = P.knn_join_auto(
+            emb, queries, hnsw_snapshot=(path, "v1", pids), **kw
+        )
+        got = sorted((r.query_id, r.id, round(r.dist, 9)) for r in snap.collect())
+    assert plan_mem.strategy == plan_snap.strategy == "hnsw"
+    assert spy.call_count == 1
+    want = sorted((r.query_id, r.id, round(r.dist, 9)) for r in mem.collect())
+    assert got == want and len(got) == 25
+    g.unpersist()
+    emb.unpersist()
