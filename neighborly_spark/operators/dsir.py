@@ -129,26 +129,54 @@ def _bucket_counts(
     )
 
 
-def dsir_logweights(
+class DSIRModel:
+    """Fitted DSIR distributions: the per-bucket integer score table (a
+    <= ``buckets``-row DataFrame), the integer normalizer constant, and
+    the featurization params. Fit ONCE (two corpus histogram passes),
+    score ANY table or stream against it — the p/q estimates never need
+    the scoring data (paper §3.1 fits both on samples)."""
+
+    def __init__(self, score: DataFrame, norm_int: int, buckets: int, n_max: int, scale: int):
+        self.score = score  # (_b, _score_int)
+        self.norm_int = int(norm_int)
+        self.buckets = int(buckets)
+        self.n_max = int(n_max)
+        self.scale = int(scale)
+
+    def save(self, path: str) -> None:
+        """Durable form: score table as parquet + params as JSON — a
+        nightly-fitted model scores tomorrow's stream without refitting."""
+        import json
+
+        self.score.write.mode("overwrite").parquet(f"{path}/score")
+        with open(f"{path}/model.json", "w") as f:
+            json.dump(
+                {"norm_int": self.norm_int, "buckets": self.buckets,
+                 "n_max": self.n_max, "scale": self.scale}, f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DSIRModel":
+        import json
+
+        with open(f"{path}/model.json") as f:
+            p = json.load(f)
+        return cls(spark.read.parquet(f"{path}/score"), p["norm_int"],
+                   p["buckets"], p["n_max"], p["scale"])
+
+
+def dsir_fit(
     raw: DataFrame,
     target: DataFrame,
     buckets: int = DEFAULT_BUCKETS,
     n_max: int = 2,
-    id_col: str = "doc_id",
     text_col: str = "text",
     scale: int = 1_000_000,
-) -> DataFrame:
-    """Per-document DSIR log importance weight of every ``raw`` doc
-    toward ``target``'s hashed-n-gram distribution:
-    (id, n_grams, log_weight), log_weight rounded to 6dp. Docs with zero
-    n-grams (empty/whitespace text) get log_weight 0.0 (the paper's
-    featureless docs carry no evidence either way).
-
-    Both corpus histograms are computed from the inputs; pass a
-    pre-filtered sample of the raw corpus as ``raw`` for the q-estimate
-    if scoring a different/larger table is needed — weights only need
-    q to be estimated once (paper §3.1 fits both distributions on
-    samples)."""
+) -> DSIRModel:
+    """Fit the two hashed-n-gram distributions -> DSIRModel. ``raw`` is
+    the q-estimate corpus (a sample suffices, paper §3.1); ``target`` the
+    p-estimate. One histogram pass over each; the normalizer constant is
+    ONE collected integer (two 1-row aggregates)."""
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     s = int(scale)
@@ -170,7 +198,7 @@ def dsir_logweights(
         )
     )
     # normalizer constant per n-gram occurrence: ln(N_tgt + B) - ln(N_raw + B)
-    norm = (
+    norm_int = (
         tgt.select(F.coalesce(F.sum("_n"), F.lit(0)).alias("_tn"))
         .crossJoin(q.select(F.coalesce(F.sum("_n"), F.lit(0)).alias("_qn")))
         .select(
@@ -178,30 +206,80 @@ def dsir_logweights(
                 _int_ln(F.col("_tn") + buckets, s) - _int_ln(F.col("_qn") + buckets, s)
             ).alias("_norm_int")
         )
+        .first()["_norm_int"]
     )
-    doc_grams = raw.select(
-        F.col(id_col), F.explode(ngram_multiset(F.col(text_col), n_max)).alias("_g")
-    ).select(id_col, _bucket(F.col("_g"), buckets).alias("_b"))
+    return DSIRModel(score, norm_int, buckets, n_max, s)
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: DSIRModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ANY doc table against a fitted DSIRModel — including docs the
+    fit never saw (the incremental/streaming shape: fit nightly, score
+    each arriving batch; compose with streaming via foreachBatch or
+    df.transform). Returns (id, n_grams, log_weight) with the same
+    contract as dsir_logweights."""
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngram_multiset(F.col(text_col), model.n_max)).alias("_g")
+    ).select(id_col, _bucket(F.col("_g"), model.buckets).alias("_b"))
+    # an unseen bucket (no gram of either fit corpus hashed there) still
+    # carries the smoothing score ln(0+1) - ln(0+1) = 0, so the left join
+    # + coalesce is exact, not an approximation
     per_doc = (
-        doc_grams.join(F.broadcast(score), "_b")
+        doc_grams.join(F.broadcast(model.score), "_b", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("_score_int").alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_score_int"), F.lit(0))).alias("_s"),
+        )
     )
-    scored = per_doc.crossJoin(F.broadcast(norm)).select(
+    scored = per_doc.select(
         id_col,
         "n_grams",
         F.round(
-            (F.col("_s") - F.col("n_grams") * F.col("_norm_int")) / F.lit(float(s)), 6
+            (F.col("_s") - F.col("n_grams") * F.lit(model.norm_int))
+            / F.lit(float(model.scale)),
+            6,
         ).alias("log_weight"),
     )
     # featureless docs: keep them, weight 0 (join-lost by the explode)
-    rest = raw.select(id_col).join(scored.select(id_col), id_col, "left_anti")
+    rest = docs.select(id_col).join(scored.select(id_col), id_col, "left_anti")
     return scored.unionByName(
         rest.select(
             id_col,
             F.lit(0).cast("long").alias("n_grams"),
             F.lit(0.0).alias("log_weight"),
         )
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document DSIR log importance weight of every ``raw`` doc
+    toward ``target``'s hashed-n-gram distribution:
+    (id, n_grams, log_weight), log_weight rounded to 6dp. Docs with zero
+    n-grams (empty/whitespace text) get log_weight 0.0 (the paper's
+    featureless docs carry no evidence either way).
+
+    One-shot convenience over dsir_fit + dsir_score (both histograms are
+    estimated from the inputs themselves); to score OTHER data — new
+    batches, a stream, a bigger corpus than the q-sample — fit once and
+    call dsir_score (the round-8 incremental shape)."""
+    return dsir_score(
+        docs=raw,
+        model=dsir_fit(raw, target, buckets=buckets, n_max=n_max,
+                       text_col=text_col, scale=scale),
+        id_col=id_col, text_col=text_col,
     )
 
 

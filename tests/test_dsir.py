@@ -144,3 +144,43 @@ def test_dsir_plan_broadcasts_scores_no_python(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan
+
+
+def test_dsir_fit_score_roundtrip_and_unseen_docs(spark, tmp_path):
+    """Round 8: fit once, score anywhere — dsir_score on the fit corpus
+    equals the one-shot dsir_logweights; docs the fit never saw score
+    against the trained distributions (unseen buckets carry the exact
+    smoothing score 0); the model save/load round-trips."""
+    from neighborly_spark.operators.dsir import DSIRModel, dsir_fit, dsir_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = docs.filter("doc_id % 2 = 0")
+    target = docs.filter("doc_id % 7 = 0")
+    model = dsir_fit(raw, target, buckets=4096)
+    got = sorted(
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in dsir_score(raw, model).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in dsir_logweights(raw, target, buckets=4096).collect()
+    )
+    assert got == want and len(got) == 250
+    # unseen docs (odd ids) score fine — including a vocabulary the fit
+    # never hashed (pure smoothing evidence)
+    unseen = spark.createDataFrame(
+        [(9001, "xyzzygram plughfoo quuxbar")], "doc_id long, text string"
+    ).unionByName(docs.filter("doc_id = 1").select("doc_id", "text"))
+    rows = {r.doc_id: r for r in dsir_score(unseen, model).collect()}
+    assert set(rows) == {9001, 1} and rows[9001].n_grams == 5
+    # save/load: identical scores
+    model.save(str(tmp_path / "dsir"))
+    loaded = DSIRModel.load(spark, str(tmp_path / "dsir"))
+    assert (loaded.norm_int, loaded.buckets, loaded.n_max, loaded.scale) == (
+        model.norm_int, model.buckets, model.n_max, model.scale
+    )
+    got2 = sorted(
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in dsir_score(raw, loaded).collect()
+    )
+    assert got2 == want
