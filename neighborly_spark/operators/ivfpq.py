@@ -376,7 +376,11 @@ def ivfpq_knn_join(
     # same shortlist floor as ivfpq_search_rerank (max(5k, 50)) so batch
     # and single-query candidate sets match at small k
     fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
-    flt = encoded.filter(F.col(CLUSTER_COL).isin(cells_union))
+    # project to the kernel's three columns (tags/passthroughs stay out of
+    # the Arrow transfer — same rationale as the DF path's cogroup)
+    flt = encoded.filter(F.col(CLUSTER_COL).isin(cells_union)).select(
+        id_col, CLUSTER_COL, CODE_COL
+    )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list[list] = [[] for _ in range(nq)]  # per-query (dist, id) rows
@@ -508,8 +512,15 @@ def _ivfpq_knn_join_df(
     # key (cell, salt) bounds per-task code rows at ~cell/data_salt
     salts = spark.range(data_salt).select(F.col("id").cast("int").alias("_salt"))
     assigned = assigned.crossJoin(F.broadcast(salts))
-    flt = encoded.join(F.broadcast(probed), CLUSTER_COL, "semi").withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(data_salt)).cast("int")
+    # project to the kernel's three columns BEFORE the cogroup shuffle:
+    # artifacts built with tags_col (or loaded with passthrough columns)
+    # would otherwise ship those bytes through the exchange for nothing
+    flt = (
+        encoded.join(F.broadcast(probed), CLUSTER_COL, "semi")
+        .select(id_col, CLUSTER_COL, CODE_COL)
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(data_salt)).cast("int")
+        )
     )
 
     def group_score(key: tuple, codes_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
