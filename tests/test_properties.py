@@ -407,3 +407,53 @@ def test_rehydrate_arrow_bit_equals_rehydrate(vecs, seed):
     q = x[0] + 0.25
     k = min(4, len(x))
     assert a_g.search(q, k, 50) == b_g.search(q, k, 50)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    nq=st.integers(1, 12),
+    m=st.integers(1, 4),
+    kp=st.integers(2, 8),
+    fetch=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_score_sorted_codes_matches_bruteforce_lexsort(n, nq, m, kp, fetch, seed):
+    """Law for the shared ADC kernel (_score_sorted_codes — it backs the
+    cogroup batch path, the snapshot serving tier, and through them the
+    planner's ivfpq route): for ANY code table and query block, the
+    kernel's per-query output is exactly the brute-force ADC distances in
+    lexsort((ids, dist))[:fetch] order — including duplicate distances
+    (id tiebreak), duplicate ids, and fetch > n."""
+    import numpy as np
+
+    from neighborly_spark.operators.ivfpq import _score_sorted_codes
+
+    rng = np.random.default_rng(seed)
+    sub_dim = int(rng.integers(1, 4))
+    dim = m * sub_dim
+    coarse = rng.normal(0, 1, (3, dim))
+    cell = int(rng.integers(0, 3))
+    books = rng.normal(0, 1, (m, kp, sub_dim))
+    codes = rng.integers(0, kp, (n, m))
+    # duplicate-prone ids exercise the (dist, id) tiebreak
+    ids = rng.integers(0, max(2, n // 2), n).astype(np.int64)
+    qids = np.arange(nq, dtype=np.int64) + 100
+    qv = rng.normal(0, 1, (nq, dim))
+
+    perm = np.argsort(ids, kind="stable")
+    ids_s = ids[perm]
+    idx_s = (codes + (np.arange(m) * kp)[None, :])[perm]
+    got = _score_sorted_codes(
+        qids, qv, cell, ids_s, idx_s, fetch, coarse, books, m, sub_dim, kp, "id"
+    )
+
+    # brute force: per query, ADC distance of every row, lexsort((ids, d))
+    for qi in range(nq):
+        res = (qv[qi] - coarse[cell]).reshape(m, sub_dim)
+        lut = ((res[:, None, :] - books) ** 2).sum(-1)  # (m, kp)
+        d = np.sqrt(np.array([sum(lut[s, codes[r, s]] for s in range(m)) for r in range(n)]))
+        order = np.lexsort((ids, d))[:fetch]
+        sub = got[got["query_id"] == qids[qi]]
+        assert list(sub["id"]) == [int(ids[r]) for r in order]
+        np.testing.assert_allclose(list(sub["dist"]), d[order], rtol=1e-12)
