@@ -360,3 +360,37 @@ def dsir_sample(
     return raw.join(
         top.select(id_col, "log_weight", "gumbel_key"), id_col
     )
+
+
+def dsir_sample_duckdb_sql(
+    raw_where: str,
+    target_where: str,
+    k: int,
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of dsir_sample's SELECTION (returns (id, log_weight,
+    gumbel_key) of the k selected docs): same integerized rank key —
+    round(log_weight * s) + round(-ln(-ln((hash32(id||':gumbel') + 0.5)
+    / 2^32)) * s) — so the selected SET is engine-identical, proving the
+    content-stable claim rather than asserting it."""
+    s = int(scale)
+    lw = dsir_logweights_duckdb_sql(
+        raw_where, target_where, buckets=buckets, n_max=n_max,
+        table=table, id_col=id_col, text_col=text_col, scale=s,
+    )
+    key_expr = f"CAST({id_col} AS VARCHAR) || ':gumbel'"
+    u = f"(({hash32_duckdb_sql(key_expr)} + 0.5) / {TWO32:.1f})"
+    return f"""
+WITH lw AS ({lw})
+SELECT {id_col}, log_weight,
+       CAST(round(log_weight * {s}, 0) AS BIGINT)
+     + CAST(round(-ln(-ln({u})) * {s}, 0) AS BIGINT) AS gumbel_key
+FROM lw
+ORDER BY gumbel_key DESC, {id_col} ASC
+LIMIT {int(k)}
+""".strip()

@@ -184,3 +184,29 @@ def test_dsir_fit_score_roundtrip_and_unseen_docs(spark, tmp_path):
         for r in dsir_score(raw, loaded).collect()
     )
     assert got2 == want
+
+
+def test_dsir_sample_selection_matches_duckdb_twin(spark):
+    """The Gumbel-top-k SELECTION is engine-identical (the content-stable
+    claim, proven): Spark's selected (id, gumbel_key) set equals the
+    DuckDB twin's for the same inputs."""
+    from neighborly_spark.operators.dsir import dsir_sample_duckdb_sql
+
+    raw_where = "doc_id % 2 = 0"
+    tgt_where = "doc_id % 7 = 0"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.gumbel_key)
+        for r in dsir_sample(
+            docs.filter(raw_where), docs.filter(tgt_where), 40, buckets=4096
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = sorted(
+        (r[0], r[2])
+        for r in con.sql(
+            dsir_sample_duckdb_sql(raw_where, tgt_where, 40, buckets=4096)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 40
