@@ -70,7 +70,13 @@ def ngram_multiset(text: Column, n_max: int = 2) -> Column:
     a MULTISET (duplicates kept: DSIR features are counts, unlike
     shingles(), which is the distinct set). The token array is let-bound
     via the one-element-transform trick (Catalyst does not CSE across
-    lambda bodies — see functions/text.py shingles())."""
+    lambda bodies — see functions/text.py shingles()).
+
+    Zero-length tokens are filtered (round-9 ADVICE): whitespace-only
+    text tokenizes to [""], and without the filter its empty-string
+    unigram would be a real (hashed, scored) feature — the featureless
+    path must cover empty AND whitespace-only docs. The DuckDB twin
+    filters identically."""
 
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
@@ -93,11 +99,15 @@ def ngram_multiset(text: Column, n_max: int = 2) -> Column:
             )
         return F.concat(*parts)
 
-    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
+    # the empty-token filter runs BEFORE the let-bind so the bound element
+    # is the filtered array (a filter inside body would re-run per lambda
+    # reference — the no-CSE-across-lambdas rule)
+    filtered = F.filter(tokens(text), lambda t: F.length(t) > 0)
+    return F.element_at(F.transform(F.array(filtered), body), 1)
 
 
 def ngram_multiset_duckdb_sql(t: str, n_max: int = 2) -> str:
-    toks = tokens_duckdb_sql(t)
+    toks = f"list_filter({tokens_duckdb_sql(t)}, _t -> len(_t) > 0)"
     parts = [
         f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
         f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))"

@@ -1452,7 +1452,7 @@ def hnsw_search_batch_snapshot(
     # HASH repartition, not repartitionByRange: range placement would be
     # contiguous (no balls-in-bins collisions among the ~shards x salt
     # groups), but it was MEASURED 25-30% slower at the 100k-query shape
-    # (scripts/ab_snapshot_partitioner.py: hash 28.5/29.8 s vs range
+    # (docs/SCALE.md round-8 partitioner A/B: hash 28.5/29.8 s vs range
     # 36.2/38.2 s) — the range-boundary sampling pass re-scans the
     # embedding-carrying assignment rows, and boundaries sampled over so
     # few distinct keys can collapse neighboring groups into one

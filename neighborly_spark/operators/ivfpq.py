@@ -697,7 +697,11 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
             tbl = pq.read_table(
                 f"{path}/{CLUSTER_COL}={int(cell)}", columns=[id_col, CODE_COL]
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, OSError):
+            # non-local filesystems (S3/HDFS) surface a missing partition
+            # directory as ArrowIOError/OSError subclasses, not always
+            # FileNotFoundError — an empty cell must contribute no
+            # candidates, not fail the task (round-9 ADVICE)
             tbl = None
         if tbl is None or tbl.num_rows == 0:
             hit = (np.empty(0, dtype=np.int64), np.empty((0, m), dtype=np.int64))

@@ -136,6 +136,11 @@ def knn_join_auto(
     # serve the hnsw tier WORKER-RESIDENT from the saved shard parquet
     # (hnsw_search_batch_snapshot) instead of re-shipping ~20 MB/shard of
     # graph bytes through the cogroup per batch; probe routing composes
+    hnsw_ef: int | None = None,  # hnsw tier beam width (None = EF_DEFAULT)
+    ivfpq_nprobe: int = 10,  # ivfpq tier probed coarse cells — 10 is the
+    # gate-verified operating point on uniform data (recall 0.87 at
+    # nlist=16, docs/RECALL.md); clusterable corpora can probe far fewer
+    # (round-8 VERDICT 3: callers could not reach this knob before)
     ivfpq_index: tuple | None = None,  # (encoded DataFrame, IVFPQModel)
     ivfpq_snapshot: tuple | None = None,  # (codes_path, version) — serve the
     # ivfpq tier WORKER-RESIDENT from the saved cluster-partitioned code
@@ -165,6 +170,14 @@ def knn_join_auto(
     from neighborly_spark.operators.knn import knn_join, knn_join_blocked, knn_join_vectorized
     from neighborly_spark.operators.lsh import approx_knn_join
 
+    if ivfpq_snapshot is not None and ivfpq_index is None:
+        # without the model the snapshot cannot be served, and without
+        # ivfpq_index the planner would never pick the ivfpq tier — the
+        # snapshot would be SILENTLY ignored (round-9 ADVICE: fail loud)
+        raise ValueError(
+            "ivfpq_snapshot requires ivfpq_index for the IVFPQModel "
+            "(the snapshot path holds only the encoded cells)"
+        )
     nd = data_count if data_count is not None else data.count()
     nq = query_count if query_count is not None else queries.count()
     plan = plan_knn_join(
@@ -199,13 +212,15 @@ def knn_join_auto(
             from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
 
             path, ver, pids = hnsw_snapshot
+            ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
             out = hnsw_search_batch_snapshot(
                 data.sparkSession, path, pids, qdf, k, version=ver,
-                probe_shards=probe, routing=routing,
+                probe_shards=probe, routing=routing, **ef_kw,
             ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
         else:
+            ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
             out = hnsw_search_batch(
-                hnsw_graph, qdf, k, probe_shards=probe, routing=routing,
+                hnsw_graph, qdf, k, probe_shards=probe, routing=routing, **ef_kw,
                 # a routing table derived HERE from the live graph cannot be
                 # stale; caller-supplied tables keep the liveness guard unless
                 # the caller vouches (SearchService refreshes on mutation)
@@ -219,9 +234,6 @@ def knn_join_auto(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("query_embedding"),
         )
-        # nprobe=10 is the gate-verified operating point on uniform data
-        # (recall 0.87 at nlist=16, docs/RECALL.md); clusterable corpora can
-        # probe far fewer via search_batch(ivfpq_nprobe=...) directly
         if ivfpq_snapshot is not None:
             # durable index: serve worker-resident — only probe assignments
             # shuffle, the static code table never re-ships (round 8;
@@ -229,12 +241,12 @@ def knn_join_auto(
             path, ver = ivfpq_snapshot
             out = ivfpq_knn_join_snapshot(
                 data.sparkSession, path, model, qdf, k, version=ver,
-                nprobe=10, df=data, id_col=id_col, vec_col=vec_col,
+                nprobe=ivfpq_nprobe, df=data, id_col=id_col, vec_col=vec_col,
             ).withColumnRenamed("query_id", query_id_col)
         else:
             out = ivfpq_knn_join(
                 encoded, model, qdf, k,
-                nprobe=10, df=data, id_col=id_col, vec_col=vec_col,
+                nprobe=ivfpq_nprobe, df=data, id_col=id_col, vec_col=vec_col,
             ).withColumnRenamed("query_id", query_id_col)
     elif plan.strategy == "sq":
         from neighborly_spark.operators.quantization import sq_knn_join

@@ -1021,6 +1021,8 @@ class SearchService:
         allow_approx: bool = True,
         data_count: int | None = None,
         query_count: int | None = None,
+        ivfpq_nprobe: int = 10,
+        hnsw_ef: int | None = None,
     ) -> DataFrame:
         """Batch k-NN join — THE default multi-query entry point, routed
         through the cardinality planner (plans.knn_planner): declarative
@@ -1030,7 +1032,13 @@ class SearchService:
         ``require_exact_floats=True`` to pin the sequential-fold oracle
         path; ``allow_approx=False`` to forbid the LSH tier (the planner
         then degrades to blocked). Counts can come from table stats to skip
-        the planner's count() jobs."""
+        the planner's count() jobs.
+
+        ``ivfpq_nprobe`` / ``hnsw_ef`` reach the planner's index tiers
+        (round-8 VERDICT 3: clusterable corpora shouldn't pay the uniform-
+        data default's 2.5x probe I/O just because the join was planner-
+        routed). Defaults match search_batch's: nprobe=10, ef=EF_DEFAULT.
+        No-ops when the planner picks a non-index strategy."""
         from neighborly_spark.plans.knn_planner import KnnJoinPlan, knn_join_auto
 
         if require_exact_floats:
@@ -1065,6 +1073,8 @@ class SearchService:
                 hnsw_spatial=self._hnsw_spatial,
                 hnsw_routing=self._hnsw_routing if self._hnsw_spatial else None,
                 hnsw_trust_routing=True,
+                hnsw_ef=hnsw_ef,
+                ivfpq_nprobe=ivfpq_nprobe,
                 # durable graph serving: the planner's hnsw tier reads the
                 # saved shards worker-resident instead of re-shipping graph
                 # bytes (round 8; euclidean graphs only — same gate as the

@@ -30,7 +30,7 @@ def test_ngram_multiset_counts_not_distinct(spark):
     one = spark.range(1).select(ngram_multiset(F.lit("solo"), 2).alias("g")).first()
     assert one.g == ["solo"]  # no bigrams, not a descending-sequence blowup
     empty = spark.range(1).select(ngram_multiset(F.lit("  "), 2).alias("g")).first()
-    assert empty.g == [""] or empty.g == []  # whitespace-only degenerates
+    assert empty.g == []  # whitespace-only is featureless (round-9 ADVICE)
 
 
 def test_dsir_hand_case_ranks_target_like_docs_higher(spark):
@@ -61,8 +61,9 @@ def test_dsir_featureless_docs_weight_zero(spark):
     target = spark.createDataFrame([(9, "apple")], "doc_id long, text string")
     rows = {r.doc_id: r for r in dsir_logweights(raw, target, buckets=64).collect()}
     assert set(rows) == {0, 1, 2}
-    # null text tokenizes to null -> featureless path; whitespace-only text
-    # tokenizes to [""] whose unigram "" is a real (if degenerate) feature
+    # null text tokenizes to null and whitespace-only text filters to an
+    # empty token array (round-9 ADVICE) — both take the featureless path
+    assert rows[1].n_grams == 0 and rows[1].log_weight == 0.0
     assert rows[2].n_grams == 0 and rows[2].log_weight == 0.0
 
 

@@ -505,3 +505,89 @@ def test_planner_hnsw_tier_serves_snapshot_worker_resident(spark, tmp_path):
     assert got == want and len(got) == 25
     g.unpersist()
     emb.unpersist()
+
+def test_planner_index_tier_knobs_reach_operators(spark):
+    """Round 9 (r8 VERDICT 5): ivfpq_nprobe / hnsw_ef flow through
+    knn_join_auto into the tier operators — clusterable corpora can probe
+    fewer cells without abandoning the planner. Also: ivfpq_snapshot
+    without ivfpq_index fails loud (the snapshot holds only encoded
+    cells; silently ignoring it would serve a different strategy)."""
+    from unittest import mock
+
+    import pytest
+
+    from neighborly_spark.operators import hnsw as H
+    from neighborly_spark.operators import ivfpq as IVFPQ_mod
+    from neighborly_spark.plans import knn_planner as P
+
+    vec = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+        .cache()
+    )
+    vec.count()
+    queries = vec.limit(4).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    force_index = dict(k=3, dim=64, data_count=10_000_000, query_count=500_000)
+
+    model = IVFPQ_mod.ivfpq_train(vec, 64, nlist=8, m=8)
+    enc = IVFPQ_mod.ivfpq_encode(vec, model).cache()
+    enc.count()
+    with mock.patch.object(
+        IVFPQ_mod, "ivfpq_knn_join", wraps=IVFPQ_mod.ivfpq_knn_join
+    ) as spy:
+        out, plan = P.knn_join_auto(
+            vec, queries, ivfpq_index=(enc, model), ivfpq_nprobe=3, **force_index
+        )
+        rows = out.collect()
+    assert plan.strategy == "ivfpq" and spy.call_args.kwargs["nprobe"] == 3
+    assert len(rows) == 12
+    # nprobe=3 of 8 cells really is 3 probe assignments per query
+    assigned = IVFPQ_mod._probe_assign(queries, __import__("numpy").asarray(
+        model.ivf.centroids, dtype=float), 3)
+    assert assigned.count() == 4 * 3
+
+    g = H.hnsw_build(vec, dim=64, num_partitions=2).cache()
+    g.count()
+    with mock.patch.object(H, "hnsw_search_batch", wraps=H.hnsw_search_batch) as spy:
+        out, plan = P.knn_join_auto(vec, queries, hnsw_graph=g, hnsw_ef=77, **force_index)
+        out.collect()
+    assert plan.strategy == "hnsw" and spy.call_args.kwargs["ef"] == 77
+
+    with pytest.raises(ValueError, match="ivfpq_snapshot requires ivfpq_index"):
+        P.knn_join_auto(vec, queries, ivfpq_snapshot=("/nope", "v1"), **force_index)
+
+    g.unpersist()
+    enc.unpersist()
+    vec.unpersist()
+
+
+def test_service_knn_join_threads_index_knobs(spark):
+    """SearchService.knn_join passes ivfpq_nprobe through to the planner's
+    ivfpq tier (r8 VERDICT 5: the service entry point could not reach the
+    knob before)."""
+    from unittest import mock
+
+    from neighborly_spark.operators import ivfpq as IVFPQ_mod
+    from neighborly_spark.search_service import SearchService
+
+    vec = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id")
+    )
+    svc = SearchService(vec, dim=64)
+    svc.build_index("ivfpq")
+    queries = vec.limit(3).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    with mock.patch.object(
+        IVFPQ_mod, "ivfpq_knn_join", wraps=IVFPQ_mod.ivfpq_knn_join
+    ) as spy:
+        out = svc.knn_join(
+            queries, k=3, data_count=10_000_000, query_count=500_000,
+            ivfpq_nprobe=2,
+        )
+        out.collect()
+    assert svc.last_join_plan.strategy == "ivfpq"
+    assert spy.call_args.kwargs["nprobe"] == 2

@@ -344,3 +344,17 @@ def test_stream_ingest_incremental_quantizers(spark, events_landing, tmp_path):
     assert got[0].id == probe.id and got[0].dist == 0.0, "sq rerank"
     got = svc.search(query_vec=list(probe.embedding), k=3, method="ivfpq").collect()
     assert got[0].id == probe.id and got[0].dist == 0.0, "ivfpq"
+
+
+def test_stream_ingest_idempotent_rejects_plain_append_target(spark, events_landing, tmp_path):
+    """Round-9 ADVICE: idempotent=True on a target already holding plain-
+    append (non-partitioned) parquet would mix root-level files with
+    _batch_id=... partition directories and break partition discovery —
+    detected up front, raised with a migration hint."""
+    target = str(tmp_path / "vectors")
+    spark.range(3).withColumnRenamed("id", "x").write.parquet(target)
+    with pytest.raises(ValueError, match="fresh target"):
+        start_ingest(
+            spark, events_landing, EVENTS_SCHEMA, target,
+            str(tmp_path / "ckpt"), dim=8, idempotent=True,
+        )
