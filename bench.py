@@ -628,6 +628,13 @@ def bench_ivfpq_snap100k_df(spark, sf_dir):
 #: query aggregate — per-query variance is amortized inside the run, and
 #: a warm-median protocol would triple a ~minute-long measurement for
 #: noise reduction it does not need). Labeled via stat_overrides.
+#:
+#: ISOLATED since round 9 (r8 VERDICT 1): these minute-scale entries run
+#: in a FRESH SUBPROCESS SparkSession AFTER the shared set completes, so
+#: their memory/cache pressure (100k-row cached query tables, 16-shard
+#: spatial graphs, worker pools sized for the fan-in) can never perturb
+#: the shared entries' cross-round comparability — r8 measured two
+#: same-code shared entries at 1.4x purely from their co-residency.
 BENCH_SINGLE = {
     "hnsw_snap100k_df_150k": bench_hnsw_snap100k_df,
     "ivfpq_batch100k_df_150k": bench_ivfpq_batch100k_df,
@@ -713,6 +720,39 @@ def _fingerprint(spark, sf_dir: str) -> dict:
     return fp
 
 
+def _run_single_entries(spark) -> tuple[dict, dict]:
+    """Time the BENCH_SINGLE 100k-aggregate entries: eager setup first
+    (builds/saves/caches via the _STATE fill — the same untimed-index-
+    build treatment every fit gets), then one timed run each."""
+    timings: dict[str, float] = {}
+    spreads: dict[str, list] = {}
+    for name, build in BENCH_SINGLE.items():
+        build(spark, SF_DIR)  # eager _STATE setup; the DataFrame stays lazy
+        t0 = time.perf_counter()
+        _force(build(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+        spreads[name] = [timings[name]]
+    return timings, spreads
+
+
+def _single_subprocess_main() -> None:
+    """Child-process entry (bench.py --single-only): a fresh SparkSession
+    that runs ONLY the 100k-aggregate entries and prints their timings as
+    one JSON line for the parent to merge."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark(app_name="neighborly-spark-bench-single", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    global SF_DIR
+    pre = os.environ.get("SPARK_GRAFT_PRELAYOUT_DIR")
+    if pre:  # reuse the parent's relayout instead of rewriting the tables
+        SF_DIR = pre
+    elif os.environ.get("SPARK_GRAFT_RELAYOUT", "1") != "0":
+        SF_DIR = _relayout(spark, SF_DIR, cpus)
+    timings, spreads = _run_single_entries(spark)
+    print(json.dumps({"timings": timings, "runs": spreads}))
+    spark.stop()
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
     spark = get_spark(app_name="neighborly-spark-bench", cpus=cpus)
@@ -762,16 +802,35 @@ def main() -> None:
         timings[name] = round(sorted(runs[-3:])[1], 4)
         spreads[name] = [round(r, 4) for r in runs]
 
-    # 100k-query aggregate tier: one timed run each (see BENCH_SINGLE);
-    # setup (spatial build / snapshot save / query-table cache) happens
-    # inside the first call's _STATE fill, so time it separately and
-    # exclude it — the same untimed-index-build treatment every fit gets
-    for name, build in BENCH_SINGLE.items():
-        build(spark, SF_DIR)  # eager _STATE setup (builds/saves/caches); DF stays lazy
-        t0 = time.perf_counter()
-        _force(build(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 4)
-        spreads[name] = [timings[name]]
+    # corpus fingerprint BEFORE stopping the shared session
+    corpus = _fingerprint(spark, orig_sf_dir)
+
+    # 100k-query aggregate tier (BENCH_SINGLE): ISOLATED in a fresh
+    # subprocess SparkSession so its caches/worker pools can't perturb
+    # the shared entries above (r8 VERDICT 1) — by construction the
+    # shared set was measured in a session these entries never touched.
+    # The parent session stops first so the two JVMs never co-reside.
+    single_isolation = "subprocess_fresh_session"
+    if os.environ.get("SPARK_GRAFT_SKIP_SINGLE") == "1":
+        single_isolation = "skipped"
+    else:
+        import subprocess
+
+        spark.stop()
+        env = dict(os.environ)
+        env["SPARK_GRAFT_PRELAYOUT_DIR"] = SF_DIR
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-only"],
+            capture_output=True, text=True, env=env,
+        )
+        if proc.returncode != 0:
+            # fail loud on stderr but keep the shared measurements usable
+            sys.stderr.write(proc.stderr[-4000:])
+            single_isolation = f"subprocess_failed_rc{proc.returncode}"
+        else:
+            sub = json.loads(proc.stdout.strip().splitlines()[-1])
+            timings.update(sub["timings"])
+            spreads.update(sub["runs"])
 
     sf = orig_sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -785,14 +844,26 @@ def main() -> None:
         # cross-round comparisons don't mix the two
         "stat_overrides": {
             **{name: "median_of_last3_of_16_consecutive" for name in BENCH_STEADY},
-            **{name: "single_run_100k_query_aggregate" for name in BENCH_SINGLE},
+            **{
+                name: "single_run_100k_query_aggregate"
+                for name in BENCH_SINGLE
+                if name in timings
+            },
         },
+        # since round 9 the shared entries are measured in a session the
+        # BENCH_SINGLE aggregates never touch (r8 VERDICT 1)
+        "single_isolation": single_isolation,
         "runs": spreads,
-        "corpus": _fingerprint(spark, orig_sf_dir),
+        "corpus": corpus,
     }
     print(json.dumps(out))
-    spark.stop()
+    try:
+        spark.stop()  # no-op if the isolation step already stopped it
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
+    if "--single-only" in sys.argv[1:]:
+        sys.exit(_single_subprocess_main())
     sys.exit(main())

@@ -379,18 +379,49 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lang_distribution",
-    f"""
-SELECT {T.lang_id_duckdb_sql('text')} AS lang_pred, count(*) AS n_docs
-FROM documents GROUP BY 1
-""".strip(),
-    tags=["text", "agg"],
-)
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED round 9 (registry holds exactly 50 — r8 VERDICT 3
+    rotation): its coverage is a strict SUBSET of text_stats, whose gate
+    entry hash-checks the same lang_pred on every doc row individually;
+    this 2-row GROUP BY adds only a count(*) over those values. The slot
+    went to dsir_logweights (a whole operator family with no gate entry).
+    The builder stays callable for tests/bench."""
     docs = load(spark, sf_dir, "documents")
     lang = T.text_stats_exprs(F.col("text"))["lang_pred"]
     return docs.groupBy(lang.alias("lang_pred")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# DSIR gate slices: deterministic doc_id-hash halves of the documents
+# table — raw is every even doc, target every 7th (vocabulary-shifted
+# subset, so weights are non-degenerate).
+_DSIR_RAW_WHERE = "doc_id % 2 = 0"
+_DSIR_TGT_WHERE = "doc_id % 7 = 0"
+
+
+def _dsir_sql() -> str:
+    from neighborly_spark.operators.dsir import dsir_logweights_duckdb_sql
+
+    return dsir_logweights_duckdb_sql(
+        _DSIR_RAW_WHERE, _DSIR_TGT_WHERE, buckets=4096
+    )
+
+
+@register(
+    "dsir_logweights",
+    _dsir_sql(),
+    tags=["text", "dsir"],
+)
+def dsir_logweights_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) — promoted to a driver
+    gate entry in round 9 (r8 VERDICT 3; the DuckDB twin was already
+    bit-identical in tests/test_dsir.py). Integerized-log cross-engine
+    contract: see operators/dsir.py module docstring."""
+    from neighborly_spark.operators.dsir import dsir_logweights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs.filter(_DSIR_RAW_WHERE), docs.filter(_DSIR_TGT_WHERE), buckets=4096
+    )
 
 
 @register(
