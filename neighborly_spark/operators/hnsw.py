@@ -1230,6 +1230,37 @@ def _rehydrate_arrow(tbl) -> tuple[np.ndarray, _ShardGraph]:
 _GRAPH_COLS = frozenset({"part_id", "id", "level", "embedding", "neighbors"})
 
 
+def _parse_tag_columns(tbl, core_cols) -> dict:
+    """Parse every list-typed non-core column of an Arrow artifact table
+    into {name: (row-aligned list of frozensets, element kind)} — the
+    worker-side tag representation both snapshot tiers cache (hnsw shards
+    and, since round 9, ivfpq cells). Null tags parse to the empty set
+    (both predicates reject it, matching the plan path's null-predicate
+    filter). O(rows) python sets — cheap next to the Arrow rehydration."""
+    import pyarrow as pa
+
+    tags_by_col: dict = {}
+    for name in tbl.column_names:
+        if name in core_cols:
+            continue
+        typ = tbl.schema.field(name).type
+        if not (pa.types.is_list(typ) or pa.types.is_large_list(typ)):
+            continue  # tag predicates are array predicates
+        tags = [
+            frozenset(t) if t is not None else frozenset()
+            for t in tbl[name].to_pylist()
+        ]
+        vt = typ.value_type
+        tag_kind = (
+            int if pa.types.is_integer(vt)
+            else float if pa.types.is_floating(vt)
+            else str if pa.types.is_string(vt) or pa.types.is_large_string(vt)
+            else None
+        )
+        tags_by_col[name] = (tags, tag_kind)
+    return tags_by_col
+
+
 def _load_snapshot_shard(path: str, part_id: int, version: str, tags_col: str = "tags"):
     """Worker-side load of one shard graph from its parquet partition
     directory (pyarrow, no Spark plan involved), LRU-cached per worker.
@@ -1250,30 +1281,11 @@ def _load_snapshot_shard(path: str, part_id: int, version: str, tags_col: str = 
     key = (path, part_id, version)
     hit = _SNAPSHOT_CACHE.pop(key, None)
     if hit is None:
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(f"{path}/part_id={part_id}")
         ids, g = _rehydrate_arrow(tbl)
-        tags_by_col: dict = {}
-        for name in tbl.column_names:
-            if name in _GRAPH_COLS:
-                continue
-            typ = tbl.schema.field(name).type
-            if not (pa.types.is_list(typ) or pa.types.is_large_list(typ)):
-                continue  # tag predicates are array predicates
-            tags = [
-                frozenset(t) if t is not None else frozenset()
-                for t in tbl[name].to_pylist()
-            ]
-            vt = typ.value_type
-            tag_kind = (
-                int if pa.types.is_integer(vt)
-                else float if pa.types.is_floating(vt)
-                else str if pa.types.is_string(vt) or pa.types.is_large_string(vt)
-                else None
-            )
-            tags_by_col[name] = (tags, tag_kind)
+        tags_by_col = _parse_tag_columns(tbl, _GRAPH_COLS)
         hit = (ids, g, tags_by_col)
         _SNAPSHOT_CACHE_STATS["misses"] += 1
     else:

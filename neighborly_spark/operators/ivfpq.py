@@ -680,12 +680,16 @@ _SNAPSHOT_CELL_STATS = {"hits": 0, "misses": 0}
 def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int, kp: int):
     """Worker-side load of ONE cell's code rows from its parquet partition
     directory (pyarrow, no Spark plan involved), LRU-cached per worker.
-    Returns (ids_s, idx_s): the cell's ids sorted ascending (stable) and
-    the matching flat-gather LUT indexes — the exact precomputation
-    group_score does per task, done once per (cell, version) per worker.
-    A cell no row was assigned to has no partition directory: cached as
-    empty (queries probing it contribute no candidates, same as the
-    cogroup path's empty code side)."""
+    Returns (ids_s, idx_s, tags_by_col): the cell's ids sorted ascending
+    (stable), the matching flat-gather LUT indexes — the exact
+    precomputation group_score does per task, done once per
+    (cell, version) per worker — and every list-typed passthrough column
+    (tags, round 9) parsed to id-sorted frozensets via the hnsw snapshot
+    tier's parser. ONE entry per (path, cell, version) with tags parsed
+    unconditionally at load (the round-7 VERDICT 8 rule: filtered-after-
+    unfiltered must serve warm). A cell no row was assigned to has no
+    partition directory: cached as empty (queries probing it contribute
+    no candidates, same as the cogroup path's empty code side)."""
     import numpy as np
 
     key = (path, int(cell), version)
@@ -694,9 +698,7 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
         import pyarrow.parquet as pq
 
         try:
-            tbl = pq.read_table(
-                f"{path}/{CLUSTER_COL}={int(cell)}", columns=[id_col, CODE_COL]
-            )
+            tbl = pq.read_table(f"{path}/{CLUSTER_COL}={int(cell)}")
         except (FileNotFoundError, OSError):
             # non-local filesystems (S3/HDFS) surface a missing partition
             # directory as ArrowIOError/OSError subclasses, not always
@@ -704,8 +706,10 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
             # candidates, not fail the task (round-9 ADVICE)
             tbl = None
         if tbl is None or tbl.num_rows == 0:
-            hit = (np.empty(0, dtype=np.int64), np.empty((0, m), dtype=np.int64))
+            hit = (np.empty(0, dtype=np.int64), np.empty((0, m), dtype=np.int64), {})
         else:
+            from neighborly_spark.operators.hnsw import _parse_tag_columns
+
             ids = tbl[id_col].to_numpy()
             code_arr = tbl[CODE_COL].combine_chunks()
             # fixed-length-m lists: flatten via Arrow values, reshape
@@ -713,7 +717,13 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
             perm = np.argsort(ids, kind="stable")
             ids_s = ids[perm]
             idx_s = codes[perm] + (np.arange(m) * kp)[None, :]
-            hit = (ids_s, idx_s)
+            tags_by_col = {
+                name: ([tags[i] for i in perm], kind)
+                for name, (tags, kind) in _parse_tag_columns(
+                    tbl, {id_col, CODE_COL, CLUSTER_COL}
+                ).items()
+            }
+            hit = (ids_s, idx_s, tags_by_col)
         _SNAPSHOT_CELL_STATS["misses"] += 1
     else:
         _SNAPSHOT_CELL_STATS["hits"] += 1
@@ -737,6 +747,9 @@ def ivfpq_knn_join_snapshot(
     id_col: str = "id",
     vec_col: str = "embedding",
     query_salt: int = 1,
+    tag_any: list | None = None,
+    tag_all: list | None = None,
+    tags_col: str = "tags",
 ) -> DataFrame:
     """Serve a SAVED ivfpq index (SearchService.save layout:
     partitionBy(ivf_cluster) parquet) with ZERO code bytes in the plan —
@@ -764,8 +777,18 @@ def ivfpq_knn_join_snapshot(
     salt-invariant). Memory: a worker holds <= _SNAPSHOT_CELL_CACHE_MAX
     cells at cell_rows x ~(8 + 8m) bytes; at 100 TB pick nlist so cells
     fit (the same sizing rule the cogroup path's data_salt addresses).
-    Tag-filtered serving stays on the in-memory artifact path
-    (SearchService routes pred != None queries there)."""
+
+    ``tag_any`` / ``tag_all`` (round 9, r8 VERDICT 2 — the hnsw snapshot
+    tier's recipe): when the saved code table carries ``tags_col`` (the
+    service-built artifact does, search_service build_index), the allowed
+    mask is evaluated WORKER-SIDE over the cell's cached frozensets and
+    applied to (ids_s, idx_s) BEFORE ADC scoring — disallowed rows can
+    never crowd the shortlist, and the snapshot keeps its zero-reship
+    property under filtered serving. The masked ids stay id-sorted, so
+    the stable (dist, id) tiebreak — and hence bit-equality with the
+    in-memory cogroup path over the pushdown-filtered artifact — is
+    preserved. Raises in the task if the snapshot lacks ``tags_col``
+    (same contract as hnsw_search_batch_snapshot)."""
     from neighborly_spark.session import local_relation_queries
 
     import numpy as np
@@ -790,9 +813,28 @@ def ivfpq_knn_join_snapshot(
 
     import pandas as pd
 
+    filtered = bool(tag_any) or bool(tag_all)
+    # sorted-set literal normalization, same as the hnsw snapshot tier
+    any_t = sorted(set(tag_any)) if tag_any else None
+    all_t = sorted(set(tag_all)) if tag_all else None
+
     def per_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(key[0])
-        ids_s, idx_s = _load_snapshot_cell(codes_path, cell, version, id_col, m, kp)
+        ids_s, idx_s, tags_by_col = _load_snapshot_cell(
+            codes_path, cell, version, id_col, m, kp
+        )
+        if filtered and len(ids_s):
+            from neighborly_spark.operators.hnsw import _tags_allowed_mask
+
+            tags, kind = tags_by_col.get(tags_col, (None, None))
+            if tags is None:
+                raise ValueError(
+                    f"snapshot at {codes_path!r} has no {tags_col!r} column; "
+                    "rebuild + re-save the ivfpq index with tags to serve "
+                    "tag-filtered queries from the snapshot"
+                )
+            mask = _tags_allowed_mask(tags, any_t, all_t, kind)
+            ids_s, idx_s = ids_s[mask], idx_s[mask]
         if len(ids_s) == 0 or len(pdf) == 0:
             return pd.DataFrame(columns=["query_id", id_col, "dist"])
         qids = pdf["query_id"].to_numpy().astype(np.int64)

@@ -981,14 +981,15 @@ def test_ivfpq_snapshot_cell_loader_lru(spark, emb, ivfpq_model, tmp_path):
 
     IVFPQ._SNAPSHOT_CELL_CACHE.clear()
     IVFPQ._SNAPSHOT_CELL_STATS.update(hits=0, misses=0)
-    ids1, idx1 = IVFPQ._load_snapshot_cell(path, int(a_cell), "v1", "id", m, kp)
+    ids1, idx1, tags1 = IVFPQ._load_snapshot_cell(path, int(a_cell), "v1", "id", m, kp)
     assert len(ids1) > 0 and idx1.shape == (len(ids1), m)
     assert list(ids1) == sorted(ids1)  # id-sorted for the stable tiebreak
-    ids2, idx2 = IVFPQ._load_snapshot_cell(path, int(a_cell), "v1", "id", m, kp)
+    assert tags1 == {}  # no tag passthrough columns in this artifact
+    ids2, idx2, _ = IVFPQ._load_snapshot_cell(path, int(a_cell), "v1", "id", m, kp)
     assert ids2 is ids1 and idx2 is idx1  # warm, same arrays
     assert IVFPQ._SNAPSHOT_CELL_STATS == {"hits": 1, "misses": 1}
     # a cell no row was assigned to: cached empty, not an error
-    empty_ids, empty_idx = IVFPQ._load_snapshot_cell(path, 9999, "v1", "id", m, kp)
+    empty_ids, empty_idx, _ = IVFPQ._load_snapshot_cell(path, 9999, "v1", "id", m, kp)
     assert len(empty_ids) == 0 and empty_idx.shape == (0, m)
     # a new version is a fresh entry
     IVFPQ._load_snapshot_cell(path, int(a_cell), "v2", "id", m, kp)
@@ -1032,10 +1033,28 @@ def test_search_service_ivfpq_snapshot_roundtrip(spark, emb, tmp_path):
         for r in loaded.search_batch(qdf, k=K, method="ivfpq").collect()
     )
     assert after_load == before
-    # tag filter: served from the artifact path (filtered pushdown), and
-    # every hit satisfies the filter
-    filtered = loaded.search_batch(qdf, k=5, method="ivfpq", tag_any=[1]).collect()
+    # tag filter: since round 9 served FROM THE SNAPSHOT (worker-side
+    # mask over artifact-embedded tags — zero-reship holds under
+    # filtering), every hit satisfies the filter, and results equal the
+    # in-memory pushdown-filtered artifact path per query
+    from unittest import mock
+
+    with mock.patch.object(
+        IVFPQ, "ivfpq_knn_join_snapshot", wraps=IVFPQ.ivfpq_knn_join_snapshot
+    ) as spy:
+        filtered = loaded.search_batch(qdf, k=5, method="ivfpq", tag_any=[1]).collect()
+    assert spy.call_count == 1 and spy.call_args.kwargs["tag_any"] == [1]
     assert filtered and all(r.id % 2 == 1 for r in filtered)
+    want_filtered = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join(
+            loaded._ivfpq_encoded.filter(
+                F.arrays_overlap(F.col("tags"), F.lit([1]).cast("array<smallint>"))
+            ),
+            loaded._ivfpq_model, qdf, 5, nprobe=10, df=tagged.filter("id % 2 = 1"),
+        ).collect()
+    )
+    assert sorted((r.query_id, r.id, r.dist) for r in filtered) == want_filtered
     # mutation invalidates the snapshot (the in-memory artifact diverges)
     new_row = tagged.limit(1).select(
         (F.col("id") + 1_000_000).alias("id"), *[c for c in tagged.columns if c != "id"]
@@ -1043,3 +1062,100 @@ def test_search_service_ivfpq_snapshot_roundtrip(spark, emb, tmp_path):
     loaded.add_vectors(new_row)
     assert loaded._ivfpq_snapshot is None
     tagged.unpersist()
+
+
+def test_ivfpq_snapshot_tag_filter_worker_resident(spark, emb, ivfpq_model, tmp_path):
+    """Round 9 (r8 VERDICT 2): tag filters ride the ivfpq snapshot tier —
+    the mask evaluates worker-side over artifact-embedded tags BEFORE ADC
+    scoring, so (a) results are bit-equal to the in-memory cogroup path
+    over the pushdown-filtered artifact, (b) disallowed rows never crowd
+    the shortlist (recall vs the tag-filtered exact oracle holds at both
+    sweep-band selectivities), and (c) a tags-less snapshot raises with
+    rebuild guidance instead of silently serving unfiltered."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+
+    # selectivity 1/2 (id % 2) and 1/20 (id % 20) tag bands
+    tagged = emb.withColumn(
+        "tags",
+        F.array(
+            (F.col("id") % 2).cast("smallint"),
+            (F.col("id") % 20 + 100).cast("smallint"),
+        ),
+    ).cache()
+    tagged.count()
+    enc = IVFPQ.ivfpq_encode(tagged, ivfpq_model).join(
+        tagged.select("id", "tags"), "id"
+    ).cache()
+    enc.count()
+    path = str(tmp_path / "codes_tagged")
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    qrows = tagged.limit(5).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).cache()
+    qrows.count()
+
+    for tag_any, sel_pred in (([1], "id % 2 = 1"), ([103], "id % 20 = 3")):
+        got = sorted(
+            (r.query_id, r.id, r.dist)
+            for r in IVFPQ.ivfpq_knn_join_snapshot(
+                spark, path, ivfpq_model, qrows, K, version="vt1",
+                nprobe=8, df=tagged, tag_any=tag_any,
+            ).collect()
+        )
+        # zero-reship holds under filtering: the snapshot plan never
+        # scans the code table (only probe assignments + the rerank
+        # float join enter the plan)
+        snap_df = IVFPQ.ivfpq_knn_join_snapshot(
+            spark, path, ivfpq_model, qrows, K, version="vt1",
+            nprobe=8, df=tagged, tag_any=tag_any,
+        )
+        plan = snap_df._jdf.queryExecution().executedPlan().toString()
+        assert "codes_tagged" not in plan and "pq_code" not in plan
+        # bit-equal to the in-memory cogroup path over the pushdown-
+        # filtered artifact (the shared kernel sees the same allowed rows)
+        want = sorted(
+            (r.query_id, r.id, r.dist)
+            for r in IVFPQ.ivfpq_knn_join(
+                enc.filter(F.arrays_overlap(
+                    F.col("tags"), F.lit(tag_any).cast("array<smallint>"))),
+                ivfpq_model, qrows, K, nprobe=8, df=tagged,
+            ).collect()
+        )
+        assert got == want and got
+        # every hit satisfies the tag predicate (mask applied pre-scoring)
+        allowed_ids = set(r.id for r in tagged.filter(sel_pred).select("id").collect())
+        assert all(i in allowed_ids for _, i, _ in got)
+        # recall vs the tag-filtered exact oracle at the tier's lossless-
+        # coarse operating point (nprobe=nlist): with every cell probed
+        # the only loss left is PQ quantization + the rerank cut — the
+        # filter itself must not cost recall (disallowed rows can no
+        # longer crowd the shortlist). nprobe<nlist recall is the tier's
+        # usual coarse-pruning tradeoff, unchanged by filtering.
+        full = sorted(
+            (r.query_id, r.id)
+            for r in IVFPQ.ivfpq_knn_join_snapshot(
+                spark, path, ivfpq_model, qrows, K, version="vt1",
+                nprobe=16, df=tagged, tag_any=tag_any,
+            ).collect()
+        )
+        allowed = tagged.filter(sel_pred)
+        for qid, vec in [(int(r.query_id), list(r.query_embedding)) for r in qrows.collect()]:
+            hits = [i for q, i in full if q == qid]
+            exact_ids = [r.id for r in exact_knn(allowed, vec, K).collect()]
+            assert _recall(hits, exact_ids) >= 0.8, (qid, tag_any)
+
+    # tags-less snapshot: raise, don't silently serve unfiltered
+    enc_plain = IVFPQ.ivfpq_encode(emb, ivfpq_model)
+    plain_path = str(tmp_path / "codes_plain")
+    enc_plain.write.partitionBy(CLUSTER_COL).parquet(plain_path)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="no 'tags' column"):
+        IVFPQ.ivfpq_knn_join_snapshot(
+            spark, plain_path, ivfpq_model, qrows, K, version="vp1",
+            nprobe=4, df=emb, tag_any=[1],
+        ).collect()
+    tagged.unpersist()
+    enc.unpersist()
+    qrows.unpersist()
