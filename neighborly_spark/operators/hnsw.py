@@ -103,8 +103,9 @@ ML_DEFAULT = 1.0 / math.log(float(M_DEFAULT))
 #: docs/SCALE.md: ms/insert 4.29/5.50/6.24 at 50k/100k/200k): total
 #: cluster build compute = N x ms/insert(shard_size) rises 45% by 200k,
 #: per-shard build wall goes 3.5 -> 21 min (straggler-hostile tasks),
-#: recall headroom shrinks 0.975 -> 0.905 at fixed ef, and the 8-entry
-#: per-worker serving LRU grows 216 MB -> 864 MB. Raise it (or pass
+#: recall headroom shrinks 0.975 -> 0.905 at fixed ef, and bigger shards
+#: mean fewer graphs fit the byte-budgeted per-worker serving cache
+#: (operators.worker_cache). Raise it (or pass
 #: num_partitions) only when shard-COUNT costs bind — e.g. >= 10^10 rows
 #: where the dim-64 routing broadcast reaches ~100 MB.
 TARGET_ROWS_PER_SHARD = 50_000
@@ -926,24 +927,43 @@ def hnsw_search(
     return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
 
 
-#: Per-worker LRU of rehydrated shard graphs. Rehydration (Arrow ->
-#: flat-array adjacency) dominates repeat-query latency (~an order of
-#: magnitude over the descent itself); serving engines keep segment graphs
-#: hot the same way (Lucene's HNSW segment readers). Keyed by a digest of
-#: the shard's (ids, levels) arrays — every mutation path (hnsw_add /
-#: hnsw_remove / rebuild) changes membership or levels, so a stale entry
-#: cannot be served. Bounded per worker (~20 MB per 50k x 64d graph, so
-#: the 8-entry cap is ~160 MB/worker worst-case); local testing has one
-#: Python worker per core, so the bound caps total executor memory.
-#: (r5 used 16 entries of 10k-row graphs; r6's 5x-bigger shards mean
-#: 5x FEWER shards per index, so 8 entries covers more indexes than 16
-#: did at less memory.)
-_GRAPH_CACHE: dict = {}
-_GRAPH_CACHE_MAX = 8
+def _graph_nbytes(ids: np.ndarray, g: _ShardGraph) -> int:
+    """Resident bytes of one rehydrated shard graph — the entry size the
+    shared byte-budgeted worker cache charges (round 9, r8 VERDICT 4):
+    the vector matrix dominates, adjacency + degrees + levels + ids are
+    the rest."""
+    return int(
+        ids.nbytes + g.x.nbytes + g.nbr.nbytes + g.deg.nbytes + g.levels.nbytes
+    )
+
+
+def _tags_nbytes(tags_by_col: dict) -> int:
+    """Estimated resident bytes of parsed tag frozensets: ~64 B of set
+    overhead per row plus ~64 B per element (python small-int/str objects
+    are interned/shared, so this over- rather than under-charges)."""
+    total = 0
+    for tags, _kind in tags_by_col.values():
+        total += 64 * len(tags) + 64 * sum(len(t) for t in tags)
+    return total
+
+
+#: Per-worker rehydrated-graph caching for the IN-MEMORY batch tier.
+#: Rehydration (Arrow -> flat-array adjacency) dominates repeat-query
+#: latency (~an order of magnitude over the descent itself); serving
+#: engines keep segment graphs hot the same way (Lucene's HNSW segment
+#: readers). Keyed by a digest of the shard's (ids, levels) arrays —
+#: every mutation path (hnsw_add / hnsw_remove / rebuild) changes
+#: membership or levels, so a stale entry cannot be served. Since round 9
+#: entries live in the SHARED byte-budgeted worker cache
+#: (operators.worker_cache) alongside both snapshot tiers, charged at
+#: their measured array bytes — co-resident tiers evict each other's
+#: coldest bytes instead of overshooting independent count caps.
 
 
 def _rehydrate_cached(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
     import hashlib
+
+    from neighborly_spark.operators.worker_cache import WORKER_CACHE
 
     ids = pdf["id"].to_numpy(dtype=np.int64)
     levels = pdf["level"].to_numpy(dtype=np.int64)
@@ -956,13 +976,14 @@ def _rehydrate_cached(pdf: pd.DataFrame) -> tuple[np.ndarray, _ShardGraph]:
         if len(pdf)
         else b""
     )
-    key = hashlib.md5(ids.tobytes() + b"|" + levels.tobytes() + b"|" + edge).digest()
-    hit = _GRAPH_CACHE.pop(key, None)
+    key = (
+        "hnsw_mem",
+        hashlib.md5(ids.tobytes() + b"|" + levels.tobytes() + b"|" + edge).digest(),
+    )
+    hit = WORKER_CACHE.get(key)
     if hit is None:
         hit = _rehydrate(pdf)
-    _GRAPH_CACHE[key] = hit  # re-insert = move to MRU position
-    while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
-        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        WORKER_CACHE.put(key, hit, _graph_nbytes(hit[0], hit[1]))
     return hit
 
 
@@ -1155,11 +1176,9 @@ def hnsw_search_batch(
     return local.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
-#: Per-worker cache of SNAPSHOT shard graphs, keyed (path, part_id,
-#: version) — the version string changes on every save, so a stale entry
-#: cannot be served. Same sizing rationale as _GRAPH_CACHE.
-_SNAPSHOT_CACHE: dict = {}
-_SNAPSHOT_CACHE_MAX = 8
+#: SNAPSHOT shard graphs cache keyed ("hnsw", path, part_id, version) in
+#: the SHARED byte-budgeted worker cache — the version string changes on
+#: every save, so a stale entry cannot be served.
 #: Per-worker hit/miss counters (test observability; reset freely).
 _SNAPSHOT_CACHE_STATS = {"hits": 0, "misses": 0}
 
@@ -1278,8 +1297,10 @@ def _load_snapshot_shard(path: str, part_id: int, version: str, tags_col: str = 
     (tag parse is O(rows) python sets — cheap next to the Arrow->adjacency
     rehydration), so filtered-after-unfiltered serves warm regardless of
     which column the filter names."""
-    key = (path, part_id, version)
-    hit = _SNAPSHOT_CACHE.pop(key, None)
+    from neighborly_spark.operators.worker_cache import WORKER_CACHE
+
+    key = ("hnsw", path, part_id, version)
+    hit = WORKER_CACHE.get(key)
     if hit is None:
         import pyarrow.parquet as pq
 
@@ -1287,12 +1308,12 @@ def _load_snapshot_shard(path: str, part_id: int, version: str, tags_col: str = 
         ids, g = _rehydrate_arrow(tbl)
         tags_by_col = _parse_tag_columns(tbl, _GRAPH_COLS)
         hit = (ids, g, tags_by_col)
+        WORKER_CACHE.put(
+            key, hit, _graph_nbytes(ids, g) + _tags_nbytes(tags_by_col)
+        )
         _SNAPSHOT_CACHE_STATS["misses"] += 1
     else:
         _SNAPSHOT_CACHE_STATS["hits"] += 1
-    _SNAPSHOT_CACHE[key] = hit  # re-insert = MRU
-    while len(_SNAPSHOT_CACHE) > _SNAPSHOT_CACHE_MAX:
-        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
     ids, g, tags_by_col = hit
     tags, tag_kind = tags_by_col.get(tags_col, (None, None))
     return ids, g, tags, tag_kind

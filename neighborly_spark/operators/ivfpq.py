@@ -664,15 +664,15 @@ def _merge_and_rerank(
     )
 
 
-#: Per-worker LRU of rehydrated snapshot cells for the worker-resident
-#: serving tier (ivfpq_knn_join_snapshot), keyed (path, cell, version) —
+#: Rehydrated snapshot cells for the worker-resident serving tier
+#: (ivfpq_knn_join_snapshot) live in the SHARED byte-budgeted worker
+#: cache (operators.worker_cache, round 9 — r8 VERDICT 4: the old
+#: 64-entry count cap plus the hnsw tiers' own caps overshot executor
+#: memory under co-residency), keyed ("ivfpq", path, cell, version) —
 #: the version pins the artifact+model pairing, so the cached flat-gather
 #: indexes (which bake in the model's m x k' layout) can never serve a
-#: retrained index. Entry bytes ~ cell_rows x (8 id + 8m idx); size the
-#: cap so hot cells of a shard fit comfortably (64 x ~10k-row cells at
-#: m=8 is ~6 MB/worker).
-_SNAPSHOT_CELL_CACHE: dict = {}
-_SNAPSHOT_CELL_CACHE_MAX = 64
+#: retrained index. Entry bytes = ids + gather indexes (cell_rows x
+#: (8 + 8m)) + parsed tag sets, charged at load.
 #: Per-worker hit/miss counters (test observability; reset freely).
 _SNAPSHOT_CELL_STATS = {"hits": 0, "misses": 0}
 
@@ -692,8 +692,10 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
     no candidates, same as the cogroup path's empty code side)."""
     import numpy as np
 
-    key = (path, int(cell), version)
-    hit = _SNAPSHOT_CELL_CACHE.pop(key, None)
+    from neighborly_spark.operators.worker_cache import WORKER_CACHE
+
+    key = ("ivfpq", path, int(cell), version)
+    hit = WORKER_CACHE.get(key)
     if hit is None:
         import pyarrow.parquet as pq
 
@@ -724,12 +726,16 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
                 ).items()
             }
             hit = (ids_s, idx_s, tags_by_col)
+        from neighborly_spark.operators.hnsw import _tags_nbytes
+
+        WORKER_CACHE.put(
+            key,
+            hit,
+            int(hit[0].nbytes + hit[1].nbytes) + _tags_nbytes(hit[2]),
+        )
         _SNAPSHOT_CELL_STATS["misses"] += 1
     else:
         _SNAPSHOT_CELL_STATS["hits"] += 1
-    _SNAPSHOT_CELL_CACHE[key] = hit  # re-insert = MRU
-    while len(_SNAPSHOT_CELL_CACHE) > _SNAPSHOT_CELL_CACHE_MAX:
-        _SNAPSHOT_CELL_CACHE.pop(next(iter(_SNAPSHOT_CELL_CACHE)))
     return hit
 
 
@@ -774,9 +780,10 @@ def ivfpq_knn_join_snapshot(
     ``query_salt=s`` splits each cell's query fan-in across s tasks
     (straggler lever at large fan-in, same rationale + measured A/B as
     the hnsw snapshot tier's knob — hash repartition, results
-    salt-invariant). Memory: a worker holds <= _SNAPSHOT_CELL_CACHE_MAX
-    cells at cell_rows x ~(8 + 8m) bytes; at 100 TB pick nlist so cells
-    fit (the same sizing rule the cogroup path's data_salt addresses).
+    salt-invariant). Memory: cells live in the shared byte-budgeted
+    worker cache (operators.worker_cache) charged at cell_rows x
+    ~(8 + 8m) bytes each; at 100 TB pick nlist so cells fit the budget
+    (the same sizing rule the cogroup path's data_salt addresses).
 
     ``tag_any`` / ``tag_all`` (round 9, r8 VERDICT 2 — the hnsw snapshot
     tier's recipe): when the saved code table carries ``tags_col`` (the

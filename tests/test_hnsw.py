@@ -1066,7 +1066,9 @@ def test_snapshot_lru_one_entry_per_shard_version(spark, tmp_path):
     path = str(tmp_path / "lru_snap")
     g.write.partitionBy("part_id").parquet(path)
 
-    H._SNAPSHOT_CACHE.clear()
+    from neighborly_spark.operators.worker_cache import WORKER_CACHE
+
+    WORKER_CACHE.clear()
     H._SNAPSHOT_CACHE_STATS.update(hits=0, misses=0)
     # unfiltered usage: tags still come back parsed (load parses all
     # list-typed passthrough columns once)
@@ -1080,13 +1082,14 @@ def test_snapshot_lru_one_entry_per_shard_version(spark, tmp_path):
     _, graph3, tags3, kind3 = H._load_snapshot_shard(path, 0, "v1", tags_col="nope")
     assert graph3 is graph and tags3 is None and kind3 is None
     assert H._SNAPSHOT_CACHE_STATS == {"hits": 2, "misses": 1}
-    assert len(H._SNAPSHOT_CACHE) == 1  # one entry per (path, shard, version)
+    assert len(WORKER_CACHE) == 1  # one entry per (path, shard, version)
+    assert WORKER_CACHE.bytes > 0  # charged at its measured array bytes
     # tag content round-trips: row-aligned parity with id % 2
     pos = {int(i): n for n, i in enumerate(ids)}
     assert all(tags[pos[i]] == frozenset({i % 2}) for i in range(120))
     # a new version is a separate entry (mutations change the version)
     H._load_snapshot_shard(path, 0, "v2")
-    assert H._SNAPSHOT_CACHE_STATS["misses"] == 2 and len(H._SNAPSHOT_CACHE) == 2
+    assert H._SNAPSHOT_CACHE_STATS["misses"] == 2 and len(WORKER_CACHE) == 2
 
 
 def test_snapshot_filtered_selectivity_sweep(spark, emb, tmp_path):

@@ -979,7 +979,9 @@ def test_ivfpq_snapshot_cell_loader_lru(spark, emb, ivfpq_model, tmp_path):
     a_cell = enc.select(CLUSTER_COL).first()[0]
     m, kp = ivfpq_model.pq.m, ivfpq_model.pq.num_centroids
 
-    IVFPQ._SNAPSHOT_CELL_CACHE.clear()
+    from neighborly_spark.operators.worker_cache import WORKER_CACHE
+
+    WORKER_CACHE.clear()
     IVFPQ._SNAPSHOT_CELL_STATS.update(hits=0, misses=0)
     ids1, idx1, tags1 = IVFPQ._load_snapshot_cell(path, int(a_cell), "v1", "id", m, kp)
     assert len(ids1) > 0 and idx1.shape == (len(ids1), m)
@@ -994,7 +996,7 @@ def test_ivfpq_snapshot_cell_loader_lru(spark, emb, ivfpq_model, tmp_path):
     # a new version is a fresh entry
     IVFPQ._load_snapshot_cell(path, int(a_cell), "v2", "id", m, kp)
     assert IVFPQ._SNAPSHOT_CELL_STATS["misses"] == 3
-    assert len(IVFPQ._SNAPSHOT_CELL_CACHE) == 3
+    assert len(WORKER_CACHE) == 3
 
 
 def test_search_service_ivfpq_snapshot_roundtrip(spark, emb, tmp_path):
