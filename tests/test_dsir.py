@@ -211,3 +211,66 @@ def test_dsir_sample_selection_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want and len(got) == 40
+
+
+def test_dsir_score_stream_equals_batch_across_restart(spark, tmp_path):
+    """Round 9 (r8 VERDICT 6): the fit-nightly / score-stream composition
+    DSIRModel.save/load + dsir_score were built for — a saved model scores
+    a doc stream through foreachBatch with the replay-safe sink shape
+    (_batch_id dynamic partition overwrite), across a stream RESTART, and
+    the union of stream-scored batches equals one batch dsir_score over
+    the same docs. The score table broadcast + per-doc integer sums make
+    each micro-batch independent, so batch boundaries can't change
+    values."""
+    from neighborly_spark.operators.dsir import DSIRModel, dsir_fit, dsir_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    docs.count()
+    model = dsir_fit(docs, docs.filter("doc_id % 7 = 0"), buckets=1024)
+    mpath = str(tmp_path / "model")
+    model.save(mpath)
+    loaded = DSIRModel.load(spark, mpath)
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(land)
+
+    def run_stream():
+        stream = spark.readStream.schema(docs.schema).parquet(land)
+
+        def sink(batch, bid):
+            (
+                dsir_score(batch, loaded)
+                .withColumn("_batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out)
+            )
+
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run_stream()
+    q.awaitTermination(120)
+    # restart: more docs land, a NEW query resumes from the checkpoint and
+    # scores only the new file
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(land)
+    q2 = run_stream()
+    q2.awaitTermination(120)
+
+    got = sorted(
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in spark.read.parquet(out).select("doc_id", "n_grams", "log_weight").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_grams, r.log_weight)
+        for r in dsir_score(docs, loaded).collect()
+    )
+    assert got == want and len(got) == docs.count()
+    docs.unpersist()
