@@ -808,6 +808,9 @@ class SearchService:
         hnsw_probe_shards: int | None = None,  # method='hnsw': descend only
         # the top-p shards by the routing table's centroid+radius lower
         # bound (sublinear in shard count); None = exhaustive all-shards
+        hnsw_ef: int | None = None,  # method='hnsw': beam width (None =
+        # operators.hnsw.EF_DEFAULT) — the recall/latency dial; raise it
+        # under selective tag filters or hard geometries
         sq_rerank: bool = False,  # method='sq': rank purely on dequantized
         # distances (default — the per-dim decode error is <= scale/2, so
         # the measured recall is 1.00 WITHOUT touching the float table;
@@ -924,19 +927,21 @@ class SearchService:
                     # allowed mask evaluates worker-side (the tags_col
                     # presence was already validated against the graph's
                     # columns above, and the snapshot mirrors the graph)
+                    ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
                     pth, ver, pids = self._hnsw_snapshot
                     hits = HN.hnsw_search_batch_snapshot(
                         self.df.sparkSession, pth, pids, [(0, query_vec)], k,
                         version=ver, probe_shards=hnsw_probe_shards,
                         routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
                         tag_any=tag_any, tag_all=tag_all,
-                        tags_col=self.tags_col or "tags",
+                        tags_col=self.tags_col or "tags", **ef_kw,
                     ).drop("query_id")
                 else:
+                    ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
                     hits = HN.hnsw_search(
                         graph, query_vec, k,
                         probe_shards=hnsw_probe_shards, routing=self._hnsw_routing,
-                        allowed_col=allowed_col,
+                        allowed_col=allowed_col, **ef_kw,
                     )
                 # rejoin payload columns so the schema matches the exact
                 # path (k-row broadcast join; AQE picks broadcast)
@@ -1120,6 +1125,7 @@ class SearchService:
         shortlist: int | None = None,
         hnsw_probe_shards: int | None = None,
         hnsw_query_salt: int = 1,
+        hnsw_ef: int | None = None,
         tag_any: list | None = None,
         tag_all: list | None = None,
         metric: str = "euclidean",
@@ -1327,6 +1333,7 @@ class SearchService:
                 # filtered + durable stays worker-resident (round-6 VERDICT
                 # 2): tags ride the snapshot shards; the column's presence
                 # was validated against the mirrored graph above
+                ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
                 pth, ver, pids = self._hnsw_snapshot
                 return _serve(hnsw_search_batch_snapshot(
                     self.df.sparkSession, pth, pids,
@@ -1337,13 +1344,14 @@ class SearchService:
                     tags_col=self.tags_col or "tags",
                     # large fan-in parallelism knob (round 8): splits each
                     # shard's queries across hnsw_query_salt tasks
-                    query_salt=hnsw_query_salt,
+                    query_salt=hnsw_query_salt, **ef_kw,
                 ))
+            ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
             return _serve(hnsw_search_batch(
                 graph, qarg if qarg is not None else as_list(), k,
                 probe_shards=hnsw_probe_shards,
                 routing=self._hnsw_routing if self._hnsw_spatial else None,
-                allowed_col=allowed_col,
+                allowed_col=allowed_col, **ef_kw,
                 # the service refreshes routing on every mutation, so the
                 # stale-routing guard's extra part_id scan is unnecessary
                 trust_routing=True,

@@ -1169,3 +1169,26 @@ def test_snapshot_query_salt_results_invariant(spark, emb, tmp_path):
         )
         assert salted == base, s
     assert len(base) == 40
+
+
+def test_search_batch_threads_hnsw_ef(spark, emb):
+    """Round 9: the ef (beam width) dial reaches the hnsw operators from
+    SearchService.search/search_batch — the recall/latency knob callers
+    need under selective tag filters was operator-only before."""
+    from unittest import mock
+
+    from neighborly_spark.operators import hnsw as H
+    from neighborly_spark.search_service import SearchService
+
+    svc = SearchService(emb, dim=64)
+    svc.build_index("hnsw")
+    qdf = svc.df.limit(3).select(
+        F.col(svc.id_col).alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+    with mock.patch.object(H, "hnsw_search_batch", wraps=H.hnsw_search_batch) as spy:
+        svc.search_batch(qdf, k=3, method="hnsw", hnsw_ef=99).collect()
+    assert spy.call_args.kwargs["ef"] == 99
+    with mock.patch.object(H, "hnsw_search", wraps=H.hnsw_search) as spy:
+        svc.search(query_vec=[0.1] * 64, k=3, method="hnsw", hnsw_ef=77).collect()
+    assert spy.call_args.kwargs["ef"] == 77
