@@ -118,3 +118,41 @@ def sql_metrics(df) -> dict:
 
     visit(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def worker_cache_stats(spark, probes_per_core: int = 2) -> list[dict]:
+    """Sample the shared byte-budgeted serving cache (operators.
+    worker_cache) across the live python workers — the operational
+    counterpart of the budget itself (round 9): a dashboard needs to SEE
+    per-worker residency/evictions to size ``NB_WORKER_CACHE_MB`` or
+    nlist/shard counts.
+
+    One tiny RDD probe job (probes_per_core tasks per core so the
+    round-robin reaches every reusable worker with high probability;
+    results deduped by pid). Deliberately an ops tool, not a data path —
+    the per-task payload is one dict. Workers that served no snapshot
+    traffic report zeros."""
+    sc = spark.sparkContext
+    n = max(1, sc.defaultParallelism * probes_per_core)
+
+    def probe(_it):
+        import os
+
+        from neighborly_spark.operators import hnsw, ivfpq
+        from neighborly_spark.operators.worker_cache import WORKER_CACHE
+
+        yield {
+            "pid": os.getpid(),
+            "entries": len(WORKER_CACHE),
+            "bytes": WORKER_CACHE.bytes,
+            "budget": WORKER_CACHE.budget,
+            "evictions": WORKER_CACHE.evictions,
+            "hnsw_snapshot": dict(hnsw._SNAPSHOT_CACHE_STATS),
+            "ivfpq_cells": dict(ivfpq._SNAPSHOT_CELL_STATS),
+        }
+
+    rows = sc.parallelize(range(n), n).mapPartitions(probe).collect()
+    by_pid: dict = {}
+    for r in rows:
+        by_pid[r["pid"]] = r
+    return list(by_pid.values())

@@ -144,7 +144,10 @@ class SearchService:
     #: projects normalized vectors just as well, so no cosine build exists
     _COSINE_SERVE = _COSINE_METHODS | {"lsh"}
 
-    def build_index(self, method: str, spatial: bool = False, metric: str = "euclidean") -> None:
+    def build_index(
+        self, method: str, spatial: bool = False, metric: str = "euclidean",
+        opq: bool = False,
+    ) -> None:
         """``spatial=True`` (hnsw only) shards the graph by a coarse
         quantizer instead of id hash — the layout that makes
         search(hnsw_probe_shards=p) discriminative (see operators.hnsw).
@@ -161,6 +164,8 @@ class SearchService:
         metric = metric.lower()
         if metric not in ("euclidean", "cosine"):
             raise ValueError(f"unsupported index metric {metric!r}")
+        if opq and method != "ivfpq":
+            raise ValueError("opq=True applies to the ivfpq index only")
         if metric == "cosine" and method not in self._COSINE_METHODS:
             raise ValueError(
                 "metric='cosine' index builds are supported for "
@@ -223,9 +228,13 @@ class SearchService:
             self._ivfpq_model = IVFPQ.ivfpq_train(
                 build_df, self.dim, vec_col=self.vec_col,
                 # the shared coarse model is fit on the RAW table; a cosine
-                # build needs cells in the normalized space, so it fits its
+                # build needs cells in the normalized space (and an OPQ
+                # build needs them in ROTATED space), so those fit their
                 # own (still deterministic, still snapshot-persisted)
-                coarse=self._coarse(16) if metric == "euclidean" else None,
+                coarse=self._coarse(16) if metric == "euclidean" and not opq else None,
+                # opq=True (round 9): learn an orthogonal rotation first;
+                # the model carries it, every search path applies it
+                opq=opq,
             )
             enc = IVFPQ.ivfpq_encode(build_df, self._ivfpq_model, self.id_col, self.vec_col)
             if self.tags_col:
@@ -661,6 +670,8 @@ class SearchService:
                 "m": ip.pq.m, "sub_dim": ip.pq.sub_dim,
                 "num_centroids": ip.pq.num_centroids,
                 "pq_centroids": ip.pq.centroids,
+                # OPQ rotation (round 9): None unless built with opq=True
+                "rotation": ip.rotation,
                 # worker-resident serving manifest (ivfpq_knn_join_snapshot):
                 # the version keys the per-worker cell LRU so a re-save can
                 # never serve stale codes
@@ -771,6 +782,7 @@ class SearchService:
                     [_ArrayKMeansModel(np.asarray(c)) for c in ip["pq_centroids"]],
                     ip["m"], ip["sub_dim"], ip["num_centroids"],
                 ),
+                rotation=ip.get("rotation"),
             )
             svc._coarse_models.setdefault(ip["nlist"], coarse)
             svc._ivfpq_encoded = spark.read.parquet(f"{path}/indexes/ivfpq_encoded")

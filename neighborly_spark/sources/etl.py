@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 CSV_DELIM = ";"
 ARRAY_SEP = ","
 
-FORMATS = ("csv", "json", "jsonz", "parquet", "hdf5")
+FORMATS = ("csv", "json", "jsonz", "parquet", "orc", "hdf5")
 
 
 def _attr_defaults(df: DataFrame) -> DataFrame:
@@ -140,6 +140,21 @@ def import_parquet(spark: SparkSession, path: str) -> DataFrame:
     return _attr_defaults(spark.read.parquet(path))
 
 
+# --- ORC (beyond-reference: Spark-native columnar alternative) -----------------
+# The reference's format set stops at parquet; ORC ships in every Spark
+# distribution (no extra package) and is the other columnar format large
+# pipelines actually hold — same predicate-pushdown / column-pruning story
+# as parquet, so the scan posture in docs/SCALE.md carries over unchanged.
+
+
+def export_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def import_orc(spark: SparkSession, path: str) -> DataFrame:
+    return _attr_defaults(spark.read.orc(path))
+
+
 # --- HDF5 (S5): declared, unsupported — parity with the reference stub ---------
 
 
@@ -158,6 +173,7 @@ _IMPORTERS = {
     "json": import_json,
     "jsonz": import_jsonz,
     "parquet": import_parquet,
+    "orc": import_orc,
     "hdf5": import_hdf5,
 }
 _EXPORTERS = {
@@ -165,6 +181,7 @@ _EXPORTERS = {
     "json": export_json,
     "jsonz": export_jsonz,
     "parquet": export_parquet,
+    "orc": export_orc,
     "hdf5": export_hdf5,
 }
 

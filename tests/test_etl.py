@@ -250,3 +250,21 @@ def test_webdataset_to_multimodal_features(spark, tmp_path):
     # determinism: the same shard bytes give the same features
     again = {r.asset_id: r.features for r in MM.extract_features(assets, dim=8, fake=True).collect()}
     assert all(again[r.asset_id] == r.features for r in feats)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC (round 9, beyond-reference): Spark-native columnar round-trip
+    through the factory — same vectors-schema contract as parquet."""
+    from neighborly_spark.sources.etl import exporter, importer
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2], [1, 2], "a"), (2, [0.3, 0.4], None, None)],
+        "id long, embedding array<float>, tags array<smallint>, original_text string",
+    )
+    path = str(tmp_path / "vectors_orc")
+    exporter("orc")(df, path)
+    back = importer("orc")(spark, path)
+    assert sorted((r.id, list(r.embedding)) for r in back.collect()) == [
+        (1, [pytest.approx(0.1), pytest.approx(0.2)]),
+        (2, [pytest.approx(0.3), pytest.approx(0.4)]),
+    ]

@@ -40,3 +40,16 @@ def test_sql_metrics_reads_executed_plan(spark):
         for v in metrics.values()
     ]
     assert any(r is not None and int(r) >= 100 for r in rows)
+
+
+def test_worker_cache_stats_probe(spark):
+    """The ops probe reaches the python workers and reports the shared
+    cache's shape (round 9 — the sizing dashboard for NB_WORKER_CACHE_MB)."""
+    from neighborly_spark.observability import worker_cache_stats
+
+    rows = worker_cache_stats(spark)
+    assert rows
+    for r in rows:
+        assert {"pid", "entries", "bytes", "budget", "evictions",
+                "hnsw_snapshot", "ivfpq_cells"} <= set(r)
+        assert r["budget"] > 0 and r["bytes"] >= 0

@@ -1161,3 +1161,210 @@ def test_ivfpq_snapshot_tag_filter_worker_resident(spark, emb, ivfpq_model, tmp_
     tagged.unpersist()
     enc.unpersist()
     qrows.unpersist()
+
+
+# --- OPQ (round 9, beyond-reference: Ge et al. 2013) -------------------------
+
+
+def _anisotropic_df(spark, n=3000, dim=16, seed=7):
+    """Synthetic anisotropic vectors: a few high-variance directions mixed
+    across ALL coordinates (random orthogonal mix of a decaying spectrum)
+    — the regime plain PQ handles poorly because every subspace sees a
+    slice of the same dominant directions, and the regime OPQ exists for."""
+    rng = np.random.RandomState(seed)
+    q, _ = np.linalg.qr(rng.randn(dim, dim))
+    scales = np.linspace(6.0, 0.05, dim)
+    x = (rng.randn(n, dim) * scales) @ q.T
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, embedding array<float>")
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    df = _anisotropic_df(spark, n=800, dim=16)
+    r1 = IVFPQ.opq_train_rotation(df, 16, m=4, num_centroids=16, iters=3)
+    r2 = IVFPQ.opq_train_rotation(df, 16, m=4, num_centroids=16, iters=3)
+    assert np.array_equal(r1, r2)  # seeded per (iter, subspace): bit-stable
+    assert np.allclose(r1 @ r1.T, np.eye(16), atol=1e-9)
+
+
+def _concentrated_df(spark, n=3000, dim=16, seed=7):
+    """Energy concentrated in the first PQ subspace (no mixing) — the
+    textbook OPQ case: plain PQ burns 7 of 8 codebooks on noise while one
+    2-d subspace holds everything; eigenvalue allocation redistributes."""
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, dim) * np.array([8.0, 6.0] + [0.08] * (dim - 2))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, embedding array<float>")
+
+
+def test_opq_improves_pure_adc_recall_on_anisotropic_data(spark):
+    """The headline claim at the tier that feels quantization error most:
+    PURE-ADC (rerank off) recall at identical code bytes, all cells probed
+    (pure code-quality regime). On the concentrated geometry the
+    eigenvalue-allocation init is worth measured 0.51 -> 0.93 recall (and
+    35x lower flat-PQ quantization MSE); the mixed geometry below asserts
+    no-harm."""
+    from neighborly_spark.operators.knn import knn_join_vectorized
+
+    df = _concentrated_df(spark).cache()
+    df.count()
+    queries = df.limit(24).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).cache()
+    queries.count()
+    exact = {
+        qid: {r.id for r in grp}
+        for qid, grp in __import__("itertools").groupby(
+            sorted(
+                knn_join_vectorized(df, queries, 10).collect(),
+                key=lambda r: (r.query_id, r.dist, r.id),
+            ),
+            key=lambda r: r.query_id,
+        )
+    }
+
+    def mean_recall(model):
+        enc = IVFPQ.ivfpq_encode(df, model)
+        got = IVFPQ.ivfpq_knn_join(
+            enc, model, queries, 10, nprobe=4, rerank=False
+        ).collect()
+        import itertools
+
+        per_q = {
+            qid: {r.id for r in grp}
+            for qid, grp in itertools.groupby(
+                sorted(got, key=lambda r: r.query_id), key=lambda r: r.query_id
+            )
+        }
+        return float(np.mean([
+            len(per_q.get(q, set()) & exact[q]) / 10 for q in exact
+        ]))
+
+    plain = IVFPQ.ivfpq_train(df, 16, nlist=4, m=8, num_centroids=64)
+    opq = IVFPQ.ivfpq_train(df, 16, nlist=4, m=8, num_centroids=64, opq=True)
+    assert opq.rotation is not None and plain.rotation is None
+    r_plain, r_opq = mean_recall(plain), mean_recall(opq)
+    # the gain is the point (measured 0.51 -> 0.93); generous margins
+    # keep the gate robust to sample jitter
+    assert r_opq >= r_plain + 0.2, (r_plain, r_opq)
+    assert r_opq >= 0.8, r_opq
+    df.unpersist()
+    queries.unpersist()
+
+
+def test_opq_no_harm_on_mixed_anisotropy(spark):
+    """On a random-orthogonal mix (where IVF residuals already absorb the
+    dominant directions) OPQ must not cost recall: within a small epsilon
+    of the plain build at the same operating point."""
+    import itertools
+
+    from neighborly_spark.operators.knn import knn_join_vectorized
+
+    df = _anisotropic_df(spark).cache()
+    df.count()
+    queries = df.limit(24).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).cache()
+    queries.count()
+    exact = {
+        qid: {r.id for r in grp}
+        for qid, grp in itertools.groupby(
+            sorted(
+                knn_join_vectorized(df, queries, 10).collect(),
+                key=lambda r: (r.query_id, r.dist, r.id),
+            ),
+            key=lambda r: r.query_id,
+        )
+    }
+
+    def mean_recall(model):
+        enc = IVFPQ.ivfpq_encode(df, model)
+        got = IVFPQ.ivfpq_knn_join(
+            enc, model, queries, 10, nprobe=4, rerank=False
+        ).collect()
+        per_q = {
+            qid: {r.id for r in grp}
+            for qid, grp in itertools.groupby(
+                sorted(got, key=lambda r: r.query_id), key=lambda r: r.query_id
+            )
+        }
+        return float(np.mean([
+            len(per_q.get(q, set()) & exact[q]) / 10 for q in exact
+        ]))
+
+    plain = IVFPQ.ivfpq_train(df, 16, nlist=8, m=8, num_centroids=64)
+    opq = IVFPQ.ivfpq_train(df, 16, nlist=8, m=8, num_centroids=64, opq=True)
+    r_plain, r_opq = mean_recall(plain), mean_recall(opq)
+    assert r_opq >= r_plain - 0.05, (r_plain, r_opq)
+    df.unpersist()
+    queries.unpersist()
+
+
+def test_opq_paths_agree_and_roundtrip(spark, tmp_path):
+    """All ivfpq query paths rotate consistently: single-query, list-batch,
+    DataFrame-batch, and the worker-resident snapshot tier return the same
+    candidates for an OPQ model; SearchService build_index(opq=True) +
+    save/load round-trips the rotation."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+    from neighborly_spark.search_service import SearchService
+
+    df = _anisotropic_df(spark, n=1200, dim=16).cache()
+    df.count()
+    model = IVFPQ.ivfpq_train(df, 16, nlist=6, m=4, num_centroids=32, opq=True)
+    enc = IVFPQ.ivfpq_encode(df, model).cache()
+    enc.count()
+    qrows = df.limit(5).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).cache()
+    qrows.count()
+    qlist = [(int(r.query_id), list(r.query_embedding)) for r in qrows.collect()]
+
+    want = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join(enc, model, qrows, 5, nprobe=3, df=df).collect()
+    )
+    got_list = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join(enc, model, qlist, 5, nprobe=3, df=df).collect()
+    )
+    assert got_list == want
+    path = str(tmp_path / "opq_codes")
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    got_snap = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join_snapshot(
+            spark, path, model, qrows, 5, version="v1", nprobe=3, df=df
+        ).collect()
+    )
+    assert got_snap == want
+    # single-query path agrees with the batch paths per query
+    qid0, vec0 = qlist[0]
+    single = sorted(
+        (r.id, round(r.dist, 9))
+        for r in IVFPQ.ivfpq_search_rerank(df, enc, model, vec0, 5, nprobe=3).collect()
+    )
+    batch0 = sorted((i, round(d, 9)) for q, i, d in want if q == qid0)
+    assert single == batch0
+
+    # service integration + snapshot persistence of the rotation
+    svc = SearchService(df, dim=16)
+    svc.build_index("ivfpq", opq=True)
+    assert svc._ivfpq_model.rotation is not None
+    before = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in svc.search_batch(qrows, k=5, method="ivfpq").collect()
+    )
+    svc.save(str(tmp_path / "svc_snap"))
+    loaded = SearchService.load(spark, str(tmp_path / "svc_snap"))
+    assert loaded._ivfpq_model.rotation is not None
+    after = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in loaded.search_batch(qrows, k=5, method="ivfpq").collect()
+    )
+    assert after == before
+    df.unpersist()
+    enc.unpersist()
+    qrows.unpersist()
