@@ -260,6 +260,28 @@ def bench_ivfpq_batch1k_df(spark, sf_dir):
     )
 
 
+def bench_ivfpq_opq_batch1k_df(spark, sf_dir):
+    """OPQ serving-cost twin of ivfpq_batch1k_df_150k (round 9): the SAME
+    1000-query DF batch against an opq=True build of the SAME table —
+    times what the rotation costs at query time (one dim x dim matmul per
+    Arrow batch at probe-assign, one at encode). The hash-embedded
+    synthetic vectors are near-isotropic, so this entry is a COST
+    comparison, not a recall claim (docs/RECALL.md carries those)."""
+    from neighborly_spark.operators.ivfpq import ivfpq_encode, ivfpq_knn_join, ivfpq_train
+
+    bench_ivfpq_batch1k_df(spark, sf_dir)  # qdf + baseline artifacts ready
+    vec = _synth_vectors(spark, sf_dir)
+    if "ivfpq_opq" not in _STATE:
+        model = ivfpq_train(vec, 64, nlist=32, m=8, opq=True)
+        encoded = ivfpq_encode(vec, model).cache()
+        encoded.count()
+        _STATE["ivfpq_opq"] = (model, encoded)
+    model, encoded = _STATE["ivfpq_opq"]
+    return ivfpq_knn_join(
+        encoded, model, _STATE["ivfpq_qdf"], 10, nprobe=4, df=vec
+    )
+
+
 def bench_pq_150k(spark, sf_dir):
     """PQ at its serving default (the rerank tier, search_service method
     'pq'): codebook + code table build once untimed (index artifacts,
@@ -499,6 +521,7 @@ BENCH_LOCAL = {
     # its number incomparable with earlier rounds' measurement context
     "hnsw_batch256_df_150k": bench_hnsw_batch256_df,
     "ivfpq_batch1k_df_150k": bench_ivfpq_batch1k_df,
+    "ivfpq_opq_batch1k_df_150k": bench_ivfpq_opq_batch1k_df,  # new r9
     "dedup_minhash_docs": bench_dedup_minhash,
     "dsir_logweights_docs": bench_dsir_logweights,  # new in round 8
     "dedup_simhash_docs": bench_dedup_simhash,
