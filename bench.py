@@ -269,7 +269,10 @@ def bench_ivfpq_opq_batch1k_df(spark, sf_dir):
     comparison, not a recall claim (docs/RECALL.md carries those)."""
     from neighborly_spark.operators.ivfpq import ivfpq_encode, ivfpq_knn_join, ivfpq_train
 
-    bench_ivfpq_batch1k_df(spark, sf_dir)  # qdf + baseline artifacts ready
+    if "ivfpq_qdf" not in _STATE:
+        # setup only (warm-up call): the timed runs must not rebuild the
+        # baseline entry's join plan just to reuse its cached query table
+        bench_ivfpq_batch1k_df(spark, sf_dir)
     vec = _synth_vectors(spark, sf_dir)
     if "ivfpq_opq" not in _STATE:
         model = ivfpq_train(vec, 64, nlist=32, m=8, opq=True)
@@ -851,9 +854,17 @@ def main() -> None:
             sys.stderr.write(proc.stderr[-4000:])
             single_isolation = f"subprocess_failed_rc{proc.returncode}"
         else:
-            sub = json.loads(proc.stdout.strip().splitlines()[-1])
-            timings.update(sub["timings"])
-            spreads.update(sub["runs"])
+            try:
+                sub = json.loads(proc.stdout.strip().splitlines()[-1])
+                timings.update(sub["timings"])
+                spreads.update(sub["runs"])
+            except (IndexError, ValueError, KeyError) as e:
+                # rc 0 but unparseable stdout (stray log line, empty):
+                # keep the multi-minute shared measurements usable, same
+                # fail-soft contract as the rc!=0 branch
+                sys.stderr.write(f"single-only parse failed: {e}\n")
+                sys.stderr.write(proc.stdout[-2000:])
+                single_isolation = "subprocess_output_unparseable"
 
     sf = orig_sf_dir.rstrip("/").split("sf")[-1]
     out = {

@@ -137,11 +137,13 @@ def worker_cache_stats(spark, probes_per_core: int = 2) -> list[dict]:
 
     def probe(_it):
         import os
+        import socket
 
         from neighborly_spark.operators import hnsw, ivfpq
         from neighborly_spark.operators.worker_cache import WORKER_CACHE
 
         yield {
+            "host": socket.gethostname(),
             "pid": os.getpid(),
             "entries": len(WORKER_CACHE),
             "bytes": WORKER_CACHE.bytes,
@@ -152,7 +154,8 @@ def worker_cache_stats(spark, probes_per_core: int = 2) -> list[dict]:
         }
 
     rows = sc.parallelize(range(n), n).mapPartitions(probe).collect()
-    by_pid: dict = {}
+    # dedup by (host, pid): bare pids collide across executor hosts
+    by_worker: dict = {}
     for r in rows:
-        by_pid[r["pid"]] = r
-    return list(by_pid.values())
+        by_worker[(r["host"], r["pid"])] = r
+    return list(by_worker.values())

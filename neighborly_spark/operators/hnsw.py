@@ -863,7 +863,8 @@ def hnsw_search(
     graph_df: DataFrame,
     query_vec: list[float],
     k: int,
-    ef: int = EF_DEFAULT,
+    ef: int | None = None,  # None = EF_DEFAULT (callers forward their own
+    # optional knob without rebuilding kwargs)
     round_to: int | None = None,
     probe_shards: int | None = None,
     routing: DataFrame | None = None,
@@ -890,6 +891,7 @@ def hnsw_search(
     per-query work O(p) graphs rather than O(num_shards). ``p=None`` keeps
     the exhaustive all-shards merge (recall ceiling of the graphs
     themselves); recall-vs-p measured in docs/RECALL.md."""
+    ef = EF_DEFAULT if ef is None else int(ef)
     q = np.asarray(query_vec, dtype=np.float64)
     if probe_shards is not None:
         # IN-PLAN routing (round-5 VERDICT 3): rank routing rows by the
@@ -1036,7 +1038,7 @@ def hnsw_search_batch(
     graph_df: DataFrame,
     queries,
     k: int,
-    ef: int = EF_DEFAULT,
+    ef: int | None = None,
     probe_shards: int | None = None,
     routing: DataFrame | None = None,
     allowed_col: str | None = None,
@@ -1076,6 +1078,7 @@ def hnsw_search_batch(
     the nested neighbors column (see hnsw_add's sentinel note). Callers
     that refresh routing on every mutation (SearchService) pass
     ``trust_routing=True`` to skip that guard's extra part_id scan."""
+    ef = EF_DEFAULT if ef is None else int(ef)
     from pyspark.sql import Window
 
     def _beam(graph_pdf: pd.DataFrame, mine) -> pd.DataFrame:
@@ -1368,7 +1371,7 @@ def hnsw_search_batch_snapshot(
     queries,
     k: int,
     version: str,
-    ef: int = EF_DEFAULT,
+    ef: int | None = None,
     probe_shards: int | None = None,
     routing: DataFrame | None = None,
     tag_any: list | None = None,
@@ -1412,6 +1415,7 @@ def hnsw_search_batch_snapshot(
     shard loads per worker (the LRU absorbs repeats), so keep s modest
     (2-8); results are identical for any s — the per-query descent does
     not depend on which task runs it."""
+    ef = EF_DEFAULT if ef is None else int(ef)
     # JVM LocalRelations end to end: a python-list createDataFrame would
     # put a python-RDD scan (one worker round trip per scan — measured
     # ~4 s/query) in front of every search, and a bare crossJoin of two

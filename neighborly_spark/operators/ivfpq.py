@@ -895,12 +895,22 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
 
         try:
             tbl = pq.read_table(f"{path}/{CLUSTER_COL}={int(cell)}")
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
+            tbl = None
+        except OSError as e:
             # non-local filesystems (S3/HDFS) surface a missing partition
             # directory as ArrowIOError/OSError subclasses, not always
             # FileNotFoundError — an empty cell must contribute no
-            # candidates, not fail the task (round-9 ADVICE)
-            tbl = None
+            # candidates. But ONLY genuine nonexistence may be treated
+            # (and cached!) as empty: a transient read error converted to
+            # a cached 0-row cell would silently drop that cell's
+            # candidates for the worker's lifetime (round-9 review
+            # finding). Anything else re-raises and lets Spark retry.
+            msg = str(e).lower()
+            if "exist" in msg or "not found" in msg or "404" in msg:
+                tbl = None
+            else:
+                raise
         if tbl is None or tbl.num_rows == 0:
             hit = (np.empty(0, dtype=np.int64), np.empty((0, m), dtype=np.int64), {})
         else:

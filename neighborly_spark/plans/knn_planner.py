@@ -212,15 +212,13 @@ def knn_join_auto(
             from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
 
             path, ver, pids = hnsw_snapshot
-            ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
             out = hnsw_search_batch_snapshot(
-                data.sparkSession, path, pids, qdf, k, version=ver,
-                probe_shards=probe, routing=routing, **ef_kw,
+                data.sparkSession, path, pids, qdf, k, version=ver, ef=hnsw_ef,
+                probe_shards=probe, routing=routing,
             ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
         else:
-            ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
             out = hnsw_search_batch(
-                hnsw_graph, qdf, k, probe_shards=probe, routing=routing, **ef_kw,
+                hnsw_graph, qdf, k, ef=hnsw_ef, probe_shards=probe, routing=routing,
                 # a routing table derived HERE from the live graph cannot be
                 # stale; caller-supplied tables keep the liveness guard unless
                 # the caller vouches (SearchService refreshes on mutation)

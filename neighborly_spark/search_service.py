@@ -784,7 +784,17 @@ class SearchService:
                 ),
                 rotation=ip.get("rotation"),
             )
-            svc._coarse_models.setdefault(ip["nlist"], coarse)
+            if (
+                ip.get("rotation") is None
+                and svc._index_metric.get("ivfpq", "euclidean") == "euclidean"
+            ):
+                # only a RAW-space coarse model may enter the shared
+                # registry: an OPQ build's centroids live in rotated space
+                # and a cosine build's in normalized space — a later
+                # build_index('ivf') / spatial-hnsw reusing them would
+                # assign raw vectors against the wrong geometry (round-9
+                # review finding)
+                svc._coarse_models.setdefault(ip["nlist"], coarse)
             svc._ivfpq_encoded = spark.read.parquet(f"{path}/indexes/ivfpq_encoded")
             if ip.get("version"):
                 # snapshot-loaded code table: unfiltered batch searches
@@ -939,21 +949,19 @@ class SearchService:
                     # allowed mask evaluates worker-side (the tags_col
                     # presence was already validated against the graph's
                     # columns above, and the snapshot mirrors the graph)
-                    ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
                     pth, ver, pids = self._hnsw_snapshot
                     hits = HN.hnsw_search_batch_snapshot(
                         self.df.sparkSession, pth, pids, [(0, query_vec)], k,
-                        version=ver, probe_shards=hnsw_probe_shards,
+                        version=ver, ef=hnsw_ef, probe_shards=hnsw_probe_shards,
                         routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
                         tag_any=tag_any, tag_all=tag_all,
-                        tags_col=self.tags_col or "tags", **ef_kw,
+                        tags_col=self.tags_col or "tags",
                     ).drop("query_id")
                 else:
-                    ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
                     hits = HN.hnsw_search(
-                        graph, query_vec, k,
+                        graph, query_vec, k, ef=hnsw_ef,
                         probe_shards=hnsw_probe_shards, routing=self._hnsw_routing,
-                        allowed_col=allowed_col, **ef_kw,
+                        allowed_col=allowed_col,
                     )
                 # rejoin payload columns so the schema matches the exact
                 # path (k-row broadcast join; AQE picks broadcast)
@@ -1345,25 +1353,23 @@ class SearchService:
                 # filtered + durable stays worker-resident (round-6 VERDICT
                 # 2): tags ride the snapshot shards; the column's presence
                 # was validated against the mirrored graph above
-                ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
                 pth, ver, pids = self._hnsw_snapshot
                 return _serve(hnsw_search_batch_snapshot(
                     self.df.sparkSession, pth, pids,
                     qarg if qarg is not None else as_list(), k,
-                    version=ver, probe_shards=hnsw_probe_shards,
+                    version=ver, ef=hnsw_ef, probe_shards=hnsw_probe_shards,
                     routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
                     tag_any=tag_any, tag_all=tag_all,
                     tags_col=self.tags_col or "tags",
                     # large fan-in parallelism knob (round 8): splits each
                     # shard's queries across hnsw_query_salt tasks
-                    query_salt=hnsw_query_salt, **ef_kw,
+                    query_salt=hnsw_query_salt,
                 ))
-            ef_kw = {"ef": hnsw_ef} if hnsw_ef is not None else {}
             return _serve(hnsw_search_batch(
-                graph, qarg if qarg is not None else as_list(), k,
+                graph, qarg if qarg is not None else as_list(), k, ef=hnsw_ef,
                 probe_shards=hnsw_probe_shards,
                 routing=self._hnsw_routing if self._hnsw_spatial else None,
-                allowed_col=allowed_col, **ef_kw,
+                allowed_col=allowed_col,
                 # the service refreshes routing on every mutation, so the
                 # stale-routing guard's extra part_id scan is unnecessary
                 trust_routing=True,

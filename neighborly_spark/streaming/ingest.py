@@ -110,23 +110,28 @@ def start_ingest(
     Idempotent mode requires a FRESH (or already ``_batch_id``-partitioned)
     target: mixing root-level plain-append files with partition
     directories breaks partition discovery on later reads (round-9
-    ADVICE) — detected up front and raised, not discovered at read time.
+    ADVICE) — detected up front via the Hadoop FileSystem API (so the
+    check reaches s3a://, hdfs://, and local paths alike) and raised,
+    not discovered at read time.
     """
     if idempotent:
-        import os
-
-        if os.path.isdir(target_path) and any(
-            name.endswith(".parquet")
-            for name in os.listdir(target_path)
-            if not name.startswith(("_", "."))
-        ):
-            raise ValueError(
-                f"idempotent=True needs a fresh target: {target_path!r} "
-                "already holds non-partitioned parquet files, and mixing "
-                "them with _batch_id=... partition directories breaks "
-                "partition discovery on read. Migrate the existing rows "
-                "into a _batch_id partition (or use a new target path)."
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            mixed = any(
+                st.isFile() and st.getPath().getName().endswith(".parquet")
+                for st in fs.listStatus(hpath)
+                if not st.getPath().getName().startswith(("_", "."))
             )
+            if mixed:
+                raise ValueError(
+                    f"idempotent=True needs a fresh target: {target_path!r} "
+                    "already holds non-partitioned parquet files, and mixing "
+                    "them with _batch_id=... partition directories breaks "
+                    "partition discovery on read. Migrate the existing rows "
+                    "into a _batch_id partition (or use a new target path)."
+                )
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
