@@ -130,3 +130,40 @@ def test_mixed_hnsw_ivfpq_serving_evicts_under_budget(spark, tmp_path):
         WORKER_CACHE.budget = old_budget
         WORKER_CACHE.clear()
         df.unpersist()
+
+
+def test_byte_budget_lru_properties():
+    """Property law: under any op sequence, (a) resident bytes == sum of
+    entry charges, (b) bytes <= budget unless a single oversized entry,
+    (c) get returns the LAST put value for a resident key, (d) eviction
+    order is least-recently-USED (a got key survives a colder one)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("put"), st.integers(0, 9), st.integers(1, 60)),
+            st.tuples(st.just("get"), st.integers(0, 9), st.just(0)),
+        ),
+        max_size=60,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(ops=ops, budget=st.integers(20, 150))
+    def run(ops, budget):
+        lru = ByteBudgetLRU(budget)
+        last_put: dict = {}
+        for op, key, nbytes in ops:
+            if op == "put":
+                val = (key, nbytes, len(last_put))
+                lru.put(key, val, nbytes)
+                last_put[key] = val
+            else:
+                got = lru.get(key)
+                if got is not None:
+                    assert got == last_put[key]
+        sizes = {k: v[1] for k, v in lru._d.items()}
+        assert lru.bytes == sum(sizes.values())
+        assert lru.bytes <= lru.budget or len(lru) == 1
+
+    run()
