@@ -127,35 +127,57 @@ def worker_cache_stats(spark, probes_per_core: int = 2) -> list[dict]:
     per-worker residency/evictions to size ``NB_WORKER_CACHE_MB`` or
     nlist/shard counts.
 
-    One tiny RDD probe job (probes_per_core tasks per core so the
-    round-robin reaches every reusable worker with high probability;
-    results deduped by pid). Deliberately an ops tool, not a data path —
-    the per-task payload is one dict. Workers that served no snapshot
-    traffic report zeros."""
-    sc = spark.sparkContext
-    n = max(1, sc.defaultParallelism * probes_per_core)
+    One tiny mapInPandas probe job (probes_per_core tasks per core so
+    the round-robin reaches every reusable worker with high probability;
+    results deduped by (host, pid) — bare pids collide across executor
+    hosts). mapInPandas rather than an RDD probe ON PURPOSE: Spark pools
+    python workers per worker-factory key, and the serving tiers are all
+    Arrow/pandas tasks — an RDD probe lands in a DIFFERENT pool and
+    reports empty caches. Deliberately an ops tool, not a data path.
+    Workers that served no snapshot traffic report zeros."""
+    import json as _json
 
-    def probe(_it):
+    n = max(1, spark.sparkContext.defaultParallelism * probes_per_core)
+
+    def probe(batches):
+        import json
         import os
         import socket
+
+        import pandas as pd
 
         from neighborly_spark.operators import hnsw, ivfpq
         from neighborly_spark.operators.worker_cache import WORKER_CACHE
 
-        yield {
-            "host": socket.gethostname(),
-            "pid": os.getpid(),
-            "entries": len(WORKER_CACHE),
-            "bytes": WORKER_CACHE.bytes,
-            "budget": WORKER_CACHE.budget,
-            "evictions": WORKER_CACHE.evictions,
-            "hnsw_snapshot": dict(hnsw._SNAPSHOT_CACHE_STATS),
-            "ivfpq_cells": dict(ivfpq._SNAPSHOT_CELL_STATS),
-        }
+        for _ in batches:
+            pass  # drain; the payload is worker state, not the rows
+        yield pd.DataFrame(
+            {
+                "stats": [
+                    json.dumps(
+                        {
+                            "host": socket.gethostname(),
+                            "pid": os.getpid(),
+                            "entries": len(WORKER_CACHE),
+                            "bytes": WORKER_CACHE.bytes,
+                            "budget": WORKER_CACHE.budget,
+                            "evictions": WORKER_CACHE.evictions,
+                            "hnsw_snapshot": dict(hnsw._SNAPSHOT_CACHE_STATS),
+                            "ivfpq_cells": dict(ivfpq._SNAPSHOT_CELL_STATS),
+                        }
+                    )
+                ]
+            }
+        )
 
-    rows = sc.parallelize(range(n), n).mapPartitions(probe).collect()
-    # dedup by (host, pid): bare pids collide across executor hosts
+    rows = (
+        spark.range(n)
+        .repartition(n)
+        .mapInPandas(probe, "stats string")
+        .collect()
+    )
     by_worker: dict = {}
     for r in rows:
-        by_worker[(r["host"], r["pid"])] = r
+        d = _json.loads(r.stats)
+        by_worker[(d["host"], d["pid"])] = d
     return list(by_worker.values())

@@ -53,3 +53,32 @@ def test_worker_cache_stats_probe(spark):
         assert {"pid", "entries", "bytes", "budget", "evictions",
                 "hnsw_snapshot", "ivfpq_cells"} <= set(r)
         assert r["budget"] > 0 and r["bytes"] >= 0
+
+
+def test_worker_cache_stats_sees_snapshot_traffic(spark, tmp_path):
+    """After real snapshot serving, at least one python worker reports
+    resident cache entries — the probe reaches the processes the tasks
+    actually ran in (local mode: workers are reused)."""
+    from pyspark.sql import functions as F
+
+    from neighborly_spark.observability import worker_cache_stats
+    from neighborly_spark.operators import ivfpq as IVFPQ
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0, 0.0]) for i in range(300)],
+        "id long, embedding array<float>",
+    )
+    model = IVFPQ.ivfpq_train(df, 4, nlist=2, m=2, num_centroids=8)
+    enc = IVFPQ.ivfpq_encode(df, model)
+    path = str(tmp_path / "codes")
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    qrows = df.limit(3).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+    IVFPQ.ivfpq_knn_join_snapshot(
+        spark, path, model, qrows, 3, version="vprobe", nprobe=2, rerank=False
+    ).collect()
+    rows = worker_cache_stats(spark, probes_per_core=4)
+    assert any(r["entries"] > 0 and r["bytes"] > 0 for r in rows)

@@ -1368,3 +1368,47 @@ def test_opq_paths_agree_and_roundtrip(spark, tmp_path):
     df.unpersist()
     enc.unpersist()
     qrows.unpersist()
+
+
+def test_opq_composes_with_cosine_builds(spark, emb):
+    """metric='cosine' + opq=True: normalize-then-rotate at build time,
+    and the query paths apply the same order (search_batch normalizes,
+    the ivfpq tier rotates) — recall vs exact cosine stays over the bar
+    and every similarity is in [-1, 1]."""
+    from neighborly_spark.functions.distance import normalize
+    from neighborly_spark.operators.knn import knn_join
+    from neighborly_spark.search_service import SearchService
+
+    svc = SearchService(emb, dim=64)
+    svc.build_index("ivfpq", metric="cosine", opq=True)
+    assert svc._ivfpq_model.rotation is not None
+    qdf = emb.limit(8).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).cache()
+    qdf.count()
+    got = svc.search_batch(qdf, k=K, method="ivfpq", metric="cosine",
+                           ivfpq_nprobe=16).collect()
+    assert got and all(-1.0001 <= r.dist <= 1.0001 for r in got)
+    # exact cosine oracle: euclidean knn over the normalized table
+    norm_df = emb.withColumn("embedding", normalize(F.col("embedding")))
+    norm_q = qdf.withColumn("query_embedding", normalize(F.col("query_embedding")))
+    exact = knn_join(norm_df, norm_q, K)
+    import itertools
+
+    exact_ids = {
+        qid: {r.id for r in grp}
+        for qid, grp in itertools.groupby(
+            sorted(exact.collect(), key=lambda r: r.query_id),
+            key=lambda r: r.query_id,
+        )
+    }
+    per_q = {
+        qid: {r.id for r in grp}
+        for qid, grp in itertools.groupby(
+            sorted(got, key=lambda r: r.query_id), key=lambda r: r.query_id
+        )
+    }
+    recalls = [len(per_q.get(q, set()) & exact_ids[q]) / K for q in exact_ids]
+    assert float(np.mean(recalls)) >= 0.8, recalls
+    qdf.unpersist()
