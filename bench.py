@@ -334,6 +334,31 @@ def bench_dedup_minhash(spark, sf_dir):
     )
 
 
+def bench_dedup_store_incremental(spark, sf_dir):
+    """Incremental dedup (round 9, operators/dedup_store.py): the full
+    corpus checked against a store holding HALF of it — one fingerprint
+    anti-join (exact gate) + one (band, key) join with signature-estimate
+    verification (near-dup gate). The store build is untimed setup (it is
+    yesterday's ingest); the timed work is today's batch-vs-history check,
+    which at 100 TB is the op that replaces a corpus rescan."""
+    from neighborly_spark.operators.dedup_store import DedupStore
+
+    docs = _docs(spark, sf_dir)
+    if "dstore" not in _STATE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="bench_dstore_") + "/store"
+        st = DedupStore.create(spark, path)
+        st.add(docs.filter("doc_id % 2 = 0"), ingest_id="half")
+        _STATE["dstore"] = st
+    st = _STATE["dstore"]
+    new = st.filter_new(docs).select(F.count(F.lit(1)).alias("n_new"))
+    near = st.neardup_matches(docs, threshold=0.5).select(
+        F.count(F.lit(1)).alias("n_near")
+    )
+    return new.crossJoin(near)
+
+
 def bench_dsir_logweights(spark, sf_dir):
     """DSIR importance weights (round 8, new operator): every doc scored
     against a 250-doc target slice — two bucket histograms + broadcast
@@ -526,6 +551,7 @@ BENCH_LOCAL = {
     "ivfpq_batch1k_df_150k": bench_ivfpq_batch1k_df,
     "ivfpq_opq_batch1k_df_150k": bench_ivfpq_opq_batch1k_df,  # new r9
     "dedup_minhash_docs": bench_dedup_minhash,
+    "dedup_store_incr_docs": bench_dedup_store_incremental,  # new r9
     "dsir_logweights_docs": bench_dsir_logweights,  # new in round 8
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,

@@ -1,0 +1,110 @@
+"""Incremental dedup store (operators/dedup_store.py, round 9): a new
+batch dedups against the WHOLE ingested history via compact fingerprint /
+band tables — never a rescan of historical text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neighborly_spark.operators.dedup_store import DedupStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DedupStore.create(spark, str(tmp_path / "dstore"), k=3, num_perm=16, bands=4)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_incremental_dedup(spark, store):
+    day0 = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "how vexingly quick daft zebras jump"),
+    ])
+    store.add(day0, ingest_id="day0")
+    batch = _docs(spark, [
+        (100, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (101, "sphinx of black quartz judge my vow"),          # new
+        (102, "pack my box with five dozen liquor jugs"),      # dup of 2
+    ])
+    matches = {(r.doc_id, r.dup_of) for r in store.exact_matches(batch).collect()}
+    assert matches == {(100, 1), (102, 2)}
+    survivors = {r.doc_id for r in store.filter_new(batch).collect()}
+    assert survivors == {101}
+    # multi-day growth: day1 adds the new doc; a later batch sees it
+    store.add(_docs(spark, [(101, "sphinx of black quartz judge my vow")]), "day1")
+    later = _docs(spark, [(200, "sphinx of black quartz judge my vow")])
+    assert {(r.doc_id, r.dup_of) for r in store.exact_matches(later).collect()} == {(200, 101)}
+
+
+def test_add_is_replay_safe(spark, store):
+    day0 = _docs(spark, [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")])
+    store.add(day0, ingest_id="b7")
+    n_exact = spark.read.parquet(f"{store.path}/exact").count()
+    n_bands = spark.read.parquet(f"{store.path}/minhash").count()
+    store.add(day0, ingest_id="b7")  # replay: REPLACES its partition
+    assert spark.read.parquet(f"{store.path}/exact").count() == n_exact
+    assert spark.read.parquet(f"{store.path}/minhash").count() == n_bands
+    assert n_bands == 2 * 4  # bands rows per doc
+
+
+def test_neardup_matches_store(spark, store):
+    base = "the training corpus contains many documents about spark and data processing pipelines at scale"
+    store.add(_docs(spark, [(1, base), (2, "an entirely different text about cooking recipes and kitchen tools")]), "day0")
+    batch = _docs(spark, [
+        # near-dup: one word changed
+        (100, base.replace("many", "several")),
+        # unrelated
+        (101, "quantum chromodynamics lattice simulations on supercomputers"),
+        # exact copy (jaccard estimate 1.0)
+        (102, base),
+    ])
+    got = {r.doc_id: (r.store_doc_id, r.est_jaccard) for r in store.neardup_matches(batch, threshold=0.5).collect()}
+    assert 102 in got and got[102][0] == 1 and got[102][1] == 1.0
+    assert 100 in got and got[100][0] == 1 and 0.5 <= got[100][1] <= 1.0
+    assert 101 not in got
+    # empty-store path returns an empty, correctly-typed frame
+    fresh = DedupStore.create(spark, store.path + "_fresh")
+    assert fresh.neardup_matches(batch).count() == 0
+    assert fresh.exact_matches(batch).count() == 0
+    assert fresh.filter_new(batch).count() == 3
+
+
+def test_manifest_pins_params(spark, tmp_path):
+    p = str(tmp_path / "pinned")
+    DedupStore.create(spark, p, k=4, num_perm=32, bands=8)
+    reopened = DedupStore.open(spark, p)
+    assert (reopened.k, reopened.num_perm, reopened.bands) == (4, 32, 8)
+    with pytest.raises(ValueError, match="already exists"):
+        DedupStore.create(spark, p)
+    with pytest.raises(ValueError, match="bands must divide"):
+        DedupStore.create(spark, str(tmp_path / "bad"), num_perm=16, bands=5)
+
+
+def test_store_against_real_documents(spark, tmp_path):
+    """End-to-end on the driver's documents table: ingest half the corpus,
+    then check the full corpus — every ingested doc's text must exact-match
+    the store; docs with UNSEEN text must survive filter_new."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    first = docs.filter("doc_id % 2 = 0")
+    store = DedupStore.create(spark, str(tmp_path / "real"))
+    store.add(first, ingest_id="half")
+    matched_ids = {r.doc_id for r in store.exact_matches(docs).collect()}
+    # every even doc matches (its own text is stored); odd docs match only
+    # if their text collides with an even doc's text
+    evens = {r.doc_id for r in first.select("doc_id").collect()}
+    assert evens <= matched_ids
+    stored_texts = {r.text for r in first.select("text").collect()}
+    surviving = store.filter_new(docs)
+    assert surviving.filter(F.col("text").isin(list(stored_texts))).count() == 0
+    got_new = {r.doc_id for r in surviving.select("doc_id").collect()}
+    want_new = {
+        r.doc_id for r in docs.collect() if r.text not in stored_texts
+    }
+    assert got_new == want_new
