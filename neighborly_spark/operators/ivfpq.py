@@ -224,36 +224,41 @@ def opq_train_rotation(
     return r
 
 
-def _rotate_expr(vec_col: str, rotation) -> "F.Column":
-    """x @ R as an Arrow-batched pandas UDF (one BLAS matmul per batch —
-    the rotation is a dim x dim broadcast constant; a Column-expression
-    fold would be dim^2 interpreted mults per row). Nulls pass through."""
+def _rotated_vectors(df: DataFrame, vec_col: str, rotation) -> DataFrame:
+    """Single-column (vec_col) frame of x @ R via mapInPandas (one BLAS
+    matmul per Arrow batch; the rotation is a dim x dim closure constant).
+    Nulls pass through.
+
+    mapInPandas ON PURPOSE, not a scalar pandas UDF column: a UDF column
+    gets inlined by CollapseProject into downstream higher-order-function
+    lambdas (the trainers' folds, _residual_expr's zip_with), where
+    PythonUDF is Unevaluable — a plan-shape-dependent INTERNAL_ERROR that
+    only surfaced when Catalyst picked the interpreted path (round-9
+    full-suite flake). A mapInPandas node is a real plan operator whose
+    OUTPUT is a plain attribute, so downstream lambdas can always
+    reference it."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     r_const = np.asarray(rotation, dtype=np.float64)
 
-    def rot(v):
-        vals = v.tolist()
-        nn = [e for e in vals if e is not None]
-        if nn:
-            xr = iter(
-                (np.asarray(nn, dtype=np.float64) @ r_const).astype(np.float32)
-            )
-            # positional rebuild: a masked pandas assignment would treat
-            # the list-of-arrays as a 2D block and reject it
-            out = [next(xr).tolist() if e is not None else None for e in vals]
-        else:
-            out = [None] * len(vals)
-        return pd.Series(out, dtype="object")
+    def run(batches):
+        import pandas as pd
 
-    # real annotation OBJECTS, not strings: this module runs under
-    # `from __future__ import annotations`, and pyspark's type-hint
-    # resolution cannot resolve the string 'pd.Series' against module
-    # globals (pandas is function-local here by design)
-    rot.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(rot, "array<float>")(F.col(vec_col))
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            nn = [e for e in vals if e is not None]
+            if nn:
+                xr = iter(
+                    (np.asarray(nn, dtype=np.float64) @ r_const).astype(np.float32)
+                )
+                # positional rebuild: a masked pandas assignment would
+                # treat the list-of-arrays as a 2D block and reject it
+                out = [next(xr).tolist() if e is not None else None for e in vals]
+            else:
+                out = [None] * len(vals)
+            yield pd.DataFrame({vec_col: out})
+
+    return df.select(vec_col).mapInPandas(run, f"{vec_col} array<float>")
 
 
 def _residual_expr(vec_col: str, centroids: list[list[float]], cluster_col: str = CLUSTER_COL):
@@ -304,7 +309,9 @@ def ivfpq_train(
         rotation = opq_train_rotation(
             df, dim, m=m, num_centroids=num_centroids, vec_col=vec_col, seed=seed
         )
-        df = df.withColumn(vec_col, _rotate_expr(vec_col, rotation))
+        # single-column rotated view: the trainers below only consume
+        # vec_col (+ the in-plan cell assignment)
+        df = _rotated_vectors(df, vec_col, rotation)
     ivf = coarse if coarse is not None else ivf_train_sampled(
         df, nlist=nlist, vec_col=vec_col, seed=seed
     )

@@ -1370,16 +1370,20 @@ def test_opq_paths_agree_and_roundtrip(spark, tmp_path):
     qrows.unpersist()
 
 
-def test_opq_composes_with_cosine_builds(spark, emb):
+def test_opq_composes_with_cosine_builds(spark):
     """metric='cosine' + opq=True: normalize-then-rotate at build time,
     and the query paths apply the same order (search_batch normalizes,
     the ivfpq tier rotates) — recall vs exact cosine stays over the bar
-    and every similarity is in [-1, 1]."""
+    and every similarity is in [-1, 1]. Self-contained small synthetic
+    (not the shared 64-d fixture): this is a COMPOSITION test, and the
+    fixture-sized version was memory-flaky late in full-suite sessions."""
     from neighborly_spark.functions.distance import normalize
     from neighborly_spark.operators.knn import knn_join
     from neighborly_spark.search_service import SearchService
 
-    svc = SearchService(emb, dim=64)
+    emb = _anisotropic_df(spark, n=1200, dim=16, seed=11).cache()
+    emb.count()
+    svc = SearchService(emb, dim=16)
     svc.build_index("ivfpq", metric="cosine", opq=True)
     assert svc._ivfpq_model.rotation is not None
     qdf = emb.limit(8).select(
@@ -1412,3 +1416,4 @@ def test_opq_composes_with_cosine_builds(spark, emb):
     recalls = [len(per_q.get(q, set()) & exact_ids[q]) / K for q in exact_ids]
     assert float(np.mean(recalls)) >= 0.8, recalls
     qdf.unpersist()
+    emb.unpersist()
