@@ -108,3 +108,91 @@ def test_store_against_real_documents(spark, tmp_path):
         r.doc_id for r in docs.collect() if r.text not in stored_texts
     }
     assert got_new == want_new
+
+
+def test_store_estimates_track_exact_jaccard(spark, tmp_path):
+    """Cross-validation vs the self-dedup operator: on real documents,
+    every (batch, store) pair the store reports must be a pair
+    minhash_lsh_pairs finds on the union corpus (same bands, same
+    signatures), and the store's signature ESTIMATE stays within the
+    estimator tolerance of the exact shingle Jaccard (num_perm=16 ->
+    stddev <= 0.125; assert within 3 sigma + rounding)."""
+    from neighborly_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    stored = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    store = DedupStore.create(spark, str(tmp_path / "xval"))
+    store.add(stored, ingest_id="half")
+    got = {
+        (r.doc_id, r.store_doc_id): r.est_jaccard
+        for r in store.neardup_matches(batch, threshold=0.4).collect()
+    }
+    # exact pairs on the union, restricted to cross (odd, even) pairs
+    exact = {}
+    for r in minhash_lsh_pairs(docs, threshold=0.0).collect():
+        a, b = int(r.id_a), int(r.id_b)
+        if a % 2 != b % 2:
+            odd, even = (a, b) if a % 2 == 1 else (b, a)
+            exact[(odd, even)] = r.jaccard
+    assert got, "expected at least one cross near-dup pair in the corpus"
+    for pair, est in got.items():
+        assert pair in exact, pair  # store candidates are operator candidates
+        assert abs(est - exact[pair]) <= 3 * 0.125 + 1e-6, (pair, est, exact[pair])
+
+
+def test_store_composes_with_streaming_ingest(spark, tmp_path):
+    """THE production shape: continuous dedup'd ingestion — each
+    micro-batch is filtered against the store (filter_new), survivors are
+    appended to the corpus AND registered in the store (add with the
+    batch id -> replay-safe). Across two availableNow runs with a restart
+    in between, the curated corpus holds each distinct text exactly once,
+    first-seen wins."""
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    store = DedupStore.create(spark, str(tmp_path / "store"))
+
+    day0 = _docs(spark, [
+        (1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "eta theta iota"),
+    ])
+    day0.write.mode("overwrite").parquet(land)
+
+    def run_stream():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(land)
+
+        def sink(batch, bid):
+            fresh = store.filter_new(batch)
+            (
+                fresh.withColumn("_batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out)
+            )
+            store.add(fresh, ingest_id=f"b{bid}")
+
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run_stream()
+    q.awaitTermination(120)
+    # day1: one dup of day0, one new doc — lands after a stream restart
+    _docs(spark, [
+        (100, "alpha beta gamma"),        # exact dup of doc 1
+        (101, "kappa lambda mu"),         # new
+    ]).write.mode("append").parquet(land)
+    q2 = run_stream()
+    q2.awaitTermination(120)
+
+    curated = spark.read.parquet(out).select("doc_id", "text").collect()
+    texts = sorted(r.text for r in curated)
+    assert texts == sorted([
+        "alpha beta gamma", "delta epsilon zeta", "eta theta iota", "kappa lambda mu",
+    ])  # each distinct text exactly once
+    ids = {r.text: r.doc_id for r in curated}
+    assert ids["alpha beta gamma"] == 1  # first-seen wins, the replay lost
