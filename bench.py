@@ -285,6 +285,36 @@ def bench_ivfpq_opq_batch1k_df(spark, sf_dir):
     )
 
 
+def bench_ivfpq_snaptag1k_df(spark, sf_dir):
+    """Tag-FILTERED worker-resident snapshot serving (round 9): the same
+    1000-query DF batch as ivfpq_batch1k_df_150k against a SAVED tagged
+    code table with tag_any selecting 1/4 of the rows — times the
+    filtered durable-serving path (worker-side mask before ADC scoring,
+    zero code bytes in the plan). Build + save are untimed index setup."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+    from neighborly_spark.operators.ivfpq import ivfpq_encode, ivfpq_knn_join_snapshot
+
+    bench_ivfpq_150k(spark, sf_dir)  # model ready (untimed build)
+    if "ivfpq_qdf" not in _STATE:
+        bench_ivfpq_batch1k_df(spark, sf_dir)  # query table (untimed setup)
+    vec = _synth_vectors(spark, sf_dir)
+    model, _ = _STATE["ivfpq"]
+    if "ivfpq_snaptag" not in _STATE:
+        import tempfile
+        import uuid
+
+        tagged = vec.withColumn("tags", F.array((F.col("id") % 4).cast("smallint")))
+        enc = ivfpq_encode(tagged, model).join(tagged.select("id", "tags"), "id")
+        path = tempfile.mkdtemp(prefix="bench_ivfpq_snaptag_") + "/codes"
+        enc.write.partitionBy(CLUSTER_COL).parquet(path)
+        _STATE["ivfpq_snaptag"] = (path, uuid.uuid4().hex, tagged)
+    path, ver, tagged = _STATE["ivfpq_snaptag"]
+    return ivfpq_knn_join_snapshot(
+        spark, path, model, _STATE["ivfpq_qdf"], 10, version=ver, nprobe=4,
+        df=tagged.filter("id % 4 = 1"), tag_any=[1], query_salt=2,
+    )
+
+
 def bench_pq_150k(spark, sf_dir):
     """PQ at its serving default (the rerank tier, search_service method
     'pq'): codebook + code table build once untimed (index artifacts,
@@ -550,6 +580,7 @@ BENCH_LOCAL = {
     "hnsw_batch256_df_150k": bench_hnsw_batch256_df,
     "ivfpq_batch1k_df_150k": bench_ivfpq_batch1k_df,
     "ivfpq_opq_batch1k_df_150k": bench_ivfpq_opq_batch1k_df,  # new r9
+    "ivfpq_snaptag1k_df_150k": bench_ivfpq_snaptag1k_df,  # new r9
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_store_incr_docs": bench_dedup_store_incremental,  # new r9
     "dsir_logweights_docs": bench_dsir_logweights,  # new in round 8
