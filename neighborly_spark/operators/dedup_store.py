@@ -148,10 +148,35 @@ class DedupStore:
         """Register a batch's fingerprints + band rows under ``ingest_id``.
         Dynamic partition overwrite on _ingest_id: replaying the same
         ingest (foreachBatch retry, backfill re-run) REPLACES its rows
-        instead of duplicating them."""
+        instead of duplicating them.
+
+        First-seen invariant is OWNED HERE, not by the caller: texts whose
+        fingerprint already exists in the store contribute NOTHING (no
+        second exact row, no duplicate band rows), so exact_matches keeps
+        returning exactly one dup_of per text however often a duplicate is
+        re-added — calling filter_new first is an optimization, not a
+        correctness requirement. The batch is materialized ONCE
+        (localCheckpoint) before any write: the two table writes must see
+        identical rows, and the history anti-join must not leave a read of
+        exact/ inside the plan that overwrites exact/ (self-overwrite
+        detection would reject it)."""
+        src = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).localCheckpoint()
+        exact_rows = self._exact_rows(src, "doc_id", "text")
+        store = self._table("exact")
+        if store is not None:
+            exact_rows = exact_rows.join(
+                store.select("fingerprint"), "fingerprint", "left_anti"
+            )
+        # materialize the survivors: breaks the lineage back to exact/
+        # before the overwrite, and both writes below derive from it
+        exact_rows = exact_rows.localCheckpoint()
+        reps = exact_rows.select(F.col("doc_id").alias("_rep_id"))
+        band_src = src.join(reps, src["doc_id"] == reps["_rep_id"], "semi")
         for sub, rows in (
-            ("exact", self._exact_rows(docs, id_col, text_col)),
-            ("minhash", self._band_rows(docs, id_col, text_col)),
+            ("exact", exact_rows),
+            ("minhash", self._band_rows(band_src, "doc_id", "text")),
         ):
             (
                 rows.withColumn("_ingest_id", F.lit(str(ingest_id)))
@@ -165,10 +190,18 @@ class DedupStore:
 
     def _table(self, sub: str) -> DataFrame | None:
         p = f"{self.path}/{sub}"
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(p)
-        except Exception:
-            return None  # nothing ingested yet
+        except AnalysisException as e:
+            # ONLY genuine nonexistence (no ingest yet) maps to "empty
+            # store" — a transient read failure swallowed here would make
+            # filter_new pass duplicates as new (the same bug class the
+            # round's worker-cache fix closed). Anything else re-raises.
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     def exact_matches(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -189,19 +222,22 @@ class DedupStore:
             store.select("fingerprint", F.col("doc_id").alias("dup_of")), "fingerprint"
         ).select("doc_id", "dup_of")
 
-    def filter_new(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-    ) -> DataFrame:
+    def filter_new(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
         """Batch rows whose exact text is NOT in the store (left_anti on
-        the fingerprint — the ingest-gate shape)."""
+        the fingerprint — the ingest-gate shape). Schema passes through
+        untouched (the join key uses a name collision-proofed against the
+        caller's columns)."""
         store = self._table("exact")
         if store is None:
             return docs
-        keyed = docs.withColumn("_fp", fingerprint(F.col(text_col)))
+        tmp = "_fp"
+        while tmp in docs.columns:
+            tmp += "_"
+        keyed = docs.withColumn(tmp, fingerprint(F.col(text_col)))
         return (
             keyed.join(
-                store.select(F.col("fingerprint").alias("_fp")), "_fp", "left_anti"
-            ).drop("_fp")
+                store.select(F.col("fingerprint").alias(tmp)), tmp, "left_anti"
+            ).drop(tmp)
         )
 
     def neardup_matches(

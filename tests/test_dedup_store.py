@@ -196,3 +196,31 @@ def test_store_composes_with_streaming_ingest(spark, tmp_path):
     ])  # each distinct text exactly once
     ids = {r.text: r.doc_id for r in curated}
     assert ids["alpha beta gamma"] == 1  # first-seen wins, the replay lost
+
+
+def test_add_owns_first_seen_invariant_across_ingests(spark, store):
+    """add() dedups against HISTORY: re-adding an already-stored text in a
+    later ingest contributes no second exact row and no band rows, so
+    exact_matches keeps returning exactly one dup_of per text (the
+    round-9 review finding: the invariant is the store's, not the
+    caller's)."""
+    t = "shared text seen on day zero"
+    store.add(_docs(spark, [(1, t), (2, "only on day zero")]), "day0")
+    store.add(_docs(spark, [(5, t), (6, "only on day one")]), "day1")
+    got = store.exact_matches(_docs(spark, [(9, t)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in got] == [(9, 1)]  # ONE row, first-seen
+    # the duplicate contributed no band rows either
+    mh = spark.read.parquet(f"{store.path}/minhash")
+    assert mh.filter(F.col("doc_id") == 5).count() == 0
+    assert mh.filter(F.col("doc_id") == 6).count() == store.bands
+
+
+def test_filter_new_preserves_caller_columns(spark, store):
+    """A caller-owned '_fp' column survives filter_new (the join key is
+    collision-proofed)."""
+    store.add(_docs(spark, [(1, "stored text")]), "day0")
+    batch = spark.createDataFrame(
+        [(2, "fresh text", "mine")], "doc_id long, text string, _fp string"
+    )
+    out = store.filter_new(batch).collect()
+    assert len(out) == 1 and out[0]._fp == "mine"

@@ -133,10 +133,12 @@ def test_mixed_hnsw_ivfpq_serving_evicts_under_budget(spark, tmp_path):
 
 
 def test_byte_budget_lru_properties():
-    """Property law: under any op sequence, (a) resident bytes == sum of
-    entry charges, (b) bytes <= budget unless a single oversized entry,
-    (c) get returns the LAST put value for a resident key, (d) eviction
-    order is least-recently-USED (a got key survives a colder one)."""
+    """Property law vs an independent model LRU: under any op sequence,
+    (a) resident bytes == sum of entry charges, (b) bytes <= budget unless
+    a single oversized entry, (c) get returns the LAST put value for a
+    resident key, (d) RESIDENCY AND ORDER equal a reference
+    least-recently-used model (so eviction order is pinned, not just
+    byte accounting)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -152,18 +154,31 @@ def test_byte_budget_lru_properties():
     @given(ops=ops, budget=st.integers(20, 150))
     def run(ops, budget):
         lru = ByteBudgetLRU(budget)
+        model: dict = {}  # key -> nbytes, insertion order = LRU order
         last_put: dict = {}
+
+        def model_evict():
+            while sum(model.values()) > budget and len(model) > 1:
+                model.pop(next(iter(model)))
+
         for op, key, nbytes in ops:
             if op == "put":
                 val = (key, nbytes, len(last_put))
                 lru.put(key, val, nbytes)
                 last_put[key] = val
+                model.pop(key, None)
+                model[key] = nbytes
+                model_evict()
             else:
                 got = lru.get(key)
-                if got is not None:
+                if key in model:
                     assert got == last_put[key]
+                    model[key] = model.pop(key)  # MRU
+                else:
+                    assert got is None
         sizes = {k: v[1] for k, v in lru._d.items()}
         assert lru.bytes == sum(sizes.values())
         assert lru.bytes <= lru.budget or len(lru) == 1
+        assert list(lru._d.keys()) == list(model.keys())  # order pinned
 
     run()
