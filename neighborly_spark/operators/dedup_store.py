@@ -1,4 +1,5 @@
-"""Persistent dedup store — INCREMENTAL corpus dedup (round 9).
+"""Persistent dedup store — INCREMENTAL corpus dedup (round 9; compaction
+and the concurrency/replay hardening in round 10).
 
 The missing piece of the dedup family at 100 TB growth: every operator in
 operators/dedup.py dedups a corpus against ITSELF, so day N's ingest would
@@ -24,16 +25,43 @@ sqrt(j(1-j)/num_perm)): exact shingle verification would require storing
 every doc's shingle set, which is corpus-sized — exactly what the store
 exists to avoid. Raise num_perm at create() when tighter estimates matter.
 
-Replay safety: ``add(ingest_id=...)`` partitions both tables by the caller
-supplied ingest id and writes with dynamic partition overwrite — re-running
-a failed ingest REPLACES its own partition instead of double-inserting
-(the same mechanism as streaming/search.py's serving sink), so the store
-composes with foreachBatch (pass the micro-batch id).
+Layout = bucketed BASE + partitioned DELTA (round 10). ``add()`` appends
+``_ingest_id``-partitioned delta partitions; ``compact()`` folds base +
+delta into fresh BUCKETED tables clustered/sorted on the join keys
+(fingerprint for exact/, (band, key) for minhash/), registered in the
+session catalog with an external location INSIDE the store directory and
+re-registered from the manifest on ``open()`` in a new session. After
+compaction the store side of every gate join is Exchange-free (the 100 TB
+property: only the new batch shuffles — the accumulated history never
+re-shuffles again), and the small-files proliferation of per-ingest
+partitions is folded away. Queries read base + delta; each leg joins
+separately and the legs' results are unioned, so the big base leg keeps
+its bucket layout instead of dissolving it in a union node.
+
+Replay safety: ``add(ingest_id=...)`` partitions both delta tables by the
+caller-supplied ingest id and writes with dynamic partition overwrite —
+re-running a failed ingest REPLACES its own partitions instead of
+double-inserting, so the store composes with foreachBatch (pass the
+micro-batch id). The first-seen anti-join EXCLUDES rows the current
+ingest_id wrote before (round-9 ADVICE): a replay after a partial failure
+(exact/ committed, minhash/ not) genuinely recomputes and overwrites BOTH
+of its partitions instead of seeing its own half-written exact rows and
+writing nothing.
+
+Concurrency: ``add()`` assumes a SINGLE WRITER AT A TIME (foreachBatch is
+sequential by contract; don't run a backfill add() beside a live stream
+without external serialization). The READ side no longer depends on it:
+``exact_matches`` re-aggregates the store side to min(doc_id) per
+fingerprint, so even if racing writers left duplicate first-seen rows the
+"exactly one dup_of per batch doc" law still holds (same mechanism keeps
+reads correct in the compact() crash window where base and delta briefly
+overlap).
 
 100 TB posture: both joins key on high-cardinality hashes (fingerprint /
-band key) — no skew; the store side is column-pruned parquet. For a hot
-path at extreme store sizes, rewrite the store tables bucketed by the join
-key (sources/etl.write_bucketed) and only the new batch shuffles.
+band key) — no skew; the store side is column-pruned parquet, bucketed
+after compact() so it never shuffles. The store path may be any Hadoop
+filesystem (s3a://, hdfs://, local) — manifest I/O goes through the
+Hadoop FileSystem API, not driver-local open() (round-9 ADVICE).
 
 Batch-INTERNAL duplicates are out of scope by design: dedup the batch with
 the existing self-dedup operators first (exact_dedup / minhash_lsh_pairs),
@@ -42,8 +70,9 @@ then check the survivors against the store.
 
 from __future__ import annotations
 
+import hashlib
 import json
-import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +82,50 @@ from neighborly_spark.operators.dedup import _shingle_sets, minhash_sig_expr
 
 _MANIFEST = "manifest.json"
 
+#: join keys each sub-table is bucketed/clustered on at compact()
+_COMPACT_KEYS = {"exact": ("fingerprint",), "minhash": ("band", "key")}
+
+
+def _jfs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for any scheme the cluster can reach —
+    the manifest and delta-dir lifecycle must work on s3a://hdfs:// too,
+    same rationale as streaming/ingest.py's fresh-target check."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hp = _jfs(spark, path)
+    return bool(fs.exists(hp))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hp = _jfs(spark, path)
+    if fs.exists(hp):
+        fs.delete(hp, True)
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    fs, hp = _jfs(spark, path)
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(raw).decode("utf-8"))
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    fs, hp = _jfs(spark, path)
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+
 
 class DedupStore:
     """Handle on a dedup store directory. Parameters (k, num_perm, bands,
@@ -60,13 +133,14 @@ class DedupStore:
     different parameter sets are not comparable, so every add/query uses
     the manifest's, never the caller's."""
 
-    def __init__(self, spark: SparkSession, path: str, params: dict):
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
         self.spark = spark
-        self.path = path
-        self.k = int(params["k"])
-        self.num_perm = int(params["num_perm"])
-        self.bands = int(params["bands"])
-        self.engine = params.get("engine", "expr")
+        self.path = path.rstrip("/")
+        self.manifest = manifest
+        self.k = int(manifest["k"])
+        self.num_perm = int(manifest["num_perm"])
+        self.bands = int(manifest["bands"])
+        self.engine = manifest.get("engine", "expr")
 
     # --- lifecycle -----------------------------------------------------
 
@@ -84,18 +158,21 @@ class DedupStore:
             raise ValueError(
                 f"bands must divide num_perm (got num_perm={num_perm}, bands={bands})"
             )
-        if os.path.exists(os.path.join(path, _MANIFEST)):
+        mpath = f"{path.rstrip('/')}/{_MANIFEST}"
+        if _fs_exists(spark, mpath):
             raise ValueError(f"dedup store already exists at {path!r} (use open)")
-        os.makedirs(path, exist_ok=True)
-        params = {"k": k, "num_perm": num_perm, "bands": bands, "engine": engine}
-        with open(os.path.join(path, _MANIFEST), "w") as f:
-            json.dump(params, f)
-        return cls(spark, path, params)
+        fs, hp = _jfs(spark, path)
+        fs.mkdirs(hp)
+        manifest = {"k": k, "num_perm": num_perm, "bands": bands, "engine": engine}
+        _write_manifest(spark, mpath, manifest)
+        return cls(spark, path, manifest)
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "DedupStore":
-        with open(os.path.join(path, _MANIFEST)) as f:
-            return cls(spark, path, json.load(f))
+        manifest = _read_manifest(spark, f"{path.rstrip('/')}/{_MANIFEST}")
+        if manifest is None:
+            raise ValueError(f"no dedup store at {path!r} (use create)")
+        return cls(spark, path, manifest)
 
     # --- featurization (manifest-pinned params) --------------------------
 
@@ -148,14 +225,22 @@ class DedupStore:
         """Register a batch's fingerprints + band rows under ``ingest_id``.
         Dynamic partition overwrite on _ingest_id: replaying the same
         ingest (foreachBatch retry, backfill re-run) REPLACES its rows
-        instead of duplicating them.
+        instead of duplicating them — and the first-seen anti-join skips
+        rows this ingest_id wrote before, so a replay after a PARTIAL
+        failure (exact/ committed, minhash/ not) recomputes and rewrites
+        both partitions instead of anti-joining against its own half-done
+        write and leaving minhash/ permanently missing (round-9 ADVICE).
 
         First-seen invariant is OWNED HERE, not by the caller: texts whose
-        fingerprint already exists in the store contribute NOTHING (no
-        second exact row, no duplicate band rows), so exact_matches keeps
-        returning exactly one dup_of per text however often a duplicate is
-        re-added — calling filter_new first is an optimization, not a
-        correctness requirement. The batch is materialized ONCE
+        fingerprint already exists in the store (under a DIFFERENT
+        ingest_id) contribute NOTHING (no second exact row, no duplicate
+        band rows), so exact_matches keeps returning exactly one dup_of
+        per text however often a duplicate is re-added — calling
+        filter_new first is an optimization, not a correctness
+        requirement. SINGLE WRITER assumption: concurrent add() calls can
+        race the anti-join; reads stay lawful regardless (exact_matches
+        re-aggregates min(doc_id) per fingerprint) but serialize writers
+        for a canonical store. The batch is materialized ONCE
         (localCheckpoint) before any write: the two table writes must see
         identical rows, and the history anti-join must not leave a read of
         exact/ inside the plan that overwrites exact/ (self-overwrite
@@ -164,10 +249,12 @@ class DedupStore:
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).localCheckpoint()
         exact_rows = self._exact_rows(src, "doc_id", "text")
-        store = self._table("exact")
-        if store is not None:
+        for leg in self._legs("exact"):
             exact_rows = exact_rows.join(
-                store.select("fingerprint"), "fingerprint", "left_anti"
+                leg.filter(F.col("_ingest_id") != str(ingest_id))
+                .select("fingerprint"),
+                "fingerprint",
+                "left_anti",
             )
         # materialize the survivors: breaks the lineage back to exact/
         # before the overwrite, and both writes below derive from it
@@ -186,58 +273,182 @@ class DedupStore:
                 .parquet(f"{self.path}/{sub}")
             )
 
+    # --- compaction --------------------------------------------------------
+
+    @property
+    def compact_info(self) -> dict | None:
+        return self.manifest.get("compact")
+
+    def _table_name(self, sub: str, version: int) -> str:
+        digest = hashlib.md5(self.path.encode()).hexdigest()[:8]
+        return f"dstore_{digest}_{sub}_v{version}"
+
+    def compact(self, n_buckets: int = 32) -> None:
+        """Fold base + accumulated delta partitions into fresh BUCKETED
+        tables clustered AND sorted on the join keys, then drop the delta
+        dirs and the previous base. After this, the store side of every
+        join (exact anti/semi, banded candidate join) reads pre-bucketed —
+        ZERO store-side Exchange (plan-asserted in tests) — and the
+        per-ingest small files are folded into n_buckets files per table.
+
+        Crash-safe ordering: new base is written to a NEW versioned
+        location, the manifest flips to it, THEN old data is deleted. A
+        crash between manifest flip and delta delete leaves base+delta
+        overlapping — reads stay correct because every read path dedups
+        (min-per-fingerprint / dropDuplicates / anti-join), and the next
+        compact() folds the overlap away. The manifest version bump means
+        a replayed pre-compaction add() still anti-joins against the full
+        (now-bucketed) history, so replay safety survives compaction."""
+        old = self.compact_info
+        new_ver = (old["version"] + 1) if old else 1
+        staged: dict[str, dict] = {}
+        for sub, keys in _COMPACT_KEYS.items():
+            legs = self._legs(sub)
+            if not legs:
+                raise ValueError(f"nothing to compact: {self.path}/{sub} is empty")
+            full = reduce(lambda a, b: a.unionByName(b), legs)
+            name = self._table_name(sub, new_ver)
+            loc = f"{self.path}/{sub}_base_v{new_ver}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            writer = (
+                full.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n_buckets, *keys)
+                .sortBy(*keys)
+                .option("path", loc)
+            )
+            writer.saveAsTable(name)
+            staged[sub] = {
+                "table": name,
+                "location": loc,
+                "keys": list(keys),
+                "schema": ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in self.spark.table(name).schema
+                ),
+            }
+        manifest = dict(self.manifest)
+        manifest["compact"] = {
+            "version": new_ver,
+            "n_buckets": int(n_buckets),
+            "tables": staged,
+        }
+        _write_manifest(self.spark, f"{self.path}/{_MANIFEST}", manifest)
+        self.manifest = manifest
+        for sub in _COMPACT_KEYS:
+            _fs_delete(self.spark, f"{self.path}/{sub}")
+            if old:
+                self.spark.sql(f"DROP TABLE IF EXISTS {old['tables'][sub]['table']}")
+                _fs_delete(self.spark, old["tables"][sub]["location"])
+
+    def _base(self, sub: str) -> DataFrame | None:
+        """Bucketed base table, re-registered from the manifest when this
+        session's catalog has never seen it (the bucket spec lives in the
+        catalog, not the files — a fresh session must recreate the entry
+        over the same external location to keep the Exchange-free joins)."""
+        info = self.compact_info
+        if info is None:
+            return None
+        t = info["tables"][sub]
+        if not self.spark.catalog.tableExists(t["table"]):
+            keys = ", ".join(f"`{k}`" for k in t["keys"])
+            self.spark.sql(
+                f"CREATE TABLE {t['table']} ({t['schema']}) USING PARQUET "
+                f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+                f"INTO {info['n_buckets']} BUCKETS "
+                f"LOCATION '{t['location']}'"
+            )
+        return self.spark.table(t["table"])
+
     # --- reads -----------------------------------------------------------
 
-    def _table(self, sub: str) -> DataFrame | None:
+    def _legs(self, sub: str) -> list[DataFrame]:
+        """The store's physical legs, big-to-small: [bucketed base?,
+        partitioned delta?]. Queries join each leg separately and union
+        the RESULTS — a union of the inputs would dissolve the base's
+        bucket layout and re-shuffle the whole history every batch."""
+        legs: list[DataFrame] = []
+        base = self._base(sub)
+        if base is not None:
+            legs.append(base)
         p = f"{self.path}/{sub}"
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(p)
-        except AnalysisException as e:
-            # ONLY genuine nonexistence (no ingest yet) maps to "empty
-            # store" — a transient read failure swallowed here would make
-            # filter_new pass duplicates as new (the same bug class the
-            # round's worker-cache fix closed). Anything else re-raises.
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
+        # existence via the Hadoop FS API (works on s3a/hdfs/local alike);
+        # a transient read failure must RAISE, not read as an empty store —
+        # filter_new would pass duplicates as new (round-9 worker-cache
+        # bug class)
+        if _fs_exists(self.spark, p):
+            legs.append(self.spark.read.parquet(p))
+        return legs
 
     def exact_matches(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
         """(doc_id, dup_of): batch docs whose EXACT text already exists in
         the store, with the store's first-seen doc id. One equi-join keyed
-        on the md5 fingerprint."""
-        store = self._table("exact")
+        on the md5 fingerprint per store leg. The store side re-aggregates
+        min(doc_id) per fingerprint AT READ TIME, so the "exactly one
+        dup_of per batch doc" law holds even over duplicate first-seen
+        rows (racing writers, compact() crash window)."""
+        legs = self._legs("exact")
         batch = docs.select(
             F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fingerprint")
         )
-        if store is None:
+        if not legs:
             return batch.select(
                 "doc_id",
                 F.lit(None).cast(batch.schema["doc_id"].dataType).alias("dup_of"),
             ).limit(0)
-        return batch.join(
-            store.select("fingerprint", F.col("doc_id").alias("dup_of")), "fingerprint"
-        ).select("doc_id", "dup_of")
+        matched = [
+            batch.join(
+                leg.select("fingerprint", F.col("doc_id").alias("dup_of")),
+                "fingerprint",
+            ).select("doc_id", "dup_of")
+            for leg in legs
+        ]
+        return (
+            reduce(lambda a, b: a.unionByName(b), matched)
+            .groupBy("doc_id")
+            .agg(F.min("dup_of").alias("dup_of"))
+        )
 
     def filter_new(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
         """Batch rows whose exact text is NOT in the store (left_anti on
-        the fingerprint — the ingest-gate shape). Schema passes through
-        untouched (the join key uses a name collision-proofed against the
-        caller's columns)."""
-        store = self._table("exact")
-        if store is None:
+        the fingerprint per store leg — the ingest-gate shape). Schema
+        passes through untouched (the join key uses a name
+        collision-proofed against the caller's columns)."""
+        legs = self._legs("exact")
+        if not legs:
             return docs
         tmp = "_fp"
         while tmp in docs.columns:
             tmp += "_"
         keyed = docs.withColumn(tmp, fingerprint(F.col(text_col)))
-        return (
-            keyed.join(
-                store.select(F.col("fingerprint").alias(tmp)), tmp, "left_anti"
-            ).drop(tmp)
+        for leg in legs:
+            keyed = keyed.join(
+                leg.select(F.col("fingerprint").alias(tmp)), tmp, "left_anti"
+            )
+        return keyed.drop(tmp)
+
+    def _neardup_candidates(self, batch_bands: DataFrame) -> DataFrame:
+        """(b_id, s_id, b_sig, s_sig) candidate pairs: banded join per
+        store leg, legs unioned, shared bands collapsed to one pair.
+        Exposed for the plan assertion that the bucketed base leg joins
+        with no store-side Exchange."""
+        legs = self._legs("minhash")
+        b = batch_bands.select(
+            F.col("doc_id").alias("b_id"), "band", "key", F.col("sig").alias("b_sig")
+        )
+        joined = [
+            b.join(
+                leg.select(
+                    F.col("doc_id").alias("s_id"), "band", "key", F.col("sig").alias("s_sig")
+                ),
+                ["band", "key"],
+            ).select("b_id", "s_id", "b_sig", "s_sig")
+            for leg in legs
+        ]
+        return reduce(lambda a, b2: a.unionByName(b2), joined).dropDuplicates(
+            ["b_id", "s_id"]  # shared bands (and overlapping legs) collapse
         )
 
     def neardup_matches(
@@ -252,10 +463,9 @@ class DedupStore:
         a STORED doc — banded-LSH candidates (join keyed (band, key)),
         verified by the MinHash estimate (matching minima / num_perm)
         against the stored signature, thresholded. Per (batch, store) pair
-        the estimate is computed once (max over shared bands dedups)."""
-        store = self._table("minhash")
+        the estimate is computed once (dropDuplicates on the pair)."""
         batch = self._band_rows(docs, id_col, text_col)
-        if store is None:
+        if not self._legs("minhash"):
             return batch.select(
                 F.col("doc_id"),
                 F.lit(None).cast(batch.schema["doc_id"].dataType).alias("store_doc_id"),
@@ -273,21 +483,9 @@ class DedupStore:
             / F.lit(float(self.num_perm)),
             round_to,
         )
-        cand = (
-            batch.select(
-                F.col("doc_id").alias("b_id"), "band", "key", F.col("sig").alias("b_sig")
-            )
-            .join(
-                store.select(
-                    F.col("doc_id").alias("s_id"), "band", "key", F.col("sig").alias("s_sig")
-                ),
-                ["band", "key"],
-            )
-            .select("b_id", "s_id", "b_sig", "s_sig")
-            .dropDuplicates(["b_id", "s_id"])  # shared bands collapse to one
-        )
         return (
-            cand.withColumn("est_jaccard", est)
+            self._neardup_candidates(batch)
+            .withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= threshold)
             .select(
                 F.col("b_id").alias("doc_id"),

@@ -878,19 +878,42 @@ def _merge_and_rerank(
 _SNAPSHOT_CELL_STATS = {"hits": 0, "misses": 0}
 
 
+def _confirm_missing(part: str) -> bool:
+    """Explicit existence probe for a cell partition directory: True ONLY
+    when the filesystem positively reports NotFound. An OSError whose
+    message merely *looks* like a 404 is not proof — an eventually-
+    consistent object store can surface a transient NoSuchKey for a cell
+    that exists, and caching that as a permanently-empty cell silently
+    drops its candidates for the worker's lifetime (round-9 ADVICE). If
+    the probe itself fails, the caller re-raises and Spark retries."""
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, rel = pafs.FileSystem.from_uri(part)
+    except (ValueError, pa.ArrowInvalid):
+        fsys, rel = pafs.LocalFileSystem(), part
+    return fsys.get_file_info(rel).type == pafs.FileType.NotFound
+
+
 def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int, kp: int):
     """Worker-side load of ONE cell's code rows from its parquet partition
     directory (pyarrow, no Spark plan involved), LRU-cached per worker.
     Returns (ids_s, idx_s, tags_by_col): the cell's ids sorted ascending
     (stable), the matching flat-gather LUT indexes — the exact
     precomputation group_score does per task, done once per
-    (cell, version) per worker — and every list-typed passthrough column
-    (tags, round 9) parsed to id-sorted frozensets via the hnsw snapshot
-    tier's parser. ONE entry per (path, cell, version) with tags parsed
-    unconditionally at load (the round-7 VERDICT 8 rule: filtered-after-
-    unfiltered must serve warm). A cell no row was assigned to has no
-    partition directory: cached as empty (queries probing it contribute
-    no candidates, same as the cogroup path's empty code side)."""
+    (cell, version) per worker — and every TAG-shaped passthrough column
+    (int/string lists — tags, round 9) parsed to id-sorted frozensets via
+    the hnsw snapshot tier's parser. Column-pruned at the parquet read
+    (round-9 ADVICE): only id, code, and tag-shaped list columns are
+    fetched — float-list payloads (the embedding array a generic
+    ivf_write layout may carry) never leave storage, since ADC needs
+    codes only and rerank joins the caller's df. ONE entry per
+    (path, cell, version) with tags parsed unconditionally at load (the
+    round-7 VERDICT 8 rule: filtered-after-unfiltered must serve warm).
+    A cell no row was assigned to has no partition directory: cached as
+    empty (queries probing it contribute no candidates, same as the
+    cogroup path's empty code side)."""
     import numpy as np
 
     from neighborly_spark.operators.worker_cache import WORKER_CACHE
@@ -898,23 +921,37 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
     key = ("ivfpq", path, int(cell), version)
     hit = WORKER_CACHE.get(key)
     if hit is None:
-        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import pyarrow.dataset as pds
 
+        part = f"{path}/{CLUSTER_COL}={int(cell)}"
         try:
-            tbl = pq.read_table(f"{path}/{CLUSTER_COL}={int(cell)}")
+            dset = pds.dataset(part, format="parquet")
+            core = {id_col, CODE_COL, CLUSTER_COL}
+            keep = [id_col, CODE_COL] + [
+                f.name
+                for f in dset.schema
+                if f.name not in core
+                and (pa.types.is_list(f.type) or pa.types.is_large_list(f.type))
+                and not pa.types.is_floating(f.type.value_type)
+            ]
+            tbl = dset.to_table(columns=keep)
         except FileNotFoundError:
             tbl = None
         except OSError as e:
             # non-local filesystems (S3/HDFS) surface a missing partition
             # directory as ArrowIOError/OSError subclasses, not always
             # FileNotFoundError — an empty cell must contribute no
-            # candidates. But ONLY genuine nonexistence may be treated
-            # (and cached!) as empty: a transient read error converted to
-            # a cached 0-row cell would silently drop that cell's
-            # candidates for the worker's lifetime (round-9 review
-            # finding). Anything else re-raises and lets Spark retry.
-            msg = str(e).lower()
-            if "exist" in msg or "not found" in msg or "404" in msg:
+            # candidates. But ONLY POSITIVELY CONFIRMED nonexistence may
+            # be treated (and cached!) as empty: a transient read error
+            # converted to a cached 0-row cell would silently drop that
+            # cell's candidates for the worker's lifetime (round-9
+            # review finding; the probe replaced the round-9 message-
+            # substring match per ADVICE). Anything else re-raises and
+            # lets Spark retry.
+            import errno
+
+            if getattr(e, "errno", None) == errno.ENOENT or _confirm_missing(part):
                 tbl = None
             else:
                 raise

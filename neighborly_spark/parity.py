@@ -424,15 +424,13 @@ def dsir_logweights_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_topk",
-    f"""
-SELECT doc_id, round({T.quality_score_duckdb_sql('text')}, {ROUND}) AS quality
-FROM documents ORDER BY quality DESC, doc_id ASC LIMIT 20
-""".strip(),
-    tags=["text"],
-)
 def quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED round 10 (registry holds exactly 50 — same rotation
+    rule as lang_distribution in round 9): its quality column is
+    hash-checked PER DOC inside text_stats' gate entry; this top-20
+    ORDER BY adds only a sort over those already-verified values. The
+    slot went to dedup_store_incremental (the round-9 DedupStore operator
+    family had no gate entry). The builder stays callable for tests."""
     docs = load(spark, sf_dir, "documents")
     quality = T.text_stats_exprs(F.col("text"))["quality"]
     return (
@@ -633,6 +631,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, not just recall."""
     docs = load(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3, round_to=ROUND)
+
+
+def _dedup_store_oracle(num_perm: int = 16, bands: int = 4, k: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB twin of the DedupStore gate: store = min-doc_id reps of the
+    even-doc_id half's distinct texts (exactly add()'s first-seen law);
+    batch = the full table. Exact leg joins on the md5 fingerprint; near
+    leg replicates the banding (same key concat as DedupStore._band_rows)
+    and the MinHash signature estimate (matching minima / num_perm — all
+    multiples of 1/16 are exact binary fractions, so 6dp rounds agree)."""
+    rows = num_perm // bands
+    sh = T.shingles_duckdb_sql("text", k)
+    fp = T.fingerprint_duckdb_sql("text")
+
+    def bands_sql(src: str) -> str:
+        selects = []
+        for b in range(bands):
+            keys = ", ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+            selects.append(f"SELECT doc_id, {b} AS band, concat_ws(',', {keys}) AS key FROM {src}")
+        return " UNION ALL ".join(selects)
+
+    est = (
+        f"CAST(list_sum(list_transform(range(1, {num_perm + 1}), "
+        f"i -> CASE WHEN bs.sig[i] = ss.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / {num_perm}"
+    )
+    return f"""
+WITH store_reps AS (
+  SELECT {fp} AS fingerprint, min(doc_id) AS doc_id
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+exact_leg AS (
+  SELECT 'exact' AS leg, b.doc_id AS doc_id, s.doc_id AS match_id, CAST(1.0 AS DOUBLE) AS score
+  FROM (SELECT doc_id, {fp} AS fingerprint FROM documents) b
+  JOIN store_reps s USING (fingerprint)
+),
+batch_sh AS (
+  SELECT doc_id, {sh} AS s FROM documents WHERE len({sh}) > 0
+),
+batch_sigs AS (SELECT doc_id, {DD.minhash_sig_duckdb_sql('s', num_perm)} AS sig FROM batch_sh),
+store_sigs AS (
+  SELECT doc_id, sig FROM batch_sigs WHERE doc_id IN (SELECT doc_id FROM store_reps)
+),
+batch_bands AS ({bands_sql('batch_sigs')}),
+store_bands AS ({bands_sql('store_sigs')}),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS b_id, sb.doc_id AS s_id
+  FROM batch_bands bb JOIN store_bands sb ON bb.band = sb.band AND bb.key = sb.key
+),
+near_leg AS (
+  SELECT 'near' AS leg, c.b_id AS doc_id, c.s_id AS match_id,
+         round({est}, {ROUND}) AS score
+  FROM cand c
+  JOIN batch_sigs bs ON c.b_id = bs.doc_id
+  JOIN batch_sigs ss ON c.s_id = ss.doc_id
+  WHERE round({est}, {ROUND}) >= {threshold}
+)
+SELECT * FROM exact_leg UNION ALL SELECT * FROM near_leg
+""".strip()
+
+
+@register("dedup_store_incremental", _dedup_store_oracle(), tags=["dedup"])
+def dedup_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DedupStore gate (round 10, operators/dedup_store.py):
+    the even-doc_id half of the corpus is ingested as "yesterday", then
+    COMPACTED to the bucketed base layout, and the FULL corpus runs both
+    history gates against it — exact (fingerprint join, min-dup_of law)
+    and near-dup (banded candidates + signature estimate >= 0.5). Running
+    compact() inside the gate puts the bucketed read path itself under
+    the cross-engine hash check, not just the partitioned-delta path the
+    tests cover. Two legs union into (leg, doc_id, match_id, score);
+    the exact leg's score is the literal 1.0."""
+    import tempfile
+
+    from neighborly_spark.operators.dedup_store import DedupStore
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="gate_dstore_") + "/store"
+    st = DedupStore.create(spark, path, k=3, num_perm=16, bands=4)
+    st.add(docs.filter("doc_id % 2 = 0"), ingest_id="half")
+    st.compact(n_buckets=8)
+    exact = st.exact_matches(docs).select(
+        F.lit("exact").alias("leg"),
+        "doc_id",
+        F.col("dup_of").alias("match_id"),
+        F.lit(1.0).alias("score"),
+    )
+    near = st.neardup_matches(docs, threshold=0.5, round_to=ROUND).select(
+        F.lit("near").alias("leg"),
+        "doc_id",
+        F.col("store_doc_id").alias("match_id"),
+        F.col("est_jaccard").alias("score"),
+    )
+    return exact.unionByName(near)
 
 
 @register(

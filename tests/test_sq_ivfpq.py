@@ -1417,3 +1417,67 @@ def test_opq_composes_with_cosine_builds(spark):
     assert float(np.mean(recalls)) >= 0.8, recalls
     qdf.unpersist()
     emb.unpersist()
+
+
+def test_snapshot_cell_loader_prunes_payload_columns(spark, emb, ivfpq_model, tmp_path):
+    """Round-9 ADVICE: ivfpq_knn_join_snapshot is a public operator over
+    any ivf_write layout — a snapshot that carries the embedding array (or
+    other float-list payloads) must NOT pay their I/O or python-set parse
+    at cell load. Only id, code, and tag-shaped (int/string list) columns
+    are read; the float-list embedding never reaches the cache entry."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+    from neighborly_spark.operators.worker_cache import WORKER_CACHE
+
+    enc = IVFPQ.ivfpq_encode(emb.limit(200), ivfpq_model)
+    # the "generic layout": codes + the raw embedding + an int tag column
+    fat = (
+        enc.join(emb.limit(200).select("id", "embedding"), "id")
+        .withColumn("tags", F.array((F.col("id") % 2).cast("int")))
+    )
+    path = str(tmp_path / "fat_codes")
+    fat.write.partitionBy(CLUSTER_COL).parquet(path)
+    a_cell = enc.select(CLUSTER_COL).first()[0]
+    m, kp = ivfpq_model.pq.m, ivfpq_model.pq.num_centroids
+
+    WORKER_CACHE.clear()
+    ids, idx, tags_by_col = IVFPQ._load_snapshot_cell(path, int(a_cell), "vfat", "id", m, kp)
+    assert len(ids) > 0 and idx.shape == (len(ids), m)
+    assert set(tags_by_col) == {"tags"}  # embedding pruned, tags kept
+    tags, kind = tags_by_col["tags"]
+    assert kind is int and all(isinstance(t, frozenset) for t in tags)
+
+
+def test_snapshot_cell_loader_confirms_nonexistence(spark, emb, ivfpq_model, tmp_path, monkeypatch):
+    """Round-9 ADVICE: an OSError whose message LOOKS like a 404 must not
+    be cached as an empty cell when the partition actually exists (the
+    eventually-consistent-store hazard) — the loader now confirms
+    nonexistence with an explicit filesystem probe. A genuinely missing
+    partition still caches as empty."""
+    import pyarrow.dataset as pds
+
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+    from neighborly_spark.operators.worker_cache import WORKER_CACHE
+
+    enc = IVFPQ.ivfpq_encode(emb.limit(200), ivfpq_model)
+    path = str(tmp_path / "codes_404")
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    a_cell = int(enc.select(CLUSTER_COL).first()[0])
+    m, kp = ivfpq_model.pq.m, ivfpq_model.pq.num_centroids
+
+    real_dataset = pds.dataset
+
+    def flaky_dataset(*a, **kw):
+        raise OSError("404: NoSuchKey (transient)")
+
+    WORKER_CACHE.clear()
+    monkeypatch.setattr(pds, "dataset", flaky_dataset)
+    # cell EXISTS -> the probe refutes the 404 -> re-raise (Spark retries)
+    with pytest.raises(OSError, match="404"):
+        IVFPQ._load_snapshot_cell(path, a_cell, "v404", "id", m, kp)
+    # cell genuinely missing -> probe confirms -> cached empty
+    ids, idx, _ = IVFPQ._load_snapshot_cell(path, 424242, "v404", "id", m, kp)
+    assert len(ids) == 0 and idx.shape == (0, m)
+    monkeypatch.setattr(pds, "dataset", real_dataset)
+    # the transient failure was NOT cached: the cell now loads fine
+    ids2, _, _ = IVFPQ._load_snapshot_cell(path, a_cell, "v404", "id", m, kp)
+    assert len(ids2) > 0
