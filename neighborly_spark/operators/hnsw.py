@@ -67,6 +67,9 @@ M_DEFAULT = 16
 MAX_M0_DEFAULT = 32
 EF_CONSTRUCTION_DEFAULT = 200
 EF_DEFAULT = 200
+#: byte-per-dim codes packed 8-per-long in SQ8 artifacts — MUST equal
+#: quantization.SQ_BYTES_PER_WORD (the encode side); asserted in tests.
+SQ8_BYTES_PER_WORD = 8
 SEED_DEFAULT = 42
 #: Level-generation factor mL = 1/ln(M) — the Malkov-Yashunin paper's
 #: recommended value (§4.1: "the optimal mL = 1/ln(M)"), which puts 1/M of
@@ -1212,20 +1215,59 @@ def _positions_of(ids: np.ndarray, flat: np.ndarray) -> np.ndarray:
     return order[np.searchsorted(ids[order], flat)]
 
 
-def _rehydrate_arrow(tbl) -> tuple[np.ndarray, _ShardGraph]:
+def _dequantize_sq8_arrow(col, n: int, sq8: dict) -> np.ndarray:
+    """Unpack an ``embedding_sq8`` packed-words column (array<long>, byte
+    j of word w = dim 8w+j — quantization.sq_encode_expr's layout) into the
+    float32 vector matrix the beam kernel runs on. Fully vectorized:
+    reshape -> one broadcasted shift/mask -> one fma. The arithmetic >>
+    sign-extends the top byte; & 255 erases the extension (the numpy twin
+    of sq_byte_expr)."""
+    vmin = np.asarray(sq8["vmin"], dtype=np.float64)
+    vmax = np.asarray(sq8["vmax"], dtype=np.float64)
+    dim = len(vmin)
+    scale = (vmax - vmin) / 255.0
+    n_words = (dim + SQ8_BYTES_PER_WORD - 1) // SQ8_BYTES_PER_WORD
+    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    words = flat.reshape(n, n_words) if n else flat.reshape(0, n_words)
+    shifts = 8 * np.arange(SQ8_BYTES_PER_WORD, dtype=np.int64)
+    b = ((words[:, :, None] >> shifts) & 255).reshape(n, n_words * SQ8_BYTES_PER_WORD)[:, :dim]
+    return np.ascontiguousarray(vmin + b * scale, dtype=np.float32)
+
+
+def _rehydrate_arrow(tbl, sq8: dict | None = None) -> tuple[np.ndarray, _ShardGraph]:
     """Arrow-native twin of _rehydrate for the snapshot tier: the nested
     neighbors column flattens through its LIST OFFSETS (two flatten calls
     + one np.diff) instead of a per-row python loop — measured ~10x on a
     50k-row shard, which is the cold-load cost the per-worker LRU can't
-    hide when traffic rotates across workers."""
+    hide when traffic rotates across workers.
+
+    ``sq8`` (round 10, VERDICT 5): an SQ8-quantized artifact
+    (hnsw_snapshot_write(sq8=True)) stores the vector payload as packed
+    8-bit codes — ~4x fewer artifact bytes, so cold shard loads read ~4x
+    less and 4x more shards fit a remote-storage byte budget. The params
+    dict ({"vmin","vmax"}, from the snapshot manifest) dequantizes here at
+    load time; the RESIDENT graph is the same float32 matrix either way,
+    so the beam kernel and the worker-cache charge are unchanged."""
     ids = tbl["id"].to_numpy().astype(np.int64)
     g = _ShardGraph.__new__(_ShardGraph)
-    emb = tbl["embedding"].combine_chunks()
-    flat_emb = emb.flatten().to_numpy(zero_copy_only=False)
-    g.x = np.ascontiguousarray(
-        flat_emb.reshape(len(ids), -1) if len(ids) else flat_emb.reshape(0, 0),
-        dtype=np.float32,
-    )
+    if sq8 is not None and "embedding_sq8" in tbl.column_names:
+        g.x = _dequantize_sq8_arrow(tbl["embedding_sq8"], len(ids), sq8)
+    else:
+        if "embedding" not in tbl.column_names:
+            raise ValueError(
+                "snapshot shard has no 'embedding' column but carries "
+                "'embedding_sq8' — this is an SQ8-quantized artifact; pass "
+                "its sq8 params (the manifest's {'vmin','vmax'}) to the "
+                "snapshot search"
+                if "embedding_sq8" in tbl.column_names
+                else "snapshot shard has no vector payload column"
+            )
+        emb = tbl["embedding"].combine_chunks()
+        flat_emb = emb.flatten().to_numpy(zero_copy_only=False)
+        g.x = np.ascontiguousarray(
+            flat_emb.reshape(len(ids), -1) if len(ids) else flat_emb.reshape(0, 0),
+            dtype=np.float32,
+        )
     g.levels = tbl["level"].to_numpy().astype(np.int64)
     g.m, g.max_m0, g.efc = M_DEFAULT, MAX_M0_DEFAULT, EF_CONSTRUCTION_DEFAULT
     outer = tbl["neighbors"].combine_chunks()
@@ -1248,8 +1290,12 @@ def _rehydrate_arrow(tbl) -> tuple[np.ndarray, _ShardGraph]:
     return ids, g
 
 
-#: Graph-artifact columns that are never tag passthroughs.
-_GRAPH_COLS = frozenset({"part_id", "id", "level", "embedding", "neighbors"})
+#: Graph-artifact columns that are never tag passthroughs (embedding_sq8
+#: is the packed array<long> payload of an SQ8 artifact — list-typed, so
+#: the tag parser must know to skip it).
+_GRAPH_COLS = frozenset(
+    {"part_id", "id", "level", "embedding", "embedding_sq8", "neighbors"}
+)
 
 
 def _parse_tag_columns(tbl, core_cols) -> dict:
@@ -1283,7 +1329,10 @@ def _parse_tag_columns(tbl, core_cols) -> dict:
     return tags_by_col
 
 
-def _load_snapshot_shard(path: str, part_id: int, version: str, tags_col: str = "tags"):
+def _load_snapshot_shard(
+    path: str, part_id: int, version: str, tags_col: str = "tags",
+    sq8: dict | None = None,
+):
     """Worker-side load of one shard graph from its parquet partition
     directory (pyarrow, no Spark plan involved), LRU-cached per worker.
     Returns (ids, graph, tags, kind) where ``tags`` is a row-aligned list
@@ -1308,7 +1357,7 @@ def _load_snapshot_shard(path: str, part_id: int, version: str, tags_col: str = 
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(f"{path}/part_id={part_id}")
-        ids, g = _rehydrate_arrow(tbl)
+        ids, g = _rehydrate_arrow(tbl, sq8=sq8)
         tags_by_col = _parse_tag_columns(tbl, _GRAPH_COLS)
         hit = (ids, g, tags_by_col)
         WORKER_CACHE.put(
@@ -1364,6 +1413,47 @@ def _tags_allowed_mask(tags: list, tag_any, tag_all, kind=None) -> np.ndarray:
     )
 
 
+def hnsw_snapshot_write(
+    graph_df: DataFrame,
+    path: str,
+    dim: int | None = None,
+    sq8: bool = False,
+    sq_model=None,
+) -> dict | None:
+    """Write the graph artifact (partitionBy('part_id') parquet — the
+    layout every snapshot consumer reads).
+
+    ``sq8=True`` (round 10, VERDICT 5) stores the vector payload as packed
+    8-bit scalar-quantized codes (quantization.sq_encode_expr — a pure
+    codegen expression, no Python in the write) instead of array<float>:
+    ~4x fewer artifact bytes, so cold shard loads read ~4x less from
+    remote storage and 4x more shards fit a storage byte budget. The
+    RESIDENT graph is unchanged — _rehydrate_arrow dequantizes to float32
+    at load, so the beam kernel and the worker-cache charge are identical;
+    only search results move (8-bit rounding perturbs distances), which is
+    recall-gated in tests (>= 0.8 vs exact, no-harm vs float artifacts).
+
+    Returns the params dict ({"vmin","vmax"}) the caller must persist in
+    its manifest and pass back as the ``sq8`` arg of
+    hnsw_search_batch_snapshot, or None for float artifacts. ``sq_model``
+    reuses an already-trained quantization.SQModel; otherwise one min/max
+    aggregate over the graph trains it (``dim`` required)."""
+    if not sq8:
+        graph_df.write.mode("overwrite").partitionBy("part_id").parquet(path)
+        return None
+    from neighborly_spark.operators.quantization import sq_encode_expr, sq_train
+
+    if sq_model is None:
+        if dim is None:
+            raise ValueError("sq8=True needs dim (or a pre-trained sq_model)")
+        sq_model = sq_train(graph_df, dim, vec_col="embedding")
+    enc = graph_df.withColumn(
+        "embedding_sq8", sq_encode_expr("embedding", sq_model)
+    ).drop("embedding")
+    enc.write.mode("overwrite").partitionBy("part_id").parquet(path)
+    return {"vmin": sq_model.vmin, "vmax": sq_model.vmax}
+
+
 def hnsw_search_batch_snapshot(
     spark,
     graph_path: str,
@@ -1378,6 +1468,7 @@ def hnsw_search_batch_snapshot(
     tag_all: list | None = None,
     tags_col: str = "tags",
     query_salt: int = 1,
+    sq8: dict | None = None,
 ) -> DataFrame:
     """Serve a SAVED graph (SearchService.save layout:
     partitionBy('part_id') parquet) with ZERO graph bytes in the plan —
@@ -1414,7 +1505,14 @@ def hnsw_search_batch_snapshot(
     p=2 over 16 shards = 16 tasks on 32 cores). Salting multiplies
     shard loads per worker (the LRU absorbs repeats), so keep s modest
     (2-8); results are identical for any s — the per-query descent does
-    not depend on which task runs it."""
+    not depend on which task runs it.
+
+    ``sq8`` serves an SQ8-quantized artifact (hnsw_snapshot_write(
+    sq8=True) / SearchService.save(hnsw_sq8=True)): pass the manifest's
+    {"vmin","vmax"} params — workers dequantize to float32 at shard-load
+    time, so resident memory and the beam kernel are unchanged; only the
+    cold-load bytes shrink ~4x. Results are recall-gated rather than
+    bit-equal vs the float artifact (8-bit rounding perturbs distances)."""
     ef = EF_DEFAULT if ef is None else int(ef)
     # JVM LocalRelations end to end: a python-list createDataFrame would
     # put a python-RDD scan (one worker round trip per scan — measured
@@ -1442,7 +1540,9 @@ def hnsw_search_batch_snapshot(
     all_t = sorted(set(tag_all)) if tag_all else None
 
     def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, g, tags, kind = _load_snapshot_shard(graph_path, int(key[0]), version, tags_col)
+        ids, g, tags, kind = _load_snapshot_shard(
+            graph_path, int(key[0]), version, tags_col, sq8=sq8
+        )
         mask = None
         if filtered:
             if tags is None:

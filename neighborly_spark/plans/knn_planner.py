@@ -132,7 +132,7 @@ def knn_join_auto(
     hnsw_routing: DataFrame | None = None,
     hnsw_probe_shards: int | None = None,
     hnsw_trust_routing: bool = False,
-    hnsw_snapshot: tuple | None = None,  # (graph_path, version, part_ids) —
+    hnsw_snapshot: tuple | None = None,  # (graph_path, version, part_ids[, sq8]) —
     # serve the hnsw tier WORKER-RESIDENT from the saved shard parquet
     # (hnsw_search_batch_snapshot) instead of re-shipping ~20 MB/shard of
     # graph bytes through the cogroup per batch; probe routing composes
@@ -211,10 +211,14 @@ def knn_join_auto(
             # probe routing composes unchanged
             from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
 
-            path, ver, pids = hnsw_snapshot
+            path, ver, pids = hnsw_snapshot[:3]
+            # optional 4th element: SQ8 payload params of a quantized
+            # artifact (SearchService.save(hnsw_sq8=True)) — workers
+            # dequantize at shard load; None/absent = float artifact
+            sq8 = hnsw_snapshot[3] if len(hnsw_snapshot) > 3 else None
             out = hnsw_search_batch_snapshot(
                 data.sparkSession, path, pids, qdf, k, version=ver, ef=hnsw_ef,
-                probe_shards=probe, routing=routing,
+                probe_shards=probe, routing=routing, sq8=sq8,
             ).withColumnsRenamed({"query_id": query_id_col, "id": id_col})
         else:
             out = hnsw_search_batch(

@@ -96,6 +96,10 @@ class SearchService:
         #: (hnsw_search_batch_snapshot) — graph bytes never enter the plan.
         #: Cleared by any mutation (the in-memory graph diverges).
         self._hnsw_snapshot: tuple | None = None
+        #: SQ8 payload params of the backing snapshot ({"vmin","vmax"}) or
+        #: None for float artifacts; meaningful only while _hnsw_snapshot
+        #: is set (every consumer checks the snapshot first)
+        self._hnsw_sq8: dict | None = None
         #: (path, version) when the ivfpq code table came from a snapshot:
         #: unfiltered batch searches then serve worker-resident
         #: (ivfpq_knn_join_snapshot — code bytes never enter the plan).
@@ -273,6 +277,7 @@ class SearchService:
             self._hnsw_shards = n
             self._hnsw_spatial = spatial
             self._hnsw_snapshot = None  # fresh build: no snapshot backs it
+            self._hnsw_sq8 = None
             self._hnsw_routing = HN.hnsw_routing_table(graph).cache()
             self._hnsw_routing.count()
         elif method in EXACT_METHODS or method == "range":
@@ -320,6 +325,7 @@ class SearchService:
             from neighborly_spark.operators import hnsw as HN
 
             self._hnsw_snapshot = None  # in-memory graph diverges from disk
+            self._hnsw_sq8 = None
             if self._hnsw_spatial and self._hnsw_routing is None:
                 self._refresh_hnsw_routing()
             updated = HN.hnsw_add(
@@ -594,6 +600,7 @@ class SearchService:
             from neighborly_spark.operators import hnsw as HN
 
             self._hnsw_snapshot = None  # in-memory graph diverges from disk
+            self._hnsw_sq8 = None
             updated = HN.hnsw_remove(self._hnsw_graph, [int(i) for i in ids]).cache()
             updated.count()
             self._hnsw_graph.unpersist()
@@ -618,13 +625,20 @@ class SearchService:
     # --- snapshot persistence (the reference's save/load database story,
     # VectorDatabase.cs:642-730: vectors + every built index artifact) ----
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, hnsw_sq8: bool = False) -> None:
         """Persist vectors + every BUILT index artifact + a manifest:
         vectors as parquet; LSH as the MLlib model; BQ as its trained
         threshold + the materialized code table; IVF as centroids (JSON)
         + the cluster-partitioned assignment layout; PQ as its codebooks
         (JSON) + the encoded table. load() restores a SearchService that
-        serves every built method without re-training."""
+        serves every built method without re-training.
+
+        ``hnsw_sq8=True`` (round 10) stores the hnsw graph's vector
+        payload 8-bit scalar-quantized (~4x fewer artifact bytes -> ~4x
+        cheaper cold shard loads, 4x more shards per storage byte);
+        resident serving memory and the beam kernel are unchanged
+        (dequantize-on-load), results are recall-gated rather than
+        bit-equal to a float-artifact save."""
         import json
 
         from neighborly_spark.sources.etl import save_database
@@ -684,13 +698,20 @@ class SearchService:
             )
         if self._hnsw_graph is not None:
             # shard graphs as parquet partitioned by shard: a search that
-            # targeted one shard would partition-prune (S9 for the graph)
-            self._hnsw_graph.write.mode("overwrite").partitionBy("part_id").parquet(
-                f"{path}/indexes/hnsw_graph"
+            # targeted one shard would partition-prune (S9 for the graph);
+            # hnsw_sq8 swaps the float payload for packed 8-bit codes
+            from neighborly_spark.operators import hnsw as HN
+
+            sq8_params = HN.hnsw_snapshot_write(
+                self._hnsw_graph, f"{path}/indexes/hnsw_graph",
+                dim=self.dim, sq8=hnsw_sq8,
             )
             import uuid
 
             extras["hnsw"] = {
+                # SQ8 payload params (None for float artifacts): load()
+                # and every snapshot consumer dequantize with these
+                "sq8": sq8_params,
                 "num_shards": self._hnsw_shards, "spatial": self._hnsw_spatial,
                 # snapshot-serving manifest (operators.hnsw.
                 # hnsw_search_batch_snapshot): the shard list saves the
@@ -709,6 +730,7 @@ class SearchService:
                 f"{path}/indexes/hnsw_graph", extras["hnsw"]["version"],
                 [int(p) for p in extras["hnsw"]["part_ids"]],
             )
+            self._hnsw_sq8 = sq8_params
         with open(f"{path}/service.json", "w") as f:
             json.dump(extras, f)
 
@@ -803,6 +825,23 @@ class SearchService:
         if extras.get("hnsw"):
             svc._hnsw_graph = spark.read.parquet(f"{path}/indexes/hnsw_graph")
             hn = extras["hnsw"]
+            sq8 = hn.get("sq8") if isinstance(hn, dict) else None
+            if sq8:
+                # SQ8 artifact: the in-memory view (DataFrame serving
+                # fallback, routing refresh, future saves/mutations)
+                # decodes the packed codes back to floats — one codegen
+                # expression on the graph scan, no Python
+                from neighborly_spark.operators.quantization import (
+                    SQModel,
+                    sq_decode_expr,
+                )
+
+                sqm = SQModel(sq8["vmin"], sq8["vmax"])
+                svc._hnsw_graph = svc._hnsw_graph.withColumn(
+                    "embedding",
+                    sq_decode_expr("embedding_sq8", sqm).cast("array<float>"),
+                ).drop("embedding_sq8")
+                svc._hnsw_sq8 = dict(sq8)
             svc._hnsw_shards = hn.get("num_shards") if isinstance(hn, dict) else None
             svc._hnsw_spatial = bool(hn.get("spatial")) if isinstance(hn, dict) else False
             if isinstance(hn, dict) and hn.get("version") and hn.get("part_ids"):
@@ -956,6 +995,7 @@ class SearchService:
                         routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
                         tag_any=tag_any, tag_all=tag_all,
                         tags_col=self.tags_col or "tags",
+                        sq8=self._hnsw_sq8,
                     ).drop("query_id")
                 else:
                     hits = HN.hnsw_search(
@@ -1105,8 +1145,12 @@ class SearchService:
                 # bytes (round 8; euclidean graphs only — same gate as the
                 # hnsw_graph arg above; cleared by mutations)
                 hnsw_snapshot=(
-                    self._hnsw_snapshot
-                    if self._index_metric.get("hnsw", "euclidean") == "euclidean"
+                    # 4th element: SQ8 payload params (None for float
+                    # artifacts) — the planner forwards them to the
+                    # worker-resident dequantize
+                    self._hnsw_snapshot + (self._hnsw_sq8,)
+                    if self._hnsw_snapshot is not None
+                    and self._index_metric.get("hnsw", "euclidean") == "euclidean"
                     else None
                 ),
                 # durable ivfpq serving: the planner's ivfpq tier reads the
@@ -1361,6 +1405,7 @@ class SearchService:
                     routing=self._hnsw_routing if hnsw_probe_shards is not None else None,
                     tag_any=tag_any, tag_all=tag_all,
                     tags_col=self.tags_col or "tags",
+                    sq8=self._hnsw_sq8,
                     # large fan-in parallelism knob (round 8): splits each
                     # shard's queries across hnsw_query_salt tasks
                     query_salt=hnsw_query_salt,

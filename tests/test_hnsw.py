@@ -1192,3 +1192,112 @@ def test_search_batch_threads_hnsw_ef(spark, emb):
     with mock.patch.object(H, "hnsw_search", wraps=H.hnsw_search) as spy:
         svc.search(query_vec=[0.1] * 64, k=3, method="hnsw", hnsw_ef=77).collect()
     assert spy.call_args.kwargs["ef"] == 77
+
+
+def test_sq8_snapshot_artifacts(spark, emb, tmp_path):
+    """SQ8-quantized snapshot artifacts (round 10): save(hnsw_sq8=True)
+    stores the vector payload as packed 8-bit codes — materially fewer
+    artifact bytes on disk — and worker-resident serving dequantizes at
+    shard load. Gates: recall >= 0.8 vs exact AND within 0.02 of the
+    float artifact's recall (the VERDICT no-harm bound); the decoded
+    in-memory view keeps mutations + re-saves working; an sq8 artifact
+    served without its params fails loudly instead of mis-reading."""
+    import os
+
+    from neighborly_spark.operators.hnsw import (
+        SQ8_BYTES_PER_WORD,
+        hnsw_search_batch_snapshot,
+    )
+    from neighborly_spark.operators.quantization import SQ_BYTES_PER_WORD
+    from neighborly_spark.search_service import SearchService
+
+    assert SQ8_BYTES_PER_WORD == SQ_BYTES_PER_WORD  # packed-layout contract
+
+    svc = SearchService(emb, dim=64)
+    svc.build_index("hnsw")
+    pf, p8 = str(tmp_path / "snap_float"), str(tmp_path / "snap_sq8")
+    svc.save(pf)
+    svc.save(p8, hnsw_sq8=True)
+    assert svc._hnsw_sq8 is not None  # the fresh sq8 snapshot backs the service
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+
+    fb = dir_bytes(f"{pf}/indexes/hnsw_graph")
+    qb = dir_bytes(f"{p8}/indexes/hnsw_graph")
+    assert qb < 0.8 * fb, f"sq8 artifact not smaller: {qb} vs {fb}"
+
+    loaded_f = SearchService.load(spark, pf)
+    loaded_8 = SearchService.load(spark, p8)
+    assert loaded_8._hnsw_sq8 is not None and loaded_8._hnsw_snapshot is not None
+    assert "embedding" in loaded_8._hnsw_graph.columns  # decoded view
+    assert "embedding_sq8" not in loaded_8._hnsw_graph.columns
+
+    queries = [
+        (i, list(r.embedding))
+        for i, r in enumerate(emb.orderBy(F.xxhash64("id")).limit(10).collect())
+    ]
+    exact = {i: {r.id for r in knn(emb, q, 10).collect()} for i, q in queries}
+
+    def recall(loaded):
+        pth, ver, pids = loaded._hnsw_snapshot
+        out = hnsw_search_batch_snapshot(
+            spark, pth, pids, queries, 10, version=ver, sq8=loaded._hnsw_sq8
+        )
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r.query_id, set()).add(r.id)
+        return sum(len(by_q.get(i, set()) & exact[i]) for i, _ in queries) / (
+            10 * len(queries)
+        )
+
+    r8, rf = recall(loaded_8), recall(loaded_f)
+    assert r8 >= 0.8, f"sq8 recall {r8}"
+    assert r8 >= rf - 0.02, f"sq8 recall {r8} harms float {rf}"
+
+    # facade serves through the sq8 snapshot too
+    got = {r.query_id for r in loaded_8.search_batch(queries[:3], k=5, method="hnsw").collect()}
+    assert got == {i for i, _ in queries[:3]}
+
+    # an sq8 artifact without its params must fail loudly (fresh version
+    # string defeats the worker LRU so the load actually happens)
+    pth, ver, pids = loaded_8._hnsw_snapshot
+    with pytest.raises(Exception, match="sq8"):
+        hnsw_search_batch_snapshot(
+            spark, pth, pids, queries[:1], 5, version=ver + "nosq8"
+        ).collect()
+
+    # mutation drops to the decoded in-memory graph and still answers
+    new = emb.limit(1).withColumn("id", F.col("id") + 990000)
+    loaded_8.add_vectors(new)
+    assert loaded_8._hnsw_snapshot is None and loaded_8._hnsw_sq8 is None
+    probe = list(new.first().embedding)
+    hits = loaded_8.search(query_vec=probe, k=2, method="hnsw").collect()
+    assert any(r.id == int(new.first().id) for r in hits)
+
+
+def test_sq8_pack_unpack_roundtrip(spark, emb):
+    """Bit-layout contract between the JVM encode (sq_encode_expr packs
+    byte j of word w = dim 8w+j) and the worker-side numpy unpack
+    (_dequantize_sq8_arrow): dequantized values sit within half a
+    quantization step of the originals on every dimension."""
+    import numpy as np
+    import pyarrow as pa
+
+    from neighborly_spark.operators.hnsw import _dequantize_sq8_arrow
+    from neighborly_spark.operators.quantization import sq_encode_expr, sq_train
+
+    sample = emb.limit(50).cache()
+    model = sq_train(sample, 64, vec_col="embedding")
+    rows = sample.select(
+        "embedding", sq_encode_expr("embedding", model).alias("code")
+    ).collect()
+    orig = np.asarray([list(r.embedding) for r in rows], dtype=np.float64)
+    codes = pa.chunked_array([pa.array([list(r.code) for r in rows])])
+    deq = _dequantize_sq8_arrow(codes, len(rows), {"vmin": model.vmin, "vmax": model.vmax})
+    tol = np.asarray(model.scale, dtype=np.float64) / 2 + 1e-6
+    assert np.all(np.abs(deq.astype(np.float64) - orig) <= tol[None, :])
+    sample.unpersist()
