@@ -438,13 +438,43 @@ def pq_auto_subvectors(dim: int) -> int:
 
 class PQModel:
     """Trained product quantizer: m KMeans codebooks (seed 42, <=50 iters —
-    ProductQuantization.cs:167-265) over dim/m slices."""
+    ProductQuantization.cs:167-265) over dim/m slices.
 
-    def __init__(self, sub_models: list, m: int, sub_dim: int, num_centroids: int):
+    ``rotation`` (round 10, VERDICT 6): an optional orthogonal OPQ matrix
+    (Ge et al. 2013, trained by ivfpq.opq_train_rotation — the trainer is
+    method-agnostic). When set, the codebooks live in ROTATED space:
+    pq_encode_vectorized rotates each Arrow batch before the argmin, and
+    pq_search rotates the query driver-side before building the LUT.
+    Orthogonality preserves euclidean distances, so the rerank tier still
+    scores ORIGINAL floats against the ORIGINAL query — only the code
+    path rotates. Same opt-in posture as ivfpq's: a knob, not a default
+    (gains are data-dependent, see docs/RECALL.md)."""
+
+    def __init__(
+        self, sub_models: list, m: int, sub_dim: int, num_centroids: int,
+        rotation=None,
+    ):
         self.sub_models = sub_models
         self.m = m
         self.sub_dim = sub_dim
         self.num_centroids = num_centroids
+        # json-clean like IVFPQModel.rotation (save/load round-trips it)
+        self.rotation = (
+            [list(map(float, row)) for row in rotation]
+            if rotation is not None else None
+        )
+
+    def rotate_query(self, query_vec: list[float]) -> list[float]:
+        """q @ R driver-side (one dim-vector matmul); identity when the
+        model carries no rotation."""
+        if self.rotation is None:
+            return query_vec
+        import numpy as np
+
+        return (
+            np.asarray(query_vec, dtype=np.float64)
+            @ np.asarray(self.rotation, dtype=np.float64)
+        ).tolist()
 
     @property
     def centroids(self) -> list[list[list[float]]]:
@@ -464,14 +494,30 @@ def pq_train(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 50,
+    opq: bool = False,
 ) -> PQModel:
-    """Fit m per-sub-space KMeans codebooks (MLlib)."""
+    """Fit m per-sub-space KMeans codebooks (MLlib). ``opq=True`` first
+    learns an orthogonal OPQ rotation (ivfpq.opq_train_rotation — the
+    trainer is method-agnostic) and fits the codebooks in rotated space;
+    the model carries the rotation and every search path applies it to
+    queries automatically."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if m is None:
         m = pq_auto_subvectors(dim)
     sub_dim = dim // m
+    rotation = None
+    if opq:
+        from neighborly_spark.operators.ivfpq import (
+            _rotated_vectors,
+            opq_train_rotation,
+        )
+
+        rotation = opq_train_rotation(
+            df, dim, m=m, num_centroids=num_centroids, vec_col=vec_col, seed=seed
+        )
+        df = _rotated_vectors(df, vec_col, rotation)
     n = df.count()
     k = min(num_centroids, max(2, n))  # centroids can't exceed points
     base = df.select(vec_col).cache()
@@ -483,7 +529,7 @@ def pq_train(
         km = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_f", predictionCol="_p")
         models.append(km.fit(sl))
     base.unpersist()
-    return PQModel(models, m, sub_dim, k)
+    return PQModel(models, m, sub_dim, k, rotation=rotation)
 
 
 class _ArrayKMeansModel:
@@ -506,9 +552,11 @@ def pq_train_sampled(
     seed: int = 42,
     max_iter: int = 50,
     sample_size: int = 65_536,
+    opq: bool = False,
 ) -> PQModel:
     """Scale-path PQ trainer: ONE pass over the data, then driver-side
-    vectorized Lloyd per sub-space.
+    vectorized Lloyd per sub-space. ``opq=True``: see pq_train — one extra
+    sample pass trains the orthogonal rotation, codebooks fit rotated.
 
     pq_train runs m MLlib KMeans fits = m x iterations distributed passes —
     correct but wasteful at scale, where codebooks are universally trained on
@@ -529,6 +577,17 @@ def pq_train_sampled(
     if m is None:
         m = pq_auto_subvectors(dim)
     sub_dim = dim // m
+    rotation = None
+    if opq:
+        from neighborly_spark.operators.ivfpq import (
+            _rotated_vectors,
+            opq_train_rotation,
+        )
+
+        rotation = opq_train_rotation(
+            df, dim, m=m, num_centroids=num_centroids, vec_col=vec_col, seed=seed
+        )
+        df = _rotated_vectors(df, vec_col, rotation)
     # per-centroid cap: 128 training points per centroid saturate a codebook
     # (faiss trains on 39-256/centroid); pulling more rows to the driver only
     # slows the Lloyd matrices linearly with zero recall effect
@@ -559,7 +618,7 @@ def pq_train_sampled(
         x = mat[:, s * sub_dim : (s + 1) * sub_dim]  # (n, sub_dim)
         centers = _lloyd(x, k, rng, max_iter)
         models.append(_ArrayKMeansModel(centers))
-    return PQModel(models, m, sub_dim, k)
+    return PQModel(models, m, sub_dim, k, rotation=rotation)
 
 
 def _lloyd(x, k: int, rng, max_iter: int, tol: float = 1e-4):
@@ -619,6 +678,12 @@ def pq_encode(
     """Attach array<int>[m] nearest-centroid codes. Computed as a pure
     Column expression against the broadcast centroid literals (no python in
     the scan; ProductQuantization.cs:289-306 equivalent)."""
+    if getattr(model, "rotation", None) is not None:
+        raise ValueError(
+            "pq_encode (the interpreted-HOF oracle tier) does not support "
+            "OPQ-rotated models — use pq_encode_vectorized, where the "
+            "rotation is one BLAS matmul per Arrow batch"
+        )
     code_cols = []
     for s, cents in enumerate(model.centroids):
         sl = F.slice(F.col(vec_col), s * model.sub_dim + 1, model.sub_dim)
@@ -670,6 +735,14 @@ def pq_encode_vectorized(
     cents = [np.asarray(c, dtype=np.float64) for c in model.centroids]  # m x (k, sub_dim)
     c_sq = [(c * c).sum(axis=1) for c in cents]
     sub_dim, m = model.sub_dim, model.m
+    # OPQ (round 10): codebooks live in rotated space — rotate each batch
+    # before the argmin (one extra BLAS matmul); the OUTPUT vec_col stays
+    # the ORIGINAL floats (the rerank tier scores unrotated)
+    rot = (
+        np.asarray(model.rotation, dtype=np.float64)
+        if getattr(model, "rotation", None) is not None
+        else None
+    )
     out_fields = df.schema.fieldNames() + [code_col]
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -691,6 +764,8 @@ def pq_encode_vectorized(
                     x = np.asarray(
                         [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][valid]]
                     )
+                    if rot is not None:
+                        x = x @ rot
                     codes = np.empty((len(x), m), dtype=np.int32)
                     for s in range(m):
                         xs = x[:, s * sub_dim : (s + 1) * sub_dim]
@@ -1239,7 +1314,12 @@ def pq_search(
     literal-free: planning a fresh query against an m*k'-element literal
     costs ~1 s at m=8/k'=256 (analysis/optimization re-walks the literal;
     the same trap measured 3.8 s on IVFPQ's 8k-element LUT — see
-    operators.ivfpq.ivfpq_search), while execution is identical."""
+    operators.ivfpq.ivfpq_search), while execution is identical.
+
+    OPQ-rotated models (round 10) rotate the query driver-side before the
+    LUT build — orthogonality preserves euclidean distances, so the ADC
+    estimate approximates the TRUE distance either way."""
+    query_vec = model.rotate_query(query_vec)
     flat = []  # [s][ci] flattened: squared distance at offset[s] + ci
     offsets = []  # cumulative, robust to sub-space codebooks of unequal size
     for s, cents in enumerate(model.centroids):

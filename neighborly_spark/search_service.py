@@ -168,8 +168,8 @@ class SearchService:
         metric = metric.lower()
         if metric not in ("euclidean", "cosine"):
             raise ValueError(f"unsupported index metric {metric!r}")
-        if opq and method != "ivfpq":
-            raise ValueError("opq=True applies to the ivfpq index only")
+        if opq and method not in ("ivfpq", "pq", "productquantization"):
+            raise ValueError("opq=True applies to the ivfpq and pq indexes only")
         if metric == "cosine" and method not in self._COSINE_METHODS:
             raise ValueError(
                 "metric='cosine' index builds are supported for "
@@ -198,7 +198,12 @@ class SearchService:
             # sampled one-pass trainer: recall >= the MLlib fit at equal cost
             # at the 150k tier, and its cost is constant in data size where
             # MLlib's is m x iters full scans (docs/RECALL.md verdict)
-            self._pq_model = QZ.pq_train_sampled(build_df, self.dim, vec_col=self.vec_col)
+            # opq=True (round 10): learn an orthogonal rotation first (the
+            # ivfpq trainer is method-agnostic); codes live rotated, the
+            # rerank tier still scores original floats
+            self._pq_model = QZ.pq_train_sampled(
+                build_df, self.dim, vec_col=self.vec_col, opq=opq
+            )
             # vectorized encode: the serving tier (Arrow-batched matmul argmin,
             # ~150x the interpreted-HOF pq_encode, identical codes test-gated)
             self._pq_encoded = QZ.pq_encode_vectorized(
@@ -666,6 +671,8 @@ class SearchService:
             extras["pq"] = {
                 "m": m.m, "sub_dim": m.sub_dim, "num_centroids": m.num_centroids,
                 "centroids": m.centroids,
+                # OPQ rotation (round 10): None unless built with opq=True
+                "rotation": m.rotation,
             }
         if self._sq_model is not None:
             self._sq_codes.write.mode("overwrite").parquet(f"{path}/indexes/sq_codes")
@@ -776,6 +783,7 @@ class SearchService:
             svc._pq_model = PQModel(
                 [_ArrayKMeansModel(np.asarray(c)) for c in p["centroids"]],
                 p["m"], p["sub_dim"], p["num_centroids"],
+                rotation=p.get("rotation"),
             )
             svc._pq_encoded = spark.read.parquet(f"{path}/indexes/pq_encoded")
         if "sq" in extras:
