@@ -399,6 +399,16 @@ def bench_dsir_logweights(spark, sf_dir):
     return dsir_logweights(docs, docs.filter("doc_id % 20 = 0"))
 
 
+def bench_bigram_logprob(spark, sf_dir):
+    """Bigram LM predictability scores (round 10, new operator): corpus
+    bigram counts + conditional denominators (both vocabulary-bounded
+    map-combined aggregates), broadcast-joined back per doc — the
+    order-aware sibling of unigram_logprob (operators/corpus.py)."""
+    from neighborly_spark.operators.corpus import bigram_logprob_score
+
+    return bigram_logprob_score(_docs(spark, sf_dir))
+
+
 def bench_dedup_simhash(spark, sf_dir):
     from neighborly_spark.operators.dedup import simhash_pairs
 
@@ -584,6 +594,7 @@ BENCH_LOCAL = {
     "dedup_minhash_docs": bench_dedup_minhash,
     "dedup_store_incr_docs": bench_dedup_store_incremental,  # new r9
     "dsir_logweights_docs": bench_dsir_logweights,  # new in round 8
+    "bigram_logprob_docs": bench_bigram_logprob,  # new in round 10
     "dedup_simhash_docs": bench_dedup_simhash,
     "dedup_jaccard_docs": bench_dedup_jaccard,
     "dedup_semantic_docs": bench_dedup_semantic,

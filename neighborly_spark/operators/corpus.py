@@ -268,6 +268,133 @@ FROM d, tot
 """.strip()
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bigram LM predictability signal (the CCNet perplexity-filter idea —
+    Wenzek et al., LREC 2020 — with the corpus's OWN MLE bigram model
+    instead of an external KenLM): per document, the mean negative
+    conditional log-probability -mean(ln P(w_i | w_{i-1})) with
+    P(w2|w1) = c(w1 w2) / c(w1 ·). LOW avg_neg_logprob = predictable,
+    templated transitions (boilerplate); HIGH = unusual transitions
+    (noisy/garbled text). Complements unigram_logprob_score, which sees
+    token RARITY but not ORDER — "the the the the" scores maximally
+    predictable here and ordinary there. Returns
+    (id, n_bigrams, avg_neg_logprob); docs with fewer than two tokens
+    carry n_bigrams=0 and a NULL score.
+
+    Scoring the counting corpus itself means every scored bigram was
+    counted (c12 >= 1 always), so MLE needs no smoothing or backoff —
+    there is no unseen mass. Apply the model only to its own corpus; a
+    held-out scorer would need the smoothing this deliberately omits.
+
+    Cross-engine float contract (same scheme as unigram_logprob_score):
+    ln(c12) and ln(c1dot) are EACH scaled and rounded to exact BIGINTs
+    per distinct bigram, so per-document aggregation is an integer sum —
+    order-independent under any shuffle; one final exact-integer division
+    rounds to 6dp.
+
+    Scale: bigram frequencies aggregate with map-side partial combine
+    (vocabulary-bounded output); the conditional denominator c(w1 ·)
+    derives FROM the bigram table (one more vocabulary-sized aggregate —
+    no extra corpus scan); the doc<->bigram join shuffles on the bigram
+    key; the per-doc sum shuffles on the doc key. Tokenization runs once
+    per consumer over a let-bound array column (Catalyst does not CSE
+    across lambda bodies — the cross-engine contract's standing rule)."""
+    s = int(scale)
+    arr = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_arr")
+    ).withColumn(
+        "_bgs",
+        F.zip_with(
+            F.slice(F.col("_arr"), 1, F.greatest(F.size("_arr") - 1, F.lit(0))),
+            F.slice(F.col("_arr"), 2, F.greatest(F.size("_arr") - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    bg = arr.select(F.col(id_col), F.explode(F.col("_bgs")).alias("_bg"))
+    freqs = bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = (
+        freqs.withColumn("_w1", F.substring_index(F.col("_bg"), " ", 1))
+        .groupBy("_w1")
+        .agg(F.sum("_c12").alias("_c1"))
+    )
+    lp = (
+        freqs.withColumn("_w1", F.substring_index(F.col("_bg"), " ", 1))
+        .join(c1, "_w1")
+        .select(
+            "_bg",
+            (
+                F.round(F.log(F.col("_c12").cast("double")) * s, 0).cast("long")
+                - F.round(F.log(F.col("_c1").cast("double")) * s, 0).cast("long")
+            ).alias("_lp"),
+        )
+    )
+    per_doc = (
+        bg.join(lp, "_bg")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp").alias("_s"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    -F.col("_s").cast("double")
+                    / F.col("n_bigrams")
+                    / F.lit(float(s)),
+                    6,
+                ),
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def bigram_logprob_duckdb_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> str:
+    s = int(scale)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {tokens_duckdb_sql(text_col)} AS _arr FROM {table}
+), bg AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, greatest(len(_arr), 1)),
+                               i -> _arr[i] || ' ' || _arr[i + 1])) AS _bg
+  FROM base
+), fr AS (
+  SELECT _bg, count(*) AS _c12 FROM bg GROUP BY _bg
+), c1 AS (
+  SELECT split_part(_bg, ' ', 1) AS _w1, sum(_c12) AS _c1
+  FROM fr GROUP BY 1
+), lp AS (
+  SELECT _bg,
+         CAST(round(ln(_c12::DOUBLE) * {s}, 0) AS BIGINT)
+         - CAST(round(ln(_c1::DOUBLE) * {s}, 0) AS BIGINT) AS _lp
+  FROM fr JOIN c1 ON split_part(fr._bg, ' ', 1) = c1._w1
+), d AS (
+  SELECT {id_col}, count(*) AS n_bigrams, sum(_lp) AS _s
+  FROM bg JOIN lp USING (_bg) GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       coalesce(d.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN d.n_bigrams > 0
+            THEN round(-_s::DOUBLE / d.n_bigrams / {s}.0, 6)
+       END AS avg_neg_logprob
+FROM (SELECT {id_col} FROM {table}) b LEFT JOIN d USING ({id_col})
+""".strip()
+
+
 def vocab_topk(
     df: DataFrame,
     k: int = 100,

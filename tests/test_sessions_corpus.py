@@ -327,3 +327,57 @@ def test_curation_pipeline_max_quality_survivor(spark):
     qb = {r.doc_id: r.quality for r in rb}
     # the quality policy never keeps a LOWER total quality than min-id
     assert sum(qb.values()) >= sum(qa.values())
+
+
+def test_bigram_logprob_hand_case_and_duckdb_twin(spark):
+    """bigram_logprob_score (round 10): MLE bigram predictability. Hand
+    case checks the conditionals; the DuckDB twin must be value-identical
+    on edge shapes (single-token docs -> n_bigrams 0 + NULL score, heavy
+    repetition, multi-space) — the property a future gate rotation rests
+    on."""
+    import math
+
+    import duckdb
+    import pytest
+
+    from neighborly_spark.operators.corpus import (
+        bigram_logprob_duckdb_sql,
+        bigram_logprob_score,
+    )
+
+    # corpus bigrams: "a a":1, "a b":3, "b a":1  => c(a .)=4, c(b .)=1
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b a b")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in bigram_logprob_score(df).collect()
+    }
+    # doc 0: P(a|a)=1/4, P(b|a)=3/4 -> mean(-ln) = (ln4 + ln(4/3))/2
+    assert got[0][0] == 2
+    assert got[0][1] == pytest.approx((math.log(4) + math.log(4 / 3)) / 2, abs=2e-6)
+    # doc 1: P(b|a)=3/4 twice, P(a|b)=1/1 -> (2*ln(4/3) + 0)/3
+    assert got[1][0] == 3
+    assert got[1][1] == pytest.approx(2 * math.log(4 / 3) / 3, abs=2e-6)
+
+    rows = [
+        (0, "the quick brown fox the quick dog"),
+        (1, "x"),                      # single token: 0 bigrams, NULL score
+        (2, ""),                       # empty text
+        (3, "  spark   JOIN  merge  "),
+        (4, "a a a a a a"),            # maximally predictable
+        (5, "the quick brown fox the quick dog"),  # exact dup of 0
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    spark_rows = sorted(
+        (r.doc_id, r.n_bigrams, r.avg_neg_logprob)
+        for r in bigram_logprob_score(sdf).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_in", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_in")
+    duck_rows = sorted(
+        (int(a), int(b), c)
+        for a, b, c in con.sql(bigram_logprob_duckdb_sql()).fetchall()
+    )
+    assert spark_rows == duck_rows
