@@ -305,13 +305,29 @@ class DedupStore:
         for sub, keys in _COMPACT_KEYS.items():
             legs = self._legs(sub)
             if not legs:
-                raise ValueError(f"nothing to compact: {self.path}/{sub} is empty")
-            full = reduce(lambda a, b: a.unionByName(b), legs)
+                # a sub-table can be legitimately empty (a store whose
+                # every doc is shorter than k tokens has exact rows but
+                # zero band rows) — skip it; a later compact() picks it
+                # up once rows exist. All-empty stores raise below.
+                continue
+            # full-row dedup (round-10 review): a crash between the
+            # manifest flip and the delta delete leaves base and delta
+            # overlapping — without this the overlap would be baked into
+            # every subsequent base forever (reads stay lawful either way
+            # via the read-time min-aggregation, but storage and join rows
+            # should not pay for it indefinitely)
+            full = reduce(lambda a, b: a.unionByName(b), legs).dropDuplicates()
             name = self._table_name(sub, new_ver)
             loc = f"{self.path}/{sub}_base_v{new_ver}"
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
             writer = (
-                full.write.mode("overwrite")
+                # explicit repartition on the bucket keys: without it each
+                # upstream task writes its own file per bucket (tasks x
+                # n_buckets small files — worse than the deltas being
+                # folded); with it, exactly n_buckets files, one sorted
+                # run each (round-10 review)
+                full.repartition(n_buckets, *keys)
+                .write.mode("overwrite")
                 .format("parquet")
                 .bucketBy(n_buckets, *keys)
                 .sortBy(*keys)
@@ -327,6 +343,13 @@ class DedupStore:
                     for f in self.spark.table(name).schema
                 ),
             }
+        if not staged:
+            raise ValueError(f"nothing to compact: {self.path} is empty")
+        # a sub skipped this round keeps its previous base (if any)
+        if old:
+            for sub in _COMPACT_KEYS:
+                if sub not in staged and sub in old.get("tables", {}):
+                    staged[sub] = old["tables"][sub]
         manifest = dict(self.manifest)
         manifest["compact"] = {
             "version": new_ver,
@@ -337,9 +360,16 @@ class DedupStore:
         self.manifest = manifest
         for sub in _COMPACT_KEYS:
             _fs_delete(self.spark, f"{self.path}/{sub}")
-            if old:
-                self.spark.sql(f"DROP TABLE IF EXISTS {old['tables'][sub]['table']}")
-                _fs_delete(self.spark, old["tables"][sub]["location"])
+            # sweep EVERY older version, not just the immediate
+            # predecessor (round-10 review): a crash between a past
+            # manifest flip and its delete loop can leave version v-1
+            # orphaned while the manifest already says v — deleting only
+            # `old` would leak that table + directory forever
+            for v in range(1, new_ver):
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(sub, v)}"
+                )
+                _fs_delete(self.spark, f"{self.path}/{sub}_base_v{v}")
 
     def _base(self, sub: str) -> DataFrame | None:
         """Bucketed base table, re-registered from the manifest when this
@@ -349,7 +379,9 @@ class DedupStore:
         info = self.compact_info
         if info is None:
             return None
-        t = info["tables"][sub]
+        t = info["tables"].get(sub)
+        if t is None:
+            return None  # sub was empty at every compact() so far
         if not self.spark.catalog.tableExists(t["table"]):
             keys = ", ".join(f"`{k}`" for k in t["keys"])
             self.spark.sql(
@@ -377,8 +409,31 @@ class DedupStore:
         # filter_new would pass duplicates as new (round-9 worker-cache
         # bug class)
         if _fs_exists(self.spark, p):
-            legs.append(self.spark.read.parquet(p))
-        return legs
+            try:
+                legs.append(self.spark.read.parquet(p))
+            except Exception as e:  # noqa: BLE001 — filtered to one SQLSTATE
+                # dynamic partition overwrite of a batch that produced no
+                # rows (e.g. every doc shorter than k tokens -> zero band
+                # rows) leaves the directory PRESENT but file-less;
+                # exists() passes and the read fails schema inference.
+                # That exact failure is positively identifiable and means
+                # "empty leg" — anything else (transient IO) must still
+                # RAISE, not read as an empty store (the round-9 rule).
+                if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                    raise
+        # _ingest_id normalized to STRING on every leg (round-10 review):
+        # parquet partition discovery TYPE-INFERS the partition column, so
+        # all-numeric ingest ids (the documented foreachBatch batch-id
+        # usage) read back as ints — a later non-numeric ingest_id would
+        # then crash add()'s anti-join filter under ANSI ('17' != 'backfill'
+        # on an int column), and compact()'s unionByName would reject
+        # mixed-type legs. One cast makes every consumer type-stable.
+        return [
+            leg.withColumn("_ingest_id", F.col("_ingest_id").cast("string"))
+            if "_ingest_id" in leg.columns
+            else leg
+            for leg in legs
+        ]
 
     def exact_matches(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -429,12 +484,18 @@ class DedupStore:
             )
         return keyed.drop(tmp)
 
-    def _neardup_candidates(self, batch_bands: DataFrame) -> DataFrame:
+    def _neardup_candidates(
+        self, batch_bands: DataFrame, legs: list[DataFrame] | None = None
+    ) -> DataFrame:
         """(b_id, s_id, b_sig, s_sig) candidate pairs: banded join per
         store leg, legs unioned, shared bands collapsed to one pair.
         Exposed for the plan assertion that the bucketed base leg joins
-        with no store-side Exchange."""
-        legs = self._legs("minhash")
+        with no store-side Exchange. ``legs`` lets neardup_matches reuse
+        its own lookup — _legs pays a catalog check + an FS exists() +
+        a parquet schema read, remote round trips on s3a (round-10
+        review)."""
+        if legs is None:
+            legs = self._legs("minhash")
         b = batch_bands.select(
             F.col("doc_id").alias("b_id"), "band", "key", F.col("sig").alias("b_sig")
         )
@@ -465,7 +526,8 @@ class DedupStore:
         against the stored signature, thresholded. Per (batch, store) pair
         the estimate is computed once (dropDuplicates on the pair)."""
         batch = self._band_rows(docs, id_col, text_col)
-        if not self._legs("minhash"):
+        legs = self._legs("minhash")
+        if not legs:
             return batch.select(
                 F.col("doc_id"),
                 F.lit(None).cast(batch.schema["doc_id"].dataType).alias("store_doc_id"),
@@ -484,7 +546,7 @@ class DedupStore:
             round_to,
         )
         return (
-            self._neardup_candidates(batch)
+            self._neardup_candidates(batch, legs)
             .withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= threshold)
             .select(

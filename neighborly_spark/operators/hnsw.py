@@ -67,9 +67,6 @@ M_DEFAULT = 16
 MAX_M0_DEFAULT = 32
 EF_CONSTRUCTION_DEFAULT = 200
 EF_DEFAULT = 200
-#: byte-per-dim codes packed 8-per-long in SQ8 artifacts — MUST equal
-#: quantization.SQ_BYTES_PER_WORD (the encode side); asserted in tests.
-SQ8_BYTES_PER_WORD = 8
 SEED_DEFAULT = 42
 #: Level-generation factor mL = 1/ln(M) — the Malkov-Yashunin paper's
 #: recommended value (§4.1: "the optimal mL = 1/ln(M)"), which puts 1/M of
@@ -1222,15 +1219,31 @@ def _dequantize_sq8_arrow(col, n: int, sq8: dict) -> np.ndarray:
     reshape -> one broadcasted shift/mask -> one fma. The arithmetic >>
     sign-extends the top byte; & 255 erases the extension (the numpy twin
     of sq_byte_expr)."""
+    from neighborly_spark.operators.quantization import SQ_BYTES_PER_WORD
+
     vmin = np.asarray(sq8["vmin"], dtype=np.float64)
     vmax = np.asarray(sq8["vmax"], dtype=np.float64)
     dim = len(vmin)
     scale = (vmax - vmin) / 255.0
-    n_words = (dim + SQ8_BYTES_PER_WORD - 1) // SQ8_BYTES_PER_WORD
-    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = (dim + SQ_BYTES_PER_WORD - 1) // SQ_BYTES_PER_WORD
+    raw = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    if raw.dtype.kind == "f" and np.isnan(raw).any():
+        # null packed words mark a non-finite source vector
+        # (sq_encode_expr's null gate). Graph artifacts are finite by
+        # construction (hnsw_build filters finite_vector_pred), so a null
+        # here means a hand-built artifact — astype would silently turn
+        # NaN into INT64_MIN and fabricate a finite-but-bogus vector that
+        # could be RETURNED as a neighbor (round-10 review). Fail loudly.
+        raise ValueError(
+            "sq8 snapshot shard contains null packed words (non-finite "
+            "source vectors); hnsw graph artifacts are finite by "
+            "construction — rebuild the graph through hnsw_build before "
+            "hnsw_snapshot_write(sq8=True)"
+        )
+    flat = raw.astype(np.int64)
     words = flat.reshape(n, n_words) if n else flat.reshape(0, n_words)
-    shifts = 8 * np.arange(SQ8_BYTES_PER_WORD, dtype=np.int64)
-    b = ((words[:, :, None] >> shifts) & 255).reshape(n, n_words * SQ8_BYTES_PER_WORD)[:, :dim]
+    shifts = 8 * np.arange(SQ_BYTES_PER_WORD, dtype=np.int64)
+    b = ((words[:, :, None] >> shifts) & 255).reshape(n, n_words * SQ_BYTES_PER_WORD)[:, :dim]
     return np.ascontiguousarray(vmin + b * scale, dtype=np.float32)
 
 

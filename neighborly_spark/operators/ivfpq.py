@@ -896,20 +896,25 @@ def _confirm_missing(part: str) -> bool:
     return fsys.get_file_info(rel).type == pafs.FileType.NotFound
 
 
-def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int, kp: int):
+def _load_snapshot_cell(
+    path: str, cell: int, version: str, id_col: str, m: int, kp: int,
+    vec_col: str = "embedding",
+):
     """Worker-side load of ONE cell's code rows from its parquet partition
     directory (pyarrow, no Spark plan involved), LRU-cached per worker.
     Returns (ids_s, idx_s, tags_by_col): the cell's ids sorted ascending
     (stable), the matching flat-gather LUT indexes — the exact
     precomputation group_score does per task, done once per
     (cell, version) per worker — and every TAG-shaped passthrough column
-    (int/string lists — tags, round 9) parsed to id-sorted frozensets via
+    (list-typed — tags, round 9) parsed to id-sorted frozensets via
     the hnsw snapshot tier's parser. Column-pruned at the parquet read
-    (round-9 ADVICE): only id, code, and tag-shaped list columns are
-    fetched — float-list payloads (the embedding array a generic
-    ivf_write layout may carry) never leave storage, since ADC needs
-    codes only and rerank joins the caller's df. ONE entry per
-    (path, cell, version) with tags parsed unconditionally at load (the
+    (round-9 ADVICE): only id, code, and list-typed columns OTHER THAN
+    ``vec_col`` are fetched — the embedding payload a generic ivf_write
+    layout may carry never leaves storage (ADC needs codes only, rerank
+    joins the caller's df), while float-typed TAG columns stay
+    filterable (pruning by element type would silently drop them — the
+    hnsw tier's mask supports kind=float; round-10 review). ONE entry per
+    (path, cell, version, vec_col) with tags parsed unconditionally (the
     round-7 VERDICT 8 rule: filtered-after-unfiltered must serve warm).
     A cell no row was assigned to has no partition directory: cached as
     empty (queries probing it contribute no candidates, same as the
@@ -918,7 +923,7 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
 
     from neighborly_spark.operators.worker_cache import WORKER_CACHE
 
-    key = ("ivfpq", path, int(cell), version)
+    key = ("ivfpq", path, int(cell), version, vec_col)
     hit = WORKER_CACHE.get(key)
     if hit is None:
         import pyarrow as pa
@@ -927,13 +932,12 @@ def _load_snapshot_cell(path: str, cell: int, version: str, id_col: str, m: int,
         part = f"{path}/{CLUSTER_COL}={int(cell)}"
         try:
             dset = pds.dataset(part, format="parquet")
-            core = {id_col, CODE_COL, CLUSTER_COL}
+            core = {id_col, CODE_COL, CLUSTER_COL, vec_col}
             keep = [id_col, CODE_COL] + [
                 f.name
                 for f in dset.schema
                 if f.name not in core
                 and (pa.types.is_list(f.type) or pa.types.is_large_list(f.type))
-                and not pa.types.is_floating(f.type.value_type)
             ]
             tbl = dset.to_table(columns=keep)
         except FileNotFoundError:
@@ -1076,7 +1080,7 @@ def ivfpq_knn_join_snapshot(
     def per_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(key[0])
         ids_s, idx_s, tags_by_col = _load_snapshot_cell(
-            codes_path, cell, version, id_col, m, kp
+            codes_path, cell, version, id_col, m, kp, vec_col
         )
         if filtered and len(ids_s):
             from neighborly_spark.operators.hnsw import _tags_allowed_mask

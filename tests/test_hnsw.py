@@ -1204,14 +1204,8 @@ def test_sq8_snapshot_artifacts(spark, emb, tmp_path):
     served without its params fails loudly instead of mis-reading."""
     import os
 
-    from neighborly_spark.operators.hnsw import (
-        SQ8_BYTES_PER_WORD,
-        hnsw_search_batch_snapshot,
-    )
-    from neighborly_spark.operators.quantization import SQ_BYTES_PER_WORD
+    from neighborly_spark.operators.hnsw import hnsw_search_batch_snapshot
     from neighborly_spark.search_service import SearchService
-
-    assert SQ8_BYTES_PER_WORD == SQ_BYTES_PER_WORD  # packed-layout contract
 
     svc = SearchService(emb, dim=64)
     svc.build_index("hnsw")

@@ -1582,3 +1582,50 @@ def test_flat_pq_opq_no_harm_rerank_and_service_roundtrip(spark, tmp_path):
     enc_p.unpersist()
     enc_o.unpersist()
     df.unpersist()
+
+
+def test_ivfpq_snapshot_float_tags_stay_filterable(spark, emb, ivfpq_model, tmp_path):
+    """Round-10 review: the column-pruned cell read must not drop FLOAT-
+    typed tag columns (the round-9 prune excluded every float-list column
+    to keep embeddings out of the read — but the tier's mask supports
+    kind=float, and the hnsw snapshot tier serves float tags). The
+    embedding payload is pruned BY NAME instead."""
+    from neighborly_spark.operators.ivf import CLUSTER_COL
+
+    tagged = emb.withColumn(
+        "tags", F.array((F.col("id") % 2).cast("double"))
+    ).cache()
+    tagged.count()
+    enc = IVFPQ.ivfpq_encode(tagged, ivfpq_model).join(
+        tagged.select("id", "tags", "embedding"), "id"
+    ).cache()
+    enc.count()
+    path = str(tmp_path / "codes_ftags")
+    # artifact carries BOTH a float tags column AND the embedding payload
+    enc.write.partitionBy(CLUSTER_COL).parquet(path)
+    qrows = tagged.limit(3).select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    ).cache()
+    qrows.count()
+    got = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join_snapshot(
+            spark, path, ivfpq_model, qrows, K, version="vft1",
+            nprobe=8, df=tagged, tag_any=[1.0],
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.id, r.dist)
+        for r in IVFPQ.ivfpq_knn_join(
+            enc.drop("embedding").filter(
+                F.arrays_overlap(F.col("tags"), F.lit([1.0]).cast("array<double>"))
+            ),
+            ivfpq_model, qrows, K, nprobe=8, df=tagged,
+        ).collect()
+    )
+    assert got == want and got
+    assert all(i % 2 == 1 for _, i, _ in got)
+    tagged.unpersist()
+    enc.unpersist()
+    qrows.unpersist()
