@@ -66,6 +66,17 @@ Hadoop FileSystem API, not driver-local open() (round-9 ADVICE).
 Batch-INTERNAL duplicates are out of scope by design: dedup the batch with
 the existing self-dedup operators first (exact_dedup / minhash_lsh_pairs),
 then check the survivors against the store.
+
+Bounding near-dup mega-clusters: exact duplicates never grow the store
+(first-seen only), but NEAR-identical variants are each exact-unique and
+each would add band rows — a templated 10^6-doc family then shares band
+keys, and a matching batch doc generates 10^6 candidate rows. The caller
+controls this: add() only the docs that passed BOTH gates (the streaming
+composition in tests does exactly that), so each near-dup family keeps
+ONE representative in the store — candidate fan-out per batch doc stays
+O(family representatives), at the standard online-clustering recall
+trade (a new doc must near-duplicate the representative, not an absorbed
+member).
 """
 
 from __future__ import annotations
