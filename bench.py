@@ -761,6 +761,180 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- self-adjudication (round 11, r10 VERDICT item 1) ------------------------
+#
+# Three consecutive rounds (r8 pq_search, r9 ivf_probe, r10's three 100k
+# entries) burned builder+judge time proving in-bench spikes ENVIRONMENTAL
+# with manual dedicated A/Bs — the shared host oscillates on minutes
+# scales and hits python-worker stages hardest. The bench now adjudicates
+# itself:
+#   (a) two fixed CALIBRATION entries — one pure-JVM codegen scan and one
+#       python-worker round trip — run at the START and END of the run and
+#       ship all samples in the BENCH json: a calm run shows flat
+#       calibration; an oscillating host shows it directly, no code
+#       involved (the workloads are synthetic constants, independent of
+#       the testdata).
+#   (b) every entry whose in-bench time exceeds ADJUDICATE_FACTOR x its
+#       prior record (BENCH_BASELINE.json — updated each round from quiet
+#       dedicated measurements) is automatically RE-MEASURED in a fresh
+#       subprocess SparkSession (the scripts/bench_dedicated.py method
+#       that settled every past adjudication) and the result stamped into
+#       an `adjudications` field, so code-vs-environment is readable from
+#       the shipped file alone.
+
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+ADJUDICATE_FACTOR = 1.5
+#: dedicated re-checks are a fresh JVM + index build each — cap the tail
+#: a pathologically noisy run can add (worst offenders re-run first)
+_ADJUDICATE_MAX = int(os.environ.get("SPARK_GRAFT_ADJUDICATE_MAX", "6"))
+
+
+def _calib_jvm(spark, _sf_dir):
+    """Pure-JVM calibration: one codegen hash scan over a fixed range —
+    no testdata, no python workers, no shuffle."""
+    return spark.range(256_000_000).select(F.xxhash64("id").alias("h"))
+
+
+def _calib_python(spark, _sf_dir):
+    """Python-worker calibration: a fixed-size identity mapInPandas —
+    times worker spin-up + the Arrow round trip, nothing else."""
+
+    def ident(batches):
+        yield from batches
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    return spark.range(150_000).repartition(cpus).mapInPandas(ident, "id long")
+
+
+_CALIBRATION = {"calib_jvm_scan": _calib_jvm, "calib_python_noop": _calib_python}
+
+
+def _run_calibration(spark) -> dict:
+    """{name: [3 timed runs]} — one untimed warm-up then 3 timed, same
+    protocol as the shared entries."""
+    out = {}
+    for name, build in _CALIBRATION.items():
+        spark.sparkContext.setJobDescription(f"calibration: {name}")
+        _force(build(spark, SF_DIR))
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(build(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 4))
+        out[name] = runs
+        spark.sparkContext.setJobDescription(None)
+    return out
+
+
+def _load_baseline() -> dict:
+    path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", _BASELINE_FILE)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return doc.get("entries", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _dedicated_recheck(entry: str, layout_dir: str) -> dict | None:
+    """Re-measure ONE entry in a fresh subprocess SparkSession (warm-up +
+    timed runs per the entry's own protocol). Returns the child's JSON or
+    None when the child fails — adjudication must never sink the run."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_PRELAYOUT_DIR"] = layout_dir
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--dedicated-entry", entry],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(f"dedicated recheck of {entry} failed:\n{proc.stderr[-2000:]}\n")
+        return None
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (IndexError, ValueError):
+        sys.stderr.write(f"dedicated recheck of {entry}: unparseable output\n")
+        return None
+
+
+def _dedicated_entry_main(entry: str) -> None:
+    """Child entry (bench.py --dedicated-entry <name>): fresh session,
+    one entry, its own timing protocol (BENCH_SINGLE entries: eager setup
+    + ONE timed run, matching their in-bench stat; everything else:
+    warm-up + median-of-3)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    spark = get_spark(app_name=f"bench-dedicated-{entry}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    global SF_DIR
+    pre = os.environ.get("SPARK_GRAFT_PRELAYOUT_DIR")
+    if pre:
+        SF_DIR = pre
+    elif os.environ.get("SPARK_GRAFT_RELAYOUT", "1") != "0":
+        SF_DIR = _relayout(spark, SF_DIR, cpus)
+    build = (
+        BENCH_LOCAL.get(entry)
+        or BENCH_STEADY.get(entry)
+        or BENCH_SINGLE.get(entry)
+        or ({n: REGISTRY[n].build for n in BENCH_FROM_REGISTRY if n in REGISTRY}).get(entry)
+    )
+    if build is None:
+        raise SystemExit(f"unknown bench entry {entry!r}")
+    if entry in BENCH_SINGLE:
+        build(spark, SF_DIR)  # eager setup (untimed index build)
+        t0 = time.perf_counter()
+        _force(build(spark, SF_DIR))
+        runs = [round(time.perf_counter() - t0, 4)]
+    else:
+        _force(build(spark, SF_DIR))  # warm-up + untimed fits
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(build(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 4))
+    print(json.dumps({"entry": entry, "median": sorted(runs)[len(runs) // 2], "runs": runs}))
+    spark.stop()
+
+
+def _adjudicate(timings: dict, layout_dir: str) -> dict:
+    """Flag every entry > ADJUDICATE_FACTOR x its baseline record, re-run
+    the worst offenders dedicated, and stamp verdicts: 'environmental'
+    when the dedicated time is back inside 1.25x the record, 'confirmed'
+    when even a quiet dedicated session stays > ADJUDICATE_FACTOR x, else
+    'inconclusive' (in between — judge reads the numbers)."""
+    baseline = _load_baseline()
+    if not baseline or os.environ.get("SPARK_GRAFT_ADJUDICATE", "1") == "0":
+        return {}
+    flagged = sorted(
+        (
+            (name, t, baseline[name], t / baseline[name])
+            for name, t in timings.items()
+            if name in baseline and baseline[name] > 0 and t > ADJUDICATE_FACTOR * baseline[name]
+        ),
+        key=lambda x: -x[3],
+    )
+    out: dict = {}
+    for name, t, rec, ratio in flagged:
+        entry: dict = {"record": rec, "in_bench": t, "ratio": round(ratio, 3)}
+        if len(out) < _ADJUDICATE_MAX:
+            got = _dedicated_recheck(name, layout_dir)
+            if got is not None:
+                best = min(got["runs"])
+                entry["dedicated_runs"] = got["runs"]
+                entry["dedicated_median"] = got["median"]
+                entry["verdict"] = (
+                    "environmental"
+                    if best <= 1.25 * rec
+                    else "confirmed" if best > ADJUDICATE_FACTOR * rec else "inconclusive"
+                )
+            else:
+                entry["verdict"] = "recheck_failed"
+        else:
+            entry["verdict"] = "skipped_cap"
+        out[name] = entry
+    return out
+
+
 _TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -858,6 +1032,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_RELAYOUT", "1") != "0":
         SF_DIR = _relayout(spark, SF_DIR, cpus)
 
+    # calibration leg 1 (round 11): host state at the START of the run
+    calib_start = _run_calibration(spark)
+
     builders = {n: REGISTRY[n].build for n in BENCH_FROM_REGISTRY if n in REGISTRY}
     builders.update(BENCH_LOCAL)
 
@@ -895,6 +1072,11 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs[-3:])[1], 4)
         spreads[name] = [round(r, 4) for r in runs]
+
+    # calibration leg 2 (round 11): host state at the END of the shared
+    # set — a drifting host shows directly in start-vs-end deltas of two
+    # synthetic constant workloads
+    calib_end = _run_calibration(spark)
 
     # corpus fingerprint BEFORE stopping the shared session
     corpus = _fingerprint(spark, orig_sf_dir)
@@ -934,6 +1116,11 @@ def main() -> None:
                 sys.stderr.write(proc.stdout[-2000:])
                 single_isolation = "subprocess_output_unparseable"
 
+    # auto-adjudication (round 11): every entry > 1.5x its prior record is
+    # re-measured in a fresh dedicated session; runs after the parent
+    # session stops (each recheck is its own subprocess JVM)
+    adjudications = _adjudicate(timings, SF_DIR)
+
     sf = orig_sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_queries_total_sec",
@@ -955,6 +1142,14 @@ def main() -> None:
         # since round 9 the shared entries are measured in a session the
         # BENCH_SINGLE aggregates never touch (r8 VERDICT 1)
         "single_isolation": single_isolation,
+        # round 11 (r10 VERDICT 1): synthetic-constant host calibration at
+        # run start/end + automatic dedicated re-checks of every entry
+        # breaching 1.5x its prior quiet record (BENCH_BASELINE.json)
+        "calibration": {
+            name: {"start": calib_start[name], "end": calib_end[name]}
+            for name in _CALIBRATION
+        },
+        "adjudications": adjudications,
         "runs": spreads,
         "corpus": corpus,
     }
@@ -968,4 +1163,6 @@ def main() -> None:
 if __name__ == "__main__":
     if "--single-only" in sys.argv[1:]:
         sys.exit(_single_subprocess_main())
+    if "--dedicated-entry" in sys.argv[1:]:
+        sys.exit(_dedicated_entry_main(sys.argv[sys.argv.index("--dedicated-entry") + 1]))
     sys.exit(main())

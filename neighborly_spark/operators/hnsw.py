@@ -1226,7 +1226,19 @@ def _dequantize_sq8_arrow(col, n: int, sq8: dict) -> np.ndarray:
     dim = len(vmin)
     scale = (vmax - vmin) / 255.0
     n_words = (dim + SQ_BYTES_PER_WORD - 1) // SQ_BYTES_PER_WORD
-    raw = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    combined = col.combine_chunks()
+    if combined.null_count:
+        # a row whose ENTIRE list is null would be silently dropped by
+        # flatten() and surface later as an opaque reshape ValueError
+        # (round-10 ADVICE) — raise the same diagnostic as the
+        # null-element path below
+        raise ValueError(
+            "sq8 snapshot shard contains null packed words (non-finite "
+            "source vectors); hnsw graph artifacts are finite by "
+            "construction — rebuild the graph through hnsw_build before "
+            "hnsw_snapshot_write(sq8=True)"
+        )
+    raw = combined.flatten().to_numpy(zero_copy_only=False)
     if raw.dtype.kind == "f" and np.isnan(raw).any():
         # null packed words mark a non-finite source vector
         # (sq_encode_expr's null gate). Graph artifacts are finite by

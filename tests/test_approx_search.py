@@ -760,3 +760,24 @@ def test_index_stats_drift_flags(spark, emb):
     stats = {s["index"]: s for s in svc.index_stats()}
     assert stats["bq"]["appended_frac"] > 0.25
     assert stats["bq"]["needs_retrain"] is True
+
+
+def test_search_service_save_load_file_scheme_uri(spark, emb, query, tmp_path):
+    """Round-11 (r10 VERDICT item 2): SearchService.save/load route
+    service.json through the Hadoop FileSystem API — a `file:`-scheme URI
+    (which driver-local open() cannot handle) round-trips end to end,
+    exercising the same code path as s3a:// / hdfs:// store paths."""
+    svc = SearchService(emb, dim=64)
+    svc.build_index("bq")
+    before = [
+        (r.id, round(r.dist, 6))
+        for r in svc.search(query_vec=query, k=5, method="bq").collect()
+    ]
+    path = f"file://{tmp_path}/db_uri"
+    svc.save(path)
+    loaded = SearchService.load(spark, path)
+    after = [
+        (r.id, round(r.dist, 6))
+        for r in loaded.search(query_vec=query, k=5, method="bq").collect()
+    ]
+    assert after == before

@@ -415,3 +415,33 @@ def test_short_doc_only_store_stays_queryable(spark, store):
     store.compact()
     got2 = store.exact_matches(_docs(spark, [(9, "doc one")])).collect()
     assert [(r.doc_id, r.dup_of) for r in got2] == [(9, 1)]
+
+
+def test_single_base_exact_matches_elides_read_time_aggregation(spark, store):
+    """Round-11 optimization (r10 VERDICT next-round item 4): when the
+    ONLY exact leg is the compacted bucketed base, its fingerprints are
+    unique by construction, so exact_matches skips the post-join
+    min(dup_of) aggregation — no aggregation Exchange over the matched
+    pairs — while any un-compacted delta leg keeps it. Results must be
+    identical either way."""
+    docs = [(1, "alpha text one"), (2, "beta text two"), (3, "gamma text three")]
+    store.add(_docs(spark, docs), "day0")
+    batch = _docs(spark, [(11, "alpha text one"), (12, "beta text two"), (13, "unseen")])
+
+    # pre-compact (delta leg): the aggregation is present in the plan
+    pre = store.exact_matches(batch)
+    assert "min(dup_of" in pre._jdf.queryExecution().optimizedPlan().toString()
+    pre_rows = {(r.doc_id, r.dup_of) for r in pre.collect()}
+    assert pre_rows == {(11, 1), (12, 2)}
+
+    store.compact(n_buckets=4)
+    post = store.exact_matches(batch)
+    plan = post._jdf.queryExecution().optimizedPlan().toString()
+    assert "min(dup_of" not in plan, plan  # elided in the single-base state
+    assert {(r.doc_id, r.dup_of) for r in post.collect()} == pre_rows
+
+    # a fresh delta re-introduces a second leg -> the aggregation returns
+    store.add(_docs(spark, [(4, "delta text four")]), "day1")
+    mixed = store.exact_matches(batch)
+    assert "min(dup_of" in mixed._jdf.queryExecution().optimizedPlan().toString()
+    assert {(r.doc_id, r.dup_of) for r in mixed.collect()} == pre_rows

@@ -1295,3 +1295,24 @@ def test_sq8_pack_unpack_roundtrip(spark, emb):
     tol = np.asarray(model.scale, dtype=np.float64) / 2 + 1e-6
     assert np.all(np.abs(deq.astype(np.float64) - orig) <= tol[None, :])
     sample.unpersist()
+
+
+def test_sq8_list_level_null_raises_loudly():
+    """Round-10 ADVICE: a row whose ENTIRE packed-words list is null is
+    silently dropped by Arrow's flatten(), which used to bypass the
+    null-element diagnostic and fail later in an opaque numpy reshape.
+    Both null shapes must raise the same 'null packed words' ValueError."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from neighborly_spark.operators.hnsw import _dequantize_sq8_arrow
+
+    params = {"vmin": [0.0] * 8, "vmax": [1.0] * 8}
+    # list-level null (row 2 entirely null)
+    codes = pa.chunked_array([pa.array([[1], [2], None], type=pa.list_(pa.int64()))])
+    with _pytest.raises(ValueError, match="null packed words"):
+        _dequantize_sq8_arrow(codes, 3, params)
+    # element-level null keeps raising too
+    codes2 = pa.chunked_array([pa.array([[1], [None], [3]], type=pa.list_(pa.int64()))])
+    with _pytest.raises(ValueError, match="null packed words"):
+        _dequantize_sq8_arrow(codes2, 3, params)
