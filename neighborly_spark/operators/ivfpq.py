@@ -46,6 +46,66 @@ CODE_COL = "pq_code"
 _LUT_QUERY_CHUNK = 512
 
 
+def _residual_luts(res2d, books, books_sq, m, sub_dim, kp):
+    """(n, m, k') squared-distance LUTs for (n, dim) float64 residuals via
+    the expansion form ||r-c||^2 = r.r - 2 r.c + c.c — one batched einsum
+    (BLAS) instead of the broadcast-subtract that materializes an
+    (n, m, k', sub_dim) intermediate (round 11: measured ~2.5x per chunk
+    at m=8, k'=256, sub_dim=8). Entries are clamped at 0 (the expansion
+    can round a true 0 to -1e-16, and downstream takes sqrt of LUT sums).
+    This is THE LUT definition for every numpy ADC tier — the list path,
+    the cogroup path, and the snapshot tier all call it, so their
+    distances stay bit-equal by construction (test-gated)."""
+    import numpy as np
+
+    r = res2d.reshape(len(res2d), m, sub_dim)
+    rsq = np.einsum("nms,nms->nm", r, r)
+    cross = np.einsum("nms,mks->nmk", r, books)
+    return np.maximum(rsq[:, :, None] - 2.0 * cross + books_sq[None, :, :], 0.0)
+
+
+def _adc_dists(ld, idx_s, m):
+    """(chunk, n) ADC distance sums: for each code row, gather its m LUT
+    entries and accumulate SEQUENTIALLY over subspaces (s ascending) —
+    m two-dimensional gathers instead of one (chunk, n, m) fancy-index +
+    reduce (round 11: the 3D gather materialized ~chunk x n x m doubles
+    per chunk and was the kernel's dominant cost). The accumulation order
+    is part of the cross-tier bit-equality contract: the list path sums
+    its per-row gathers in the same s-ascending sequential order."""
+    dist = ld[:, idx_s[:, 0]].copy()
+    for s in range(1, m):
+        dist += ld[:, idx_s[:, s]]
+    return dist
+
+
+def _topk_stable(dist, fetch):
+    """Exactly np.argsort(dist, axis=1, kind='stable')[:, :fetch] — the
+    (value, position) lexicographic top-fetch — via argpartition + a
+    bounded stable sort (round 11: ~4x cheaper than the full row argsort
+    at n~2-5k, fetch=50). Rows whose boundary ties straddle the partition
+    (more values equal to the kth than the candidate set holds — which
+    ties were kept would then depend on partition internals, not
+    position) fall back to the full stable argsort: exactness first, and
+    such rows need duplicate ADC sums exactly at the boundary."""
+    import numpy as np
+
+    n = dist.shape[1]
+    if n <= fetch:
+        return np.argsort(dist, axis=1, kind="stable")
+    part = np.argpartition(dist, fetch - 1, axis=1)[:, :fetch]
+    part.sort(axis=1)  # position order -> stable tie-break within the set
+    vals = np.take_along_axis(dist, part, axis=1)
+    sub = np.argsort(vals, axis=1, kind="stable")
+    order = np.take_along_axis(part, sub, axis=1)
+    kth = np.take_along_axis(vals, sub[:, -1:], axis=1)[:, 0]
+    n_eq_all = (dist == kth[:, None]).sum(axis=1)
+    n_eq_sel = (vals == kth[:, None]).sum(axis=1)
+    bad = np.nonzero((n_eq_all != n_eq_sel) | np.isnan(kth))[0]
+    for i in bad:
+        order[i] = np.argsort(dist[i], kind="stable")[:fetch]
+    return order
+
+
 def _score_sorted_codes(
     qids, qv, cell, ids_s, idx_s, fetch, coarse, books, m, sub_dim, kp, id_col
 ):
@@ -56,29 +116,31 @@ def _score_sorted_codes(
     so the two are bit-equal by construction.
 
     Task-local residual LUTs from the broadcast codebooks (round-6
-    VERDICT 1: never driver-side) — same reductions as the list path,
-    computed in bounded QUERY CHUNKS (round 8): the LUT broadcast-
-    subtract materializes a (nq, m, k', sub_dim) intermediate, which at
-    100k-query fan-in is multi-GB PER TASK (measured: 10k->100k queries
-    took the whole join 19 s -> 464 s — memory thrash, not compute). A
-    512-query chunk caps it (and the (chunk, n, m) gather) at ~150 MB
-    with bit-identical per-element math (no summation order changes).
-    ``ids_s``/``idx_s`` are the cell's ids and flat-gather indexes
-    PRE-SORTED by id (stable), so the stable argsort over distances
-    breaks ties in id order — exactly lexsort((ids, dist)) per query."""
+    VERDICT 1: never driver-side), computed in bounded QUERY CHUNKS
+    (round 8): per-task intermediates stay ~chunk-sized at 100k-query
+    fan-in (measured: 10k->100k queries took the whole join 19 s ->
+    464 s unchunked — memory thrash, not compute). Round 11 rebuilt the
+    per-chunk math on three measured wins with the SAME results contract:
+    _residual_luts (einsum expansion, ~2.5x), _adc_dists (sequential 2D
+    gathers, no 3D intermediate), _topk_stable (partition select, ~4x) —
+    each shared with (or order-matched to) the list path, so the tiers
+    stay bit-equal (test-gated). ``ids_s``/``idx_s`` are the cell's ids
+    and flat-gather indexes PRE-SORTED by id (stable), so the stable
+    top-fetch breaks distance ties in id order — exactly
+    lexsort((ids, dist)) per query."""
     import numpy as np
     import pandas as pd
 
+    books_sq = np.einsum("mks,mks->mk", books, books)
     out_q: list = []
     out_i: list = []
     out_d: list = []
     for start in range(0, len(qv), _LUT_QUERY_CHUNK):
         qb = qv[start : start + _LUT_QUERY_CHUNK]
-        res = (qb - coarse[cell]).reshape(len(qb), m, sub_dim)
-        lut = ((res[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+        lut = _residual_luts(qb - coarse[cell], books, books_sq, m, sub_dim, kp)
         ld = lut.reshape(len(qb), m * kp)
-        dist = ld[:, idx_s].sum(-1)  # (chunk, n) — same m-length reduction
-        order = np.argsort(dist, axis=1, kind="stable")[:, :fetch]
+        dist = _adc_dists(ld, idx_s, m)  # (chunk, n)
+        order = _topk_stable(dist, fetch)
         sel_d = np.take_along_axis(dist, order, axis=1)  # (chunk, f)
         nf = order.shape[1]
         out_q.append(np.repeat(qids[start : start + len(qb)], nf))
@@ -560,8 +622,14 @@ def ivfpq_knn_join(
     dcell = ((qvecs[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
     order = np.argsort(dcell, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
     res = qvecs[:, None, :] - coarse[order]  # (nq, nprobe, dim)
-    r = res.reshape(nq, nprobe, m, sub_dim)
-    lut = ((r[:, :, :, None, :] - books[None, None, :, :, :]) ** 2).sum(-1)
+    # the SHARED LUT definition (_residual_luts — round 11): the cogroup/
+    # snapshot tiers compute theirs with the same einsum expansion, so
+    # per-(query, probe) LUT values stay bit-equal across the tiers
+    books_sq = np.einsum("mks,mks->mk", books, books)
+    lut = _residual_luts(
+        res.reshape(nq * nprobe, m * sub_dim), books, books_sq, m, sub_dim,
+        model.pq.num_centroids,
+    ).reshape(nq, nprobe, m, model.pq.num_centroids)
     pos = -np.ones((nq, nlist), dtype=np.int64)
     for i in range(nq):
         pos[i, order[i]] = np.arange(nprobe)
@@ -591,7 +659,14 @@ def ivfpq_knn_join(
                     continue
                 c = codes[midx]  # (nm, m)
                 lut_i = lut[i, p[midx]]  # (nm, m, k')
-                dist = np.take_along_axis(lut_i, c[:, :, None], axis=2)[:, :, 0].sum(1)
+                # sequential s-ascending accumulation — the same float-add
+                # order as the cogroup/snapshot tiers' _adc_dists, so the
+                # summed distances stay bit-equal across the tiers
+                dist = np.take_along_axis(lut_i[:, 0, :], c[:, :1], axis=1)[:, 0].copy()
+                for s in range(1, m):
+                    dist += np.take_along_axis(
+                        lut_i[:, s, :], c[:, s : s + 1], axis=1
+                    )[:, 0]
                 ids_m = ids[midx]
                 sel = np.lexsort((ids_m, dist))[:fetch]  # (dist, id) order
                 acc[i].extend(zip(dist[sel], ids_m[sel]))

@@ -1629,3 +1629,29 @@ def test_ivfpq_snapshot_float_tags_stay_filterable(spark, emb, ivfpq_model, tmp_
     tagged.unpersist()
     enc.unpersist()
     qrows.unpersist()
+
+
+def test_topk_stable_matches_stable_argsort_under_ties():
+    """Round-11 kernel rebuild: _topk_stable must equal the full stable
+    argsort EXACTLY — including rows where duplicate distance values
+    straddle the fetch boundary (the partition fallback path) and rows
+    shorter than fetch."""
+    import numpy as np
+
+    from neighborly_spark.operators.ivfpq import _topk_stable
+
+    rng = np.random.default_rng(7)
+    fetch = 8
+    # adversarial: few distinct values -> heavy boundary ties
+    for ncols, nvals in ((40, 5), (40, 2), (6, 3), (200, 7), (200, 1000)):
+        dist = rng.integers(0, nvals, size=(17, ncols)).astype(np.float64)
+        want = np.argsort(dist, axis=1, kind="stable")[:, :fetch]
+        got = _topk_stable(dist, fetch)
+        assert np.array_equal(want, got), (ncols, nvals)
+    # NaN rows fall back to the stable argsort
+    dist = rng.random(size=(5, 30))
+    dist[2, ::3] = np.nan
+    dist[4, :] = np.nan
+    want = np.argsort(dist, axis=1, kind="stable")[:, :fetch]
+    got = _topk_stable(dist, fetch)
+    assert np.array_equal(want, got)
