@@ -190,8 +190,16 @@ def dsir_fit(
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     s = int(scale)
-    tgt = _bucket_counts(target, text_col, buckets, n_max)
-    q = _bucket_counts(raw, text_col, buckets, n_max)
+    # localCheckpoint the two histograms (round 11): each is consumed by
+    # TWO jobs — the score-table join and the normalizer aggregate — and
+    # without materialization each job re-runs the full corpus tokenize +
+    # explode + aggregate that produced it (measured: the norm .first()
+    # alone re-tokenized both corpora). The checkpointed frames are
+    # BOUNDED at <= ``buckets`` rows (~1 MB at the default 65536) — this
+    # is model-sized state, not the corpus-sized gram table the module
+    # docstring rules out materializing.
+    tgt = _bucket_counts(target, text_col, buckets, n_max).localCheckpoint()
+    q = _bucket_counts(raw, text_col, buckets, n_max).localCheckpoint()
     # add-one smoothing covers buckets absent from either histogram, so
     # the score table is the OUTER join of two <=B-row frames (never a
     # dense B-row sequence — only buckets some gram actually hits can be
@@ -255,11 +263,19 @@ def dsir_score(
             6,
         ).alias("log_weight"),
     )
-    # featureless docs: keep them, weight 0 (join-lost by the explode)
-    rest = docs.select(id_col).join(scored.select(id_col), id_col, "left_anti")
+    # featureless docs: keep them, weight 0 (join-lost by the explode).
+    # Detected DIRECTLY — a doc has zero n-grams iff its nonempty-token
+    # array is empty — instead of the previous anti-join against
+    # ``scored``, whose build side re-ran the whole corpus-sized
+    # tokenize + explode + per-doc aggregate a second time (round 11:
+    # the plan showed the full gram subtree duplicated under the
+    # anti-join). One narrow filter pass, no join, no shuffle.
+    no_grams = F.col(text_col).isNull() | (
+        F.size(F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)) == 0
+    )
     return scored.unionByName(
-        rest.select(
-            id_col,
+        docs.filter(no_grams).select(
+            F.col(id_col),
             F.lit(0).cast("long").alias("n_grams"),
             F.lit(0.0).alias("log_weight"),
         )

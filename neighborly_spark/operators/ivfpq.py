@@ -879,12 +879,27 @@ def _probe_assign(qsrc: DataFrame, coarse, nprobe: int, rotation=None) -> DataFr
             d = ((qv[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
             order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
             npb = order.shape[1]
+            # emit the replicated embeddings as ndarray REFERENCES, never
+            # .tolist() (round 11): materializing nq x nprobe x dim python
+            # floats dominated the whole 100k-query batch entry (measured
+            # 61-79 s of a ~120 s run just forcing this stage — ~25M boxed
+            # floats per pass). np.repeat on an object array replicates
+            # references; Arrow serializes ndarray cells directly. Values
+            # are identical: with no rotation the input objects are reused
+            # verbatim, with OPQ the rotated float64 rows are the same
+            # numbers that .tolist() would have boxed.
+            if rot is None:
+                emb_src = pdf["query_embedding"].to_numpy()
+            else:
+                emb_src = np.empty(len(qv), dtype=object)
+                for j in range(len(qv)):
+                    emb_src[j] = qv[j]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(
                         pdf["query_id"].to_numpy().astype(np.int64), npb
                     ),
-                    "query_embedding": np.repeat(qv, npb, axis=0).tolist(),
+                    "query_embedding": np.repeat(emb_src, npb),
                     "_cell": order.reshape(-1).astype(np.int32),
                 }
             )

