@@ -661,10 +661,11 @@ def bench_hnsw_snap100k_df(spark, sf_dir):
 def bench_ivfpq_batch100k_df(spark, sf_dir):
     """100k-query DataFrame batch through IVF+PQ (round-7 VERDICT 4): the
     probe-assign -> (cell, salt) cogroup -> bounded merge -> exact rerank
-    pipeline at real query fan-in. data_salt=2 (cells are ~9k rows at
-    this tier — salting exists to bound per-task CODE rows under cell
-    skew; every extra salt re-shuffles the query replicas and re-derives
-    their LUTs, so keep it at the smallest value that bounds the cell)."""
+    pipeline at real query fan-in. data_salt=2 (round 11, query-side
+    salting: each cell's ~6k-query fan-in splits across 2 buckets and the
+    byte-small code rows replicate — 16 cells x 2 salts fills the 32-core
+    local width; the embedding-carrying query side shuffles exactly
+    once regardless of the salt count)."""
     from neighborly_spark.operators.ivfpq import ivfpq_knn_join
 
     bench_ivfpq_150k(spark, sf_dir)  # model + codes ready (untimed build)

@@ -66,16 +66,32 @@ def _residual_luts(res2d, books, books_sq, m, sub_dim, kp):
 
 def _adc_dists(ld, idx_s, m):
     """(chunk, n) ADC distance sums: for each code row, gather its m LUT
-    entries and accumulate SEQUENTIALLY over subspaces (s ascending) —
-    m two-dimensional gathers instead of one (chunk, n, m) fancy-index +
-    reduce (round 11: the 3D gather materialized ~chunk x n x m doubles
-    per chunk and was the kernel's dominant cost). The accumulation order
-    is part of the cross-tier bit-equality contract: the list path sums
-    its per-row gathers in the same s-ascending sequential order."""
-    dist = ld[:, idx_s[:, 0]].copy()
+    entries and accumulate SEQUENTIALLY over subspaces (s ascending).
+    The accumulation order is part of the cross-tier bit-equality
+    contract: the list path sums its per-row gathers in the same
+    s-ascending sequential order.
+
+    Gather layout (round 11, second pass): the earlier
+    ``ld[:, idx_s[:, s]]`` column gather strides m*k'*8 bytes (16 KB at
+    8x256) per accessed element over a chunk x m*k' C-ordered LUT — a
+    cache-hostile pattern that saturates DRAM with many concurrent
+    python workers (measured 16-way: 6.3 s vs 1.8 s per 24-chunk group).
+    Instead, transpose each subspace's k' x chunk LUT block into a
+    contiguous ~1 MB buffer (cache-resident) and gather whole ROWS of
+    it, accumulating in (n, chunk); one final contiguous transpose
+    returns the (chunk, n) the callers expect. Per-element addends and
+    their order are unchanged, so sums stay bit-equal (microbench
+    array_equal-verified and test-gated across tiers)."""
+    import numpy as np
+
+    kp = ld.shape[1] // m
+    lt = ld.reshape(len(ld), m, kp).transpose(1, 2, 0)  # (m, k', chunk) views
+    block = np.ascontiguousarray(lt[0])
+    dist_t = block[idx_s[:, 0]]  # (n, chunk) contiguous row gathers
     for s in range(1, m):
-        dist += ld[:, idx_s[:, s]]
-    return dist
+        block = np.ascontiguousarray(lt[s])
+        dist_t += block[idx_s[:, s] - s * kp]
+    return np.ascontiguousarray(dist_t.T)
 
 
 def _topk_stable(dist, fetch):
@@ -585,12 +601,15 @@ def ivfpq_knn_join(
     cells (partition pruning); and a cogroup on (cell, salt) delivers
     each task ONE cell's code rows plus the queries probing that cell —
     the per-(query, cell) residual LUTs are computed INSIDE the task from
-    the broadcast codebooks, never on the driver. ``data_salt`` bounds
-    task size: the code side salts into `data_salt` buckets per cell
-    (queries replicate across buckets), so per-task memory is
-    ~cell_rows/data_salt regardless of cell skew — raise it when cells
-    outgrow executor memory. Distances are bit-equal to the list path
-    (same numpy reductions in the same order — test-gated).
+    the broadcast codebooks, never on the driver. ``data_salt`` splits
+    each cell's query fan-in across `data_salt` buckets (round 11: the
+    QUERIES hash into one bucket each — the heavy embedding-carrying side
+    shuffles once — while the m-byte code rows, the byte-small side,
+    replicate across buckets; the snapshot tier's query_salt layout).
+    Raise it to shorten stragglers at large per-cell query fan-in; cell
+    CODE size is governed by nlist, the same sizing rule as the snapshot
+    tier. Results are salt-invariant and distances bit-equal to the list
+    path (same numpy reductions in the same order — test-gated).
 
     ``rerank=True`` (default, requires ``df``) reranks with exact float
     distances via an id join (nq x shortlist float rows).
@@ -770,32 +789,43 @@ def _ivfpq_knn_join_df(
     # empty sides decode fine — the nested-array crash documented in
     # hnsw_add does not apply to array<int> codes, verified by test);
     # filtering such probes out would cost a full codes-table aggregate
-    # per batch, a data-sized scan this serving path must not pay
-    # probed-cells distinct BEFORE the salt replication (nq x nprobe rows
-    # aggregated, not nq x nprobe x data_salt); the probe-assign pass does
-    # re-run for this branch (the plan is left uncached — an operator
-    # must not pin executor memory behind the caller's back), which is
-    # one extra narrow vectorized matmul over the query table
-    probed = assigned.select(F.col("_cell").alias(CLUSTER_COL)).distinct()
-    # queries replicate across the code side's salt buckets so the cogroup
-    # key (cell, salt) bounds per-task code rows at ~cell/data_salt
+    # per batch, a data-sized scan this serving path must not pay.
+    # probed cells come from a CELLS-ONLY probe pass (round 11): the
+    # distinct re-runs the probe subtree, and `assigned`'s subtree ships
+    # every replicated query embedding through Arrow just to be thrown
+    # away by the aggregate — _probe_cells_distinct repeats only the
+    # narrow centroid matmul and emits one int column (the plan is left
+    # uncached either way — an operator must not pin executor memory
+    # behind the caller's back)
+    probed = _probe_cells_distinct(
+        qsrc, coarse, nprobe, rotation=model.rotation
+    ).select(F.col("_cell").alias(CLUSTER_COL))
+    # QUERY-SIDE salting (round 11, guide §2.2/§2.3): the embedding-
+    # carrying query replicas are the heavy cogroup side (nq x nprobe x
+    # dim float64), so they hash into ONE salt bucket each and shuffle
+    # once; the m-byte code rows — the byte-small side — replicate across
+    # the buckets instead (the old layout replicated the queries
+    # data_salt-fold). Each (query, code) pair still meets in exactly one
+    # group and per-(query, cell) residual LUTs are now computed once,
+    # not once per salt; results are salt-invariant either way
+    # (test-gated). Same layout as the snapshot tier's query_salt.
     salts = spark.range(data_salt).select(F.col("id").cast("int").alias("_salt"))
-    assigned = assigned.crossJoin(F.broadcast(salts))
+    assigned = assigned.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("query_id")), F.lit(data_salt)).cast("int")
+    )
     # project to the kernel's three columns BEFORE the cogroup shuffle:
     # artifacts built with tags_col (or loaded with passthrough columns)
     # would otherwise ship those bytes through the exchange for nothing
     flt = (
         encoded.join(F.broadcast(probed), CLUSTER_COL, "semi")
         .select(id_col, CLUSTER_COL, CODE_COL)
-        .withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(data_salt)).cast("int")
-        )
+        .crossJoin(F.broadcast(salts))
     )
 
     def group_score(key: tuple, codes_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
-        # a salt bucket can be empty for a tiny cell (code side empty);
-        # the reverse (queries empty) can't happen — queries replicate to
-        # every salt — but guard both ways regardless
+        # a (cell, salt) bucket can have no queries (queries hash into one
+        # bucket each) and a probed-but-empty cell has no codes; guard
+        # both ways
         if len(codes_pdf) == 0 or len(q_pdf) == 0:
             return pd.DataFrame(columns=["query_id", id_col, "dist"])
         cell = int(key[0])
@@ -907,6 +937,39 @@ def _probe_assign(qsrc: DataFrame, coarse, nprobe: int, rotation=None) -> DataFr
     return qsrc.mapInPandas(
         assign, "query_id long, query_embedding array<double>, _cell int"
     )
+
+
+def _probe_cells_distinct(qsrc: DataFrame, coarse, nprobe: int, rotation=None) -> DataFrame:
+    """Distinct probed cells of a (query_id, query_embedding) DataFrame as
+    a one-column ``_cell int`` frame — the same squared-distance matrix +
+    stable argsort as _probe_assign (so the cell SET is identical), but
+    emitting only cell ids: the pruning semi-join's build side re-runs the
+    probe subtree, and re-running _probe_assign there would ship every
+    replicated query embedding through Arrow just to be aggregated away
+    (round 11 — guide §4.2: pass only the columns the consumer needs)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rot = np.asarray(rotation, dtype=np.float64) if rotation is not None else None
+
+    def cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["query_embedding"]]
+            )
+            if rot is not None:
+                qv = qv @ rot
+            d = ((qv[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {"_cell": np.unique(order.reshape(-1)).astype(np.int32)}
+            )
+
+    return qsrc.mapInPandas(cells, "_cell int").distinct()
 
 
 def _merge_and_rerank(
@@ -1125,7 +1188,7 @@ def ivfpq_knn_join_snapshot(
     salt-invariant). Memory: cells live in the shared byte-budgeted
     worker cache (operators.worker_cache) charged at cell_rows x
     ~(8 + 8m) bytes each; at 100 TB pick nlist so cells fit the budget
-    (the same sizing rule the cogroup path's data_salt addresses).
+    (the same nlist sizing rule as the cogroup path).
 
     ``tag_any`` / ``tag_all`` (round 9, r8 VERDICT 2 — the hnsw snapshot
     tier's recipe): when the saved code table carries ``tags_col`` (the

@@ -1655,3 +1655,64 @@ def test_topk_stable_matches_stable_argsort_under_ties():
     want = np.argsort(dist, axis=1, kind="stable")[:, :fetch]
     got = _topk_stable(dist, fetch)
     assert np.array_equal(want, got)
+
+
+def test_adc_dists_blocked_gather_bit_equal():
+    """Round-11 gather-layout rebuild: _adc_dists (per-subspace transposed
+    block gathers accumulating in (n, chunk) with one final contiguous
+    transpose) must be BIT-equal to the reference sequential column
+    gather — same addends in the same s-ascending order, any shape."""
+    import numpy as np
+
+    from neighborly_spark.operators.ivfpq import _adc_dists
+
+    rng = np.random.default_rng(11)
+    for chunk, n, m, kp in (
+        (512, 2345, 8, 256),  # the bench tier's shapes
+        (1, 1, 8, 16),
+        (7, 500, 4, 32),
+        (33, 3, 2, 4),
+        (512, 3, 16, 32),  # n < fetch-sized tail cells
+    ):
+        ld = rng.random((chunk, m * kp))
+        codes = rng.integers(0, kp, size=(n, m))
+        idx = codes + (np.arange(m) * kp)[None, :]
+        want = ld[:, idx[:, 0]].copy()
+        for s in range(1, m):
+            want += ld[:, idx[:, s]]
+        got = _adc_dists(ld, idx, m)
+        assert got.shape == (chunk, n)
+        assert got.flags["C_CONTIGUOUS"]
+        assert np.array_equal(got, want), (chunk, n, m, kp)
+
+
+def test_probe_cells_distinct_equals_probe_assign_cells(spark, emb, ivfpq_model):
+    """Round-11 cells-only probe pass: the pruning semi-join's build side
+    (_probe_cells_distinct) must yield exactly the cell SET _probe_assign
+    emits — same distance matrix + stable argsort — with and without an
+    OPQ-style rotation."""
+    import numpy as np
+
+    from neighborly_spark.operators import ivfpq as IVFPQ_mod
+
+    coarse = np.asarray(ivfpq_model.ivf.centroids, dtype=np.float64)
+    qdf = emb.filter(F.col("id") < 9).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    rng = np.random.default_rng(3)
+    rot, _ = np.linalg.qr(rng.standard_normal((coarse.shape[1], coarse.shape[1])))
+    for rotation in (None, rot):
+        want = {
+            r._cell
+            for r in IVFPQ_mod._probe_assign(qdf, coarse, 3, rotation=rotation)
+            .select("_cell")
+            .distinct()
+            .collect()
+        }
+        got = {
+            r._cell
+            for r in IVFPQ_mod._probe_cells_distinct(
+                qdf, coarse, 3, rotation=rotation
+            ).collect()
+        }
+        assert got == want and got
