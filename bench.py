@@ -31,6 +31,8 @@ from neighborly_spark.parity import REGISTRY, load
 from neighborly_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: pre-relayout input dir — SF_DIR itself is rebound to the relayout copy
+_ORIG_SF_DIR = SF_DIR
 
 _STATE: dict = {}
 
@@ -831,8 +833,7 @@ def _load_baseline() -> dict:
     path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE", _BASELINE_FILE)
     try:
         with open(path) as f:
-            doc = json.load(f)
-        return doc.get("entries", {})
+            return json.load(f)
     except (OSError, ValueError):
         return {}
 
@@ -902,10 +903,26 @@ def _adjudicate(timings: dict, layout_dir: str) -> dict:
     the worst offenders dedicated, and stamp verdicts: 'environmental'
     when the dedicated time is back inside 1.25x the record, 'confirmed'
     when even a quiet dedicated session stays > ADJUDICATE_FACTOR x, else
-    'inconclusive' (in between — judge reads the numbers)."""
-    baseline = _load_baseline()
+    'inconclusive' (in between — judge reads the numbers).
+
+    The records are only meaningful at the configuration they were
+    measured at (the baseline file carries its own cpus/sf): the driver
+    ALSO runs the bench at a lower core count to measure scaling, and
+    comparing an 8-core run against 32-core records would flag half the
+    registry and stamp bogus 'confirmed' verdicts. Off-configuration
+    runs skip adjudication (the calibration entries still ship)."""
+    doc = _load_baseline()
+    baseline = doc.get("entries", {}) if isinstance(doc, dict) else {}
     if not baseline or os.environ.get("SPARK_GRAFT_ADJUDICATE", "1") == "0":
         return {}
+    run_cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    run_sf = _ORIG_SF_DIR.rstrip("/").split("/")[-1]
+    base_cpus = doc.get("cpus")
+    base_sf = doc.get("sf_dir")
+    if base_cpus is not None and run_cpus != base_cpus:
+        return {"_skipped": f"run cpus={run_cpus} != baseline cpus={base_cpus}"}
+    if base_sf is not None and run_sf != base_sf:
+        return {"_skipped": f"run sf={run_sf} != baseline sf={base_sf}"}
     flagged = sorted(
         (
             (name, t, baseline[name], t / baseline[name])

@@ -63,6 +63,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from neighborly_spark.operators.partitioning import widen_for_python_stage
+
 M_DEFAULT = 16
 MAX_M0_DEFAULT = 32
 EF_CONSTRUCTION_DEFAULT = 200
@@ -894,9 +896,14 @@ def hnsw_route_queries(
                 }
             )
 
-    return queries.select("query_id", "query_embedding").mapInPandas(
-        assign, out_schema
+    # a narrow query batch (e.g. a cached limit() table — ONE partition
+    # by construction) must not serialize the routing onto a single
+    # python worker; the window Exchange this form replaced used to
+    # re-distribute the rows as a side effect (partitioning.py)
+    qsrc = widen_for_python_stage(
+        queries.select("query_id", "query_embedding")
     )
+    return qsrc.mapInPandas(assign, out_schema)
 
 
 def hnsw_search(

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from neighborly_spark.functions.distance import euclidean
 from neighborly_spark.operators.ivf import CLUSTER_COL, IVFModel, ivf_assign, ivf_train_sampled
+from neighborly_spark.operators.partitioning import widen_for_python_stage
 from neighborly_spark.operators.quantization import PQModel, pq_train_sampled
 
 CODE_COL = "pq_code"
@@ -782,7 +783,10 @@ def _ivfpq_knn_join_df(
     books = np.stack([np.asarray(c, dtype=np.float64) for c in model.pq.centroids])
     fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
     spark = encoded.sparkSession
-    qsrc = queries.select("query_id", "query_embedding")
+    # widen a narrow query batch before the python probe stages: a cached
+    # limit() table is ONE partition by construction and would serialize
+    # probe-assign onto a single worker (partitioning.py, round 11)
+    qsrc = widen_for_python_stage(queries.select("query_id", "query_embedding"))
     assigned = _probe_assign(qsrc, coarse, nprobe, rotation=model.rotation)
     # a query probing an EMPTY cell just yields a cogroup group with an
     # empty code side, which group_score returns empty from (flat-array
@@ -1210,7 +1214,9 @@ def ivfpq_knn_join_snapshot(
     books = np.stack([np.asarray(c, dtype=np.float64) for c in model.pq.centroids])
     fetch = max(shortlist if shortlist is not None else max(5 * k, 50), k) if rerank else k
     qsrc = (
-        queries.select("query_id", "query_embedding")
+        # widen a narrow query batch before the python probe stage
+        # (partitioning.py, round 11); list inputs stay local relations
+        widen_for_python_stage(queries.select("query_id", "query_embedding"))
         if isinstance(queries, DataFrame)
         else local_relation_queries(spark, queries)
     )

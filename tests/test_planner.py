@@ -345,10 +345,13 @@ def test_planner_hnsw_tier_probe_routes_spatial_graphs(spark):
     # the in-plan assignment is exactly |Q| x p rows
     assigned = H.hnsw_route_queries(seen["routing"], queries, seen["probe_shards"])
     assert assigned.count() == nq * P.DEFAULT_PROBE_SHARDS
-    # and its plan fans out via the routing broadcast, not an all-shards
-    # crossJoin of the graph
+    # and its plan is the round-11 vectorized routing pass: one
+    # MapInPandas over the queries — no per-query window, no crossJoin
+    # against graph rows (the routing table is driver-collected,
+    # shard-count-bounded state)
     aplan = assigned._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in aplan or "BroadcastExchange" in aplan
+    assert "MapInPandas" in aplan
+    assert "Window" not in aplan and "CartesianProduct" not in aplan
 
     # recall gate vs the exhaustive path on the same graph
     exhaustive, plan_ex = P.knn_join_auto(
