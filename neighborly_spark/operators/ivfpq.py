@@ -46,6 +46,11 @@ CODE_COL = "pq_code"
 #: (~70 MB at 8x256x8) regardless of query fan-in. Bit-identical math.
 _LUT_QUERY_CHUNK = 512
 
+#: code-row tile of the ADC accumulation loop (see _adc_dists): sized so
+#: the (tile, chunk) float64 accumulator (1 MB at 256 x 512) plus the m
+#: 1 MB transposed LUT blocks stay cache-resident per worker
+_ADC_ROW_TILE = 256
+
 
 def _residual_luts(res2d, books, books_sq, m, sub_dim, kp):
     """(n, m, k') squared-distance LUTs for (n, dim) float64 residuals via
@@ -78,20 +83,31 @@ def _adc_dists(ld, idx_s, m):
     cache-hostile pattern that saturates DRAM with many concurrent
     python workers (measured 16-way: 6.3 s vs 1.8 s per 24-chunk group).
     Instead, transpose each subspace's k' x chunk LUT block into a
-    contiguous ~1 MB buffer (cache-resident) and gather whole ROWS of
-    it, accumulating in (n, chunk); one final contiguous transpose
-    returns the (chunk, n) the callers expect. Per-element addends and
-    their order are unchanged, so sums stay bit-equal (microbench
-    array_equal-verified and test-gated across tiers)."""
+    contiguous ~1 MB buffer (cache-resident) and gather whole ROWS of it.
+
+    Row tiling (round 12, third pass): accumulating the full (n, chunk)
+    matrix in one sweep per subspace re-reads and re-writes the ~19 MB
+    accumulator m times — at 16-32 concurrent workers that accumulator
+    traffic, not the gathers, was the DRAM wall (interleaved contended
+    microbench at n=4700, chunk=512: 619 -> 109 ms/chunk median).
+    Tiling the code rows keeps a (tile, chunk) accumulator cache-resident
+    across all m subspace adds and writes each output element ONCE. Each
+    element's addends and their s-ascending order are unchanged, so sums
+    stay bit-equal (microbench array_equal-verified and test-gated across
+    tiers)."""
     import numpy as np
 
     kp = ld.shape[1] // m
     lt = ld.reshape(len(ld), m, kp).transpose(1, 2, 0)  # (m, k', chunk) views
-    block = np.ascontiguousarray(lt[0])
-    dist_t = block[idx_s[:, 0]]  # (n, chunk) contiguous row gathers
-    for s in range(1, m):
-        block = np.ascontiguousarray(lt[s])
-        dist_t += block[idx_s[:, s] - s * kp]
+    blocks = [np.ascontiguousarray(lt[s]) for s in range(m)]
+    n = len(idx_s)
+    dist_t = np.empty((n, ld.shape[0]))
+    for b0 in range(0, n, _ADC_ROW_TILE):
+        b1 = min(b0 + _ADC_ROW_TILE, n)
+        acc = blocks[0][idx_s[b0:b1, 0]]  # (tile, chunk) contiguous rows
+        for s in range(1, m):
+            acc += blocks[s][idx_s[b0:b1, s] - s * kp]
+        dist_t[b0:b1] = acc
     return np.ascontiguousarray(dist_t.T)
 
 
